@@ -1,0 +1,130 @@
+"""End-to-end parity of the fused multipass graph vs the golden mirror,
+plus physical accuracy on synthetic flows with known displacement."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import golden
+from torchpiv_tpu.models import MultipassPIV, PIVConfig
+from torchpiv_tpu.utils.synthetic import particle_pair, shear_flow
+
+
+def golden_multipass(fa, fb, cfg: PIVConfig):
+    u, v, x, y, val = golden.first_pass(
+        fa, fb, cfg.wind_size, cfg.overlap, cfg.validate, cfg.val_ratio
+    )
+    it = golden.cws_iteration if cfg.multipass_mode == "CWS" else golden.dws_iteration
+    sched = golden.pass_schedule(
+        cfg.wind_size, cfg.overlap, cfg.multipass, cfg.multipass_scale
+    )
+    for w, o in sched[1:]:
+        u, v, x, y, val = it(fa, fb, x, y, u, v, val, w, o)
+    return u, v, val
+
+
+def rms(a, b, mask=None):
+    d = np.asarray(a, dtype=np.float64) - np.asarray(b, dtype=np.float64)
+    if mask is not None:
+        d = d[~mask]
+    return np.sqrt(np.mean(d**2))
+
+
+@pytest.mark.parametrize(
+    "multipass,mode",
+    [(1, "CWS"), (2, "CWS"), (2, "DWS"), (3, "CWS")],
+)
+def test_parity_with_golden(multipass, mode):
+    fa, fb = particle_pair((256, 256), displacement=(3.3, -2.1), seed=7)
+    cfg = PIVConfig(
+        frame_shape=(256, 256),
+        wind_size=64,
+        overlap=32,
+        multipass=multipass,
+        multipass_mode=mode,
+    )
+    engine = MultipassPIV(cfg)
+    u, v, inval = jax.jit(engine)(jnp.asarray(fa), jnp.asarray(fb))
+    gu, gv, gval = golden_multipass(fa, fb, cfg)
+
+    inval = np.asarray(inval)
+    # Validation masks must agree almost everywhere (f32-vs-f64 peak-ratio
+    # boundary cases may flip a rare window).
+    disagree = np.mean(inval != gval)
+    assert disagree < 0.02, f"validation masks disagree on {disagree:.1%}"
+
+    both_valid = ~(inval | gval)
+    assert both_valid.mean() > 0.5
+    assert rms(u, gu, ~both_valid) < 0.01, "u parity"
+    assert rms(v, gv, ~both_valid) < 0.01, "v parity"
+
+
+def test_uniform_flow_accuracy():
+    true_u, true_v = 3.3, -2.1
+    fa, fb = particle_pair((512, 512), displacement=(true_u, true_v), seed=3)
+    cfg = PIVConfig(
+        frame_shape=(512, 512), wind_size=64, overlap=32, multipass=2,
+        multipass_mode="CWS",
+    )
+    engine = MultipassPIV(cfg)
+    u, v, inval = jax.jit(engine)(jnp.asarray(fa), jnp.asarray(fb))
+    u, v, inval = map(np.asarray, (u, v, inval))
+    valid = ~inval
+    assert valid.mean() > 0.9
+    # interior only: windows near the frame edge lose particles
+    interior = np.zeros_like(valid)
+    interior[2:-2, 2:-2] = True
+    sel = valid & interior
+    assert abs(np.mean(u[sel]) - true_u) < 0.05
+    assert abs(np.mean(v[sel]) - true_v) < 0.05
+    assert np.std(u[sel]) < 0.2
+
+
+def test_shear_flow_accuracy():
+    du_dy = 0.01
+    fa, fb = particle_pair(
+        (512, 512), displacement=shear_flow(1.0, du_dy), seed=11
+    )
+    cfg = PIVConfig(
+        frame_shape=(512, 512), wind_size=64, overlap=32, multipass=2,
+        multipass_mode="CWS",
+    )
+    engine = MultipassPIV(cfg)
+    u, v, inval = jax.jit(engine)(jnp.asarray(fa), jnp.asarray(fb))
+    u, inval = np.asarray(u), np.asarray(inval)
+    x, y = engine.final_coordinates
+    expected = 1.0 + du_dy * y
+    valid = ~inval
+    interior = np.zeros_like(valid)
+    interior[2:-2, 2:-2] = True
+    sel = valid & interior
+    err = u[sel] - expected[sel]
+    assert np.sqrt(np.mean(err**2)) < 0.15
+    assert abs(np.mean(err)) < 0.05
+
+
+def test_fused_infill_runs_in_graph():
+    fa, fb = particle_pair((256, 256), displacement=(2.0, 1.0), seed=5)
+    cfg = PIVConfig(
+        frame_shape=(256, 256), wind_size=32, overlap=16, multipass=1,
+        infill="fused",
+    )
+    engine = MultipassPIV(cfg)
+    u, v, inval = jax.jit(engine)(jnp.asarray(fa), jnp.asarray(fb))
+    assert np.isfinite(np.asarray(u)).all()
+    assert np.isfinite(np.asarray(v)).all()
+
+
+def test_vmap_batches_pairs():
+    fa1, fb1 = particle_pair((256, 256), displacement=(2.0, 1.0), seed=1)
+    fa2, fb2 = particle_pair((256, 256), displacement=(-1.5, 0.5), seed=2)
+    cfg = PIVConfig(frame_shape=(256, 256), wind_size=64, overlap=32, multipass=2)
+    engine = MultipassPIV(cfg)
+    batched = jax.jit(jax.vmap(engine))
+    fa = jnp.stack([jnp.asarray(fa1), jnp.asarray(fa2)])
+    fb = jnp.stack([jnp.asarray(fb1), jnp.asarray(fb2)])
+    u, v, inval = batched(fa, fb)
+    single = jax.jit(engine)
+    u0, v0, i0 = single(jnp.asarray(fa1), jnp.asarray(fb1))
+    np.testing.assert_allclose(np.asarray(u[0]), np.asarray(u0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v[0]), np.asarray(v0), atol=1e-5)

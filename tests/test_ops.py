@@ -1,0 +1,189 @@
+"""Unit parity tests: JAX ops vs the golden numpy mirror of the reference."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import golden
+from torchpiv_tpu.ops import (
+    correlate_fft,
+    correlation_to_displacement,
+    cws_shift,
+    dws_shift,
+    extract_windows,
+    get_coordinates,
+    get_field_shape,
+    mean_normalize,
+    min_subtract,
+    per_window_origins,
+    spline_matrix,
+)
+
+
+@pytest.mark.parametrize(
+    "shape,win,ov",
+    [((256, 256), 64, 32), ((256, 320), 32, 16), ((123, 257), 32, 8), ((100, 90), 16, 4)],
+)
+def test_geometry_matches_golden(shape, win, ov):
+    assert get_field_shape(shape, win, ov) == golden.get_field_shape(shape, win, ov)
+    x, y = get_coordinates(shape, win, ov)
+    gx, gy = golden.get_coordinates(shape, win, ov)
+    np.testing.assert_array_equal(x, gx)
+    np.testing.assert_array_equal(y, gy)
+
+
+@pytest.mark.parametrize(
+    "shape,win,ov",
+    [
+        ((256, 256), 64, 32),  # 50% overlap -> reshape fast path
+        ((128, 160), 32, 16),
+        ((123, 257), 32, 8),  # stride does not divide window -> gather path
+        ((96, 96), 16, 12),
+    ],
+)
+def test_extract_windows_matches_strided(rng, shape, win, ov):
+    frame = rng.integers(0, 255, shape, dtype=np.uint8)
+    ours = np.asarray(extract_windows(jnp.asarray(frame), win, ov))
+    theirs = golden.moving_window_array(frame, win, ov)
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_extract_windows_batched(rng):
+    frames = rng.integers(0, 255, (3, 128, 128), dtype=np.uint8)
+    ours = np.asarray(extract_windows(jnp.asarray(frames), 32, 16))
+    for i in range(3):
+        np.testing.assert_array_equal(
+            ours[i], golden.moving_window_array(frames[i], 32, 16)
+        )
+
+
+def test_correlate_fft_matches_numpy(rng):
+    a = rng.normal(1.0, 0.2, (17, 32, 32)).astype(np.float32)
+    b = rng.normal(1.0, 0.2, (17, 32, 32)).astype(np.float32)
+    ours = np.asarray(correlate_fft(jnp.asarray(a), jnp.asarray(b)))
+    theirs = golden.correlate_fft(a.astype(np.float64), b.astype(np.float64))
+    scale = np.abs(theirs).max()
+    np.testing.assert_allclose(ours / scale, theirs / scale, rtol=0, atol=1e-5)
+
+
+def test_mean_normalize_and_min_subtract(rng):
+    w = rng.integers(0, 255, (5, 16, 16), dtype=np.uint8)
+    ours = np.asarray(mean_normalize(jnp.asarray(w)))
+    theirs = w.astype(np.float64) / w.astype(np.float64).mean((-2, -1), keepdims=True)
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+    c = rng.normal(0, 1, (5, 16, 16)).astype(np.float32)
+    ours = np.asarray(min_subtract(jnp.asarray(c)))
+    theirs = c - c.min(axis=(-2, -1), keepdims=True)
+    np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
+class TestPeakFit:
+    def _gauss_map(self, d, peak_rc, sigma=1.3, amp=100.0):
+        yy, xx = np.mgrid[0:d, 0:d]
+        return amp * np.exp(
+            -((yy - peak_rc[0]) ** 2 + (xx - peak_rc[1]) ** 2) / (2 * sigma**2)
+        )
+
+    def test_known_subpixel_peak(self):
+        d = 32
+        maps = np.stack(
+            [
+                self._gauss_map(d, (16.3, 15.6)),
+                self._gauss_map(d, (10.0, 20.75)),
+                self._gauss_map(d, (16.0, 16.0)),
+            ]
+        ).astype(np.float32)
+        u, v, inval = correlation_to_displacement(jnp.asarray(maps), validate=True)
+        u, v = np.asarray(u), np.asarray(v)
+        # Gaussian fit recovers a true Gaussian peak almost exactly.
+        np.testing.assert_allclose(u, [15.6 - 16, 20.75 - 16, 0.0], atol=2e-2)
+        np.testing.assert_allclose(v, [16.3 - 16, 10.0 - 16, 0.0], atol=2e-2)
+        inval = np.asarray(inval)
+        assert not inval[0] and not inval[1]
+
+    def test_matches_golden_on_random_maps(self, rng):
+        maps = rng.random((40, 32, 32)).astype(np.float32) ** 2
+        maps = maps - maps.min(axis=(-2, -1), keepdims=True)
+        u, v, inval = correlation_to_displacement(jnp.asarray(maps), validate=True)
+        gu, gv, ginval = golden.correlation_to_displacement(
+            maps.astype(np.float64), 40, 1, validate=True
+        )
+        np.testing.assert_allclose(np.asarray(u), gu.ravel(), atol=5e-3)
+        np.testing.assert_allclose(np.asarray(v), gv.ravel(), atol=5e-3)
+        np.testing.assert_array_equal(np.asarray(inval), ginval.ravel())
+
+    def test_peak_at_edge_does_not_crash(self):
+        d = 16
+        maps = np.stack(
+            [
+                self._gauss_map(d, (0, 0)),
+                self._gauss_map(d, (15, 15)),
+                self._gauss_map(d, (0, 8)),
+            ]
+        ).astype(np.float32)
+        u, v, inval = correlation_to_displacement(jnp.asarray(maps), validate=True)
+        assert np.isfinite(np.asarray(u)).all()
+        assert np.isfinite(np.asarray(v)).all()
+        gu, gv, gi = golden.correlation_to_displacement(
+            maps.astype(np.float64), 3, 1, validate=True
+        )
+        np.testing.assert_allclose(np.asarray(u), gu.ravel(), atol=5e-3)
+        np.testing.assert_allclose(np.asarray(v), gv.ravel(), atol=5e-3)
+        np.testing.assert_array_equal(np.asarray(inval), gi.ravel())
+
+
+@pytest.mark.parametrize("mode", ["cws", "dws"])
+def test_shifts_match_golden(rng, mode):
+    shape, win, ov = (128, 160), 32, 16
+    frame = rng.integers(0, 255, shape, dtype=np.uint8)
+    n_rows, n_cols = golden.get_field_shape(shape, win, ov)
+    n = n_rows * n_cols
+    grid = golden._flat_window_grid(shape, win, ov)
+    row0w, col0w = per_window_origins(shape, win, ov)
+
+    if mode == "cws":
+        vx = rng.uniform(-5, 5, n).astype(np.float32)
+        vy = rng.uniform(-5, 5, n).astype(np.float32)
+        # include exact-integer and half-integer shifts
+        vx[:5] = [0.0, 1.0, -3.0, 2.5, -0.5]
+        vy[:5] = [0.0, -2.0, 1.0, 0.5, 2.5]
+        ours = np.asarray(
+            cws_shift(jnp.asarray(frame), jnp.asarray(row0w), jnp.asarray(col0w),
+                      win, jnp.asarray(vx), jnp.asarray(vy))
+        )
+        theirs = golden.bilinear_cws(
+            frame, grid, vx[:, None, None], vy[:, None, None]
+        )
+        np.testing.assert_allclose(ours, theirs, atol=1e-3)
+    else:
+        vx = rng.integers(-5, 6, n).astype(np.int64)
+        vy = rng.integers(-5, 6, n).astype(np.int64)
+        ours = np.asarray(
+            dws_shift(jnp.asarray(frame), jnp.asarray(row0w), jnp.asarray(col0w),
+                      win, jnp.asarray(vx.astype(np.int32)), jnp.asarray(vy.astype(np.int32)))
+        )
+        theirs = golden.nearest_dws(frame, grid, vx[:, None, None], vy[:, None, None])
+        np.testing.assert_array_equal(ours, theirs)
+
+
+class TestSpline:
+    def test_matrix_matches_scipy_rbs(self, rng):
+        from scipy.interpolate import RectBivariateSpline
+
+        y0 = np.arange(7) * 32.0 + 16
+        x0 = np.arange(9) * 32.0 + 16
+        y1 = np.arange(15) * 16.0 + 8  # finer, extends past the coarse range
+        x1 = np.arange(19) * 16.0 + 8
+        Ay = spline_matrix(y0, y1)
+        Ax = spline_matrix(x0, x1)
+        U = rng.normal(0, 3, (7, 9))
+        ours = Ay @ U @ Ax.T
+        theirs = RectBivariateSpline(y0, x0, U)(y1, x1)
+        np.testing.assert_allclose(ours, theirs, atol=1e-9)
+
+    def test_small_grid_degree_drop(self):
+        y0 = np.array([0.0, 10.0, 20.0])
+        A = spline_matrix(y0, np.array([5.0, 15.0]))
+        # quadratic through 3 points, still interpolates the nodes
+        np.testing.assert_allclose(spline_matrix(y0, y0), np.eye(3), atol=1e-12)
+        assert A.shape == (2, 3)

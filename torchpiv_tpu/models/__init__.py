@@ -1,0 +1,5 @@
+"""Pass/pipeline compute graphs (L3): the fused multipass PIV model."""
+
+from .multipass import MultipassPIV, PIVConfig
+
+__all__ = ["MultipassPIV", "PIVConfig"]

@@ -1,0 +1,217 @@
+"""The fused multipass PIV graph — the flagship "model" of the framework.
+
+One jitted XLA program maps a pair of raw uint8 frames to the final
+displacement field: first pass (window extraction, mean normalisation, FFT
+correlation, sub-pixel peak fit + validation) followed by N-1 refinement
+passes (in-graph spline predictor upsample as matmuls, CWS/DWS window
+shifting, correlation, peak fit, anti-divergence guards).  No host round-trip
+anywhere — this removes the reference's per-pass GPU<->CPU ping-pong
+(/root/reference/src/torchPIV/PIVbackend.py:690-740, where every pass runs
+scipy splines and guard masks on the host between torch kernels).
+
+Pass semantics mirror the reference exactly:
+
+* first pass: per-window mean normalisation, min-subtracted correlation,
+  validated peak fit (``extended_search_area_piv``, PIVbackend.py:459-520);
+* CWS pass: half-shift computed from the *pre-validation-zeroed* predictor
+  (reference computes u2 = u0/2 before zeroing, :705-713), symmetric ±u/2
+  bilinear shifts, total ``u = 2*(u0/2) + du`` (:728-729);
+* DWS pass: predictor zeroed *before* halving/rounding (:779-786), integer
+  shifts, total ``u = 2*rint(u0/2) + du`` (:800-801);
+* anti-divergence guard: revert to the (zeroed) predictor where
+  ``du > u0 and rint(u0) > 0`` or where the window failed validation
+  (:731-738).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.correlate import correlate_fft, mean_normalize, min_subtract
+from ..ops.geometry import get_coordinates, get_field_shape
+from ..ops.infill import fused_infill
+from ..ops.peakfit import correlation_to_displacement
+from ..ops.shifts import cws_shift, dws_shift, per_window_origins
+from ..ops.spline import upsample_matrices
+from ..ops.windows import extract_windows
+
+
+@dataclasses.dataclass(frozen=True)
+class PIVConfig:
+    """Static configuration of a multipass run (trace-time constants)."""
+
+    frame_shape: Tuple[int, int]
+    wind_size: int = 64
+    overlap: int = 32
+    multipass: int = 1
+    multipass_mode: str = "CWS"  # "CWS" | "DWS"
+    multipass_scale: float = 2.0
+    validate: bool = True
+    val_ratio: float = 1.2
+    validation_window: int = 3
+    infill: str = "host"  # "host" (exact, after device) | "fused" (in-graph) | "none"
+    dtype: str = "float32"
+
+    def pass_schedule(self) -> List[Tuple[int, int]]:
+        """Per-pass (wind_size, overlap), shrunk by int floor-division per
+        pass exactly like the reference constructor (PIVbackend.py:853-858)."""
+        sched = [(self.wind_size, self.overlap)]
+        w, o = self.wind_size, self.overlap
+        for _ in range(self.multipass - 1):
+            w = int(w // self.multipass_scale)
+            o = int(o // self.multipass_scale)
+            sched.append((w, o))
+        return sched
+
+    def __post_init__(self):
+        if self.overlap >= self.wind_size:
+            raise ValueError("Overlap has to be smaller than the window_size")
+        H, W = self.frame_shape
+        if self.wind_size > H or self.wind_size > W:
+            raise ValueError("window size cannot be larger than the image")
+        if self.multipass_mode not in ("CWS", "DWS"):
+            raise ValueError(f"unknown multipass_mode {self.multipass_mode!r}")
+
+
+class MultipassPIV:
+    """Builds and applies the fused multipass graph for one frame shape.
+
+    The instance precomputes all static per-pass constants (grids, window
+    origins, spline upsample operators); ``__call__`` is a pure jittable
+    function ``(frame_a, frame_b) -> (u, v, invalid)`` over 2-D uint8 frames
+    returning final-pass fields of shape ``(n_rows, n_cols)``.  Use
+    ``jax.vmap`` over a leading pair axis for batched throughput.
+    """
+
+    def __init__(self, config: PIVConfig):
+        self.config = config
+        self.schedule = config.pass_schedule()
+        H, W = config.frame_shape
+
+        self.coords = [get_coordinates((H, W), w, o) for w, o in self.schedule]
+        self.field_shapes = [get_field_shape((H, W), w, o) for w, o in self.schedule]
+        self.origins = [per_window_origins((H, W), w, o) for w, o in self.schedule]
+
+        # Spline upsample operators between consecutive pass grids.
+        self.upsamplers = []
+        for p in range(1, len(self.schedule)):
+            x0, y0 = self.coords[p - 1]
+            x1, y1 = self.coords[p]
+            Ay, Ax = upsample_matrices(y0[:, 0], x0[0, :], y1[:, 0], x1[0, :])
+            dt = jnp.dtype(config.dtype)
+            self.upsamplers.append((jnp.asarray(Ay, dt), jnp.asarray(Ax, dt)))
+
+    # -- public static info ------------------------------------------------
+    @property
+    def final_coordinates(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(x, y) window-center pixel coordinates of the final pass."""
+        return self.coords[-1]
+
+    @property
+    def final_field_shape(self) -> Tuple[int, int]:
+        return self.field_shapes[-1]
+
+    # -- the graph ----------------------------------------------------------
+    def first_pass(self, frame_a: jnp.ndarray, frame_b: jnp.ndarray):
+        """Zero-order pass (reference ``extended_search_area_piv``)."""
+        cfg = self.config
+        w, o = self.schedule[0]
+        n_rows, n_cols = self.field_shapes[0]
+        dt = jnp.dtype(cfg.dtype)
+
+        aa = mean_normalize(extract_windows(frame_a, w, o), dt)
+        bb = mean_normalize(extract_windows(frame_b, w, o), dt)
+        corr = min_subtract(correlate_fft(aa, bb))
+        u, v, inval = correlation_to_displacement(
+            corr, cfg.validate, cfg.val_ratio, cfg.validation_window
+        )
+        u = u.reshape(n_rows, n_cols)
+        v = v.reshape(n_rows, n_cols)
+        if inval is not None:
+            inval = inval.reshape(n_rows, n_cols)
+        return u, v, inval
+
+    def _refine_pass(self, p, frame_a, frame_b, u, v, inval):
+        """One CWS/DWS refinement pass from grid p-1 to grid p, in-graph."""
+        cfg = self.config
+        w, o = self.schedule[p]
+        n_rows, n_cols = self.field_shapes[p]
+        dt = jnp.dtype(cfg.dtype)
+        Ay, Ax = self.upsamplers[p - 1]
+        row0w, col0w = self.origins[p]
+        row0w = jnp.asarray(row0w)
+        col0w = jnp.asarray(col0w)
+
+        # In-graph spline predictor upsample (two matmuls on the MXU).
+        # precision='highest' is essential: the TPU default (bf16 inputs)
+        # perturbs the predictor by ~1e-2 px, which flips integer-crossing
+        # decisions in the CWS resampler and wrecks sub-pixel parity.
+        def up(field):
+            return jnp.matmul(
+                jnp.matmul(Ay, field.astype(dt), precision="highest"),
+                Ax.T,
+                precision="highest",
+            )
+
+        u0 = up(u)
+        v0 = up(v)
+
+        validate = inval is not None
+        if validate:
+            val0 = up(inval) >= 0.5
+
+        if cfg.multipass_mode == "CWS":
+            # Half-shift from the PRE-zeroed predictor (reference :705-713).
+            u2 = u0 / 2.0
+            v2 = v0 / 2.0
+            if validate:
+                u0 = jnp.where(val0, 0.0, u0)
+                v0 = jnp.where(val0, 0.0, v0)
+            aa = cws_shift(frame_a, row0w, col0w, w, -u2.reshape(-1), -v2.reshape(-1), dt)
+            bb = cws_shift(frame_b, row0w, col0w, w, u2.reshape(-1), v2.reshape(-1), dt)
+        else:  # DWS: predictor zeroed BEFORE rounding (reference :779-786)
+            if validate:
+                u0 = jnp.where(val0, 0.0, u0)
+                v0 = jnp.where(val0, 0.0, v0)
+            u2 = jnp.rint(u0 / 2.0)
+            v2 = jnp.rint(v0 / 2.0)
+            ui = u2.reshape(-1).astype(jnp.int32)
+            vi = v2.reshape(-1).astype(jnp.int32)
+            aa = dws_shift(frame_a, row0w, col0w, w, -ui, -vi, dt)
+            bb = dws_shift(frame_b, row0w, col0w, w, ui, vi, dt)
+
+        corr = min_subtract(correlate_fft(aa, bb))
+        du, dv, new_inval = correlation_to_displacement(
+            corr, validate, cfg.val_ratio, cfg.validation_window
+        )
+        du = du.reshape(n_rows, n_cols)
+        dv = dv.reshape(n_rows, n_cols)
+        if new_inval is not None:
+            new_inval = new_inval.reshape(n_rows, n_cols)
+
+        u_new = 2.0 * u2 + du
+        v_new = 2.0 * v2 + dv
+
+        # Anti-divergence guards (reference :731-738).
+        mask_u = (du > u0) & (jnp.rint(u0) > 0)
+        mask_v = (dv > v0) & (jnp.rint(v0) > 0)
+        if new_inval is not None:
+            mask_u = mask_u | new_inval
+            mask_v = mask_v | new_inval
+        u = jnp.where(mask_u, u0, u_new)
+        v = jnp.where(mask_v, v0, v_new)
+        return u, v, new_inval
+
+    def __call__(self, frame_a: jnp.ndarray, frame_b: jnp.ndarray):
+        """Full multipass: raw frames -> (u, v, invalid) on the final grid."""
+        u, v, inval = self.first_pass(frame_a, frame_b)
+        for p in range(1, len(self.schedule)):
+            u, v, inval = self._refine_pass(p, frame_a, frame_b, u, v, inval)
+        if self.config.infill == "fused" and inval is not None:
+            u = fused_infill(jnp.where(inval, jnp.nan, u), inval)
+            v = fused_infill(jnp.where(inval, jnp.nan, v), inval)
+        return u, v, inval

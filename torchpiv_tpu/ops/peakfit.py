@@ -1,0 +1,106 @@
+"""Sub-pixel peak location + peak-ratio validation (XLA reference path).
+
+Converts a batch of correlation maps ``[N, d, k]`` into signed sub-pixel
+displacements via argmax + 3-point log-Gaussian (log-parabola) fit, and
+optionally validates each window by the first-peak/second-peak ratio.
+
+Semantics mirror the reference ``correlation_to_displacement`` and
+``peak2peak_secondpeak`` (/root/reference/src/torchPIV/PIVbackend.py:346-422)
+including their flat-index edge behaviour:
+
+* neighbour indices are taken on the *flattened* map, so at map edges the
+  "left/right" neighbours wrap across rows; indices beyond the ends are
+  replaced by the peak index itself (reference :385-392);
+* the second-peak search zeroes a ``(2*w+1)**2`` neighbourhood around the
+  first peak *by flat index with clamping* (so it too wraps at edges,
+  reference :346-358) and the second-peak *value* is read from the un-zeroed
+  map at the second-peak index (reference :410-411);
+* the peak row is decomposed as ``m // d`` / ``m % k`` — valid because
+  correlation maps are always square here (reference :404 relies on this);
+* fit NaN/Inf are flushed with ``nan_to_num`` (reference :418-419).
+
+A fused Pallas version of this op lives in ``torchpiv_tpu.kernels``; this XLA
+version is the semantic reference and the fallback on non-TPU backends.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+EPS = 1e-7
+
+
+def correlation_to_displacement(
+    corr: jnp.ndarray,
+    validate: bool = True,
+    val_ratio: float = 1.2,
+    validation_window: int = 3,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+    """Batched sub-pixel displacement from correlation maps.
+
+    Args:
+      corr: ``[N, d, k]`` min-subtracted correlation maps (d == k).
+      validate: compute the peak-ratio validation mask.
+      val_ratio: windows with ``first_peak / second_peak < val_ratio`` are
+        flagged invalid (reference default 1.2).
+      validation_window: half-width of the neighbourhood excluded around the
+        first peak when searching for the second (reference passes 3).
+
+    Returns:
+      ``(u, v, invalid)``: flat ``[N]`` signed displacements in pixels
+      (center = fftshift origin) and a ``[N]`` bool mask of *invalid* windows
+      (or ``None`` when ``validate`` is False).
+    """
+    n, d, k = corr.shape
+    kd = k * d
+    fdt = corr.dtype
+
+    corr = corr + jnp.asarray(EPS, fdt)
+    flat = corr.reshape(n, kd)
+    m = jnp.argmax(flat, axis=-1).astype(jnp.int32)
+
+    # Flat-index neighbours with the reference's edge replacement (:385-392).
+    left = jnp.where(m + 1 >= kd - 1, m, m + 1)
+    right = jnp.where(m - 1 <= 0, m, m - 1)
+    top = jnp.where(m + k >= kd - 1, m, m + k)
+    bot = jnp.where(m - k <= 0, m, m - k)
+
+    def take(idx):
+        return jnp.take_along_axis(flat, idx[:, None], axis=-1)[:, 0]
+
+    cm, cl, cr, ct, cb = take(m), take(left), take(right), take(top), take(bot)
+    lcm, lcl, lcr, lct, lcb = (jnp.log(c) for c in (cm, cl, cr, ct, cb))
+
+    # 3-point Gaussian fit on log intensities (reference :399-407).
+    du = (lcr - lcl) / (2.0 * (lcl + lcr) - 4.0 * lcm)
+    dv = (lcb - lct) / (2.0 * (lcb + lct) - 4.0 * lcm)
+
+    row = (m // d).astype(fdt)  # maps are square (d == k), see module docstring
+    col = (m % k).astype(fdt)
+    u = col + du - (k // 2)
+    v = row + dv - (d // 2)
+    u = jnp.nan_to_num(u)
+    v = jnp.nan_to_num(v)
+
+    invalid = None
+    if validate:
+        w = validation_window
+        # Static flat offsets of the exclusion neighbourhood (col offset i,
+        # row offset j), clamped on the flat map exactly like reference
+        # ``peak2peak_secondpeak`` (:346-358).
+        offs = np.array(
+            [i + k * j for j in range(-w, w + 1) for i in range(-w, w + 1)],
+            dtype=np.int32,
+        )
+        ids = jnp.clip(m[:, None] + offs[None, :], 0, kd - 1)
+        zeroed = flat.at[jnp.arange(n)[:, None], ids].set(0.0)
+        m2 = jnp.argmax(zeroed, axis=-1).astype(jnp.int32)
+        c2 = take(m2)  # value from the UN-zeroed map (reference :411)
+        invalid = (cm / c2) < val_ratio
+        degenerate = (left >= kd - 1) & (right <= 0) & (top >= kd - 1) & (bot <= 0)
+        invalid = invalid | degenerate
+
+    return u, v, invalid
