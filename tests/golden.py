@@ -249,6 +249,8 @@ def interpolate_borders(vec):
 
 def fill_missing_values(field):
     invalid = np.isnan(field)
+    if not invalid.any():
+        return field  # see ops/infill.py — empty-holes fast path
     dilated = ndimage.binary_dilation(invalid, structure=_CROSS)
     border = dilated & ~invalid
     points = np.argwhere(border)

@@ -187,3 +187,15 @@ class TestSpline:
         # quadratic through 3 points, still interpolates the nodes
         np.testing.assert_allclose(spline_matrix(y0, y0), np.eye(3), atol=1e-12)
         assert A.shape == (2, 3)
+
+
+def test_correlate_matmul_matches_fft(rng):
+    from torchpiv_tpu.ops.correlate import correlate_matmul
+
+    for n in (16, 32, 64):
+        a = rng.normal(1.0, 0.2, (9, n, n)).astype(np.float32)
+        b = rng.normal(1.0, 0.2, (9, n, n)).astype(np.float32)
+        ours = np.asarray(correlate_matmul(jnp.asarray(a), jnp.asarray(b)))
+        theirs = golden.correlate_fft(a.astype(np.float64), b.astype(np.float64))
+        scale = np.abs(theirs).max()
+        np.testing.assert_allclose(ours / scale, theirs / scale, atol=2e-5)

@@ -1,0 +1,86 @@
+"""Parity tests for Pallas kernels vs their XLA reference ops.
+
+On CPU the kernels run in interpreter mode — same program, same semantics,
+no Mosaic compile.  The TPU-compiled path is exercised by bench/verify runs
+on hardware.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from torchpiv_tpu.kernels import shift_windows_pallas
+from torchpiv_tpu.models import MultipassPIV, PIVConfig
+from torchpiv_tpu.ops.shifts import cws_shift, dws_shift, per_window_origins
+from torchpiv_tpu.utils.synthetic import particle_pair
+
+
+@pytest.mark.parametrize("shape,w,ov", [((128, 256), 32, 16), ((96, 288), 16, 8)])
+def test_shift_kernel_interior_matches_xla(rng, shape, w, ov):
+    H, W = shape
+    frame = rng.integers(0, 255, (H, W)).astype(np.float32)
+    n_rows = (H - w) // (w - ov) + 1
+    n_cols = (W - w) // (w - ov) + 1
+    N = n_rows * n_cols
+    vx = rng.uniform(-w / 4, w / 4, N).astype(np.float32)
+    vy = rng.uniform(-w / 4, w / 4, N).astype(np.float32)
+    vx[:3] = [0.0, 1.0, -2.5]
+    vy[:3] = [0.0, -1.0, 0.5]
+    r0, c0 = per_window_origins((H, W), w, ov)
+    ref = np.asarray(
+        cws_shift(jnp.asarray(frame), jnp.asarray(r0), jnp.asarray(c0), w,
+                  jnp.asarray(vx), jnp.asarray(vy))
+    ).reshape(n_rows, n_cols, w, w)
+    out = np.asarray(
+        shift_windows_pallas(
+            jnp.asarray(frame), jnp.asarray(vx), jnp.asarray(vy),
+            frame_shape=(H, W), wind_size=w, overlap=ov, interpret=True,
+        )
+    ).reshape(n_rows, n_cols, w, w)
+    # Interior windows: identical up to per-window-vs-per-pixel f32 frac
+    # weights (~1e-4 relative).
+    d = np.abs(out - ref)[1:-1, 1:-1]
+    assert d.max() < 0.05, d.max()
+
+
+def test_dws_integer_shifts_exact(rng):
+    H, W, w, ov = 128, 256, 32, 16
+    frame = rng.integers(0, 255, (H, W)).astype(np.float32)
+    n_rows = (H - w) // (w - ov) + 1
+    n_cols = (W - w) // (w - ov) + 1
+    N = n_rows * n_cols
+    vx = rng.integers(-6, 7, N).astype(np.int32)
+    vy = rng.integers(-6, 7, N).astype(np.int32)
+    r0, c0 = per_window_origins((H, W), w, ov)
+    ref = np.asarray(
+        dws_shift(jnp.asarray(frame), jnp.asarray(r0), jnp.asarray(c0), w,
+                  jnp.asarray(vx), jnp.asarray(vy))
+    ).reshape(n_rows, n_cols, w, w)
+    out = np.asarray(
+        shift_windows_pallas(
+            jnp.asarray(frame), jnp.asarray(vx, dtype=jnp.float32),
+            jnp.asarray(vy, dtype=jnp.float32),
+            frame_shape=(H, W), wind_size=w, overlap=ov, interpret=True,
+        )
+    ).reshape(n_rows, n_cols, w, w)
+    # Integer shifts hit the floor-corner path: interior windows bit-exact.
+    np.testing.assert_array_equal(out[1:-1, 1:-1], ref[1:-1, 1:-1])
+
+
+def test_engine_with_pallas_interpret_matches_xla_engine():
+    fa, fb = particle_pair((256, 256), displacement=(3.3, -2.1), seed=7)
+    base = dict(frame_shape=(256, 256), wind_size=64, overlap=32,
+                multipass=2, multipass_mode="CWS")
+    eng_xla = MultipassPIV(PIVConfig(**base, use_pallas="off"))
+    eng_pal = MultipassPIV(
+        PIVConfig(**base, use_pallas="off", pallas_interpret=True)
+    )
+    u0, v0, i0 = jax.jit(eng_xla)(jnp.asarray(fa), jnp.asarray(fb))
+    u1, v1, i1 = eng_pal(jnp.asarray(fa), jnp.asarray(fb))
+    i0, i1 = np.asarray(i0), np.asarray(i1)
+    both = ~(i0 | i1)
+    assert np.mean(i0 != i1) < 0.02
+    d = np.abs(np.asarray(u0) - np.asarray(u1))[both]
+    assert np.sqrt(np.mean(d**2)) < 0.01, d.max()
+    d = np.abs(np.asarray(v0) - np.asarray(v1))[both]
+    assert np.sqrt(np.mean(d**2)) < 0.01, d.max()

@@ -1,0 +1,167 @@
+"""Integration tests: the OfflinePIV API contract and the runner, end-to-end
+over image files on disk, vs the golden full pipeline."""
+import os
+
+import numpy as np
+import pytest
+
+import golden
+from torchpiv_tpu.io.decode import imread_gray, imwrite_gray
+from torchpiv_tpu.pipeline import OfflinePIV, PIVRunner
+from torchpiv_tpu.utils.config import PIVParams
+from torchpiv_tpu.utils.synthetic import particle_pair
+
+
+@pytest.fixture(scope="module")
+def pair_folder(tmp_path_factory):
+    folder = tmp_path_factory.mktemp("pairs")
+    shifts = [(3.3, -2.1), (1.0, 0.5), (-2.0, 1.5)]
+    for i, disp in enumerate(shifts):
+        fa, fb = particle_pair((256, 256), displacement=disp, seed=10 + i)
+        imwrite_gray(str(folder / f"img{i:04d}_a.bmp"), fa)
+        imwrite_gray(str(folder / f"img{i:04d}_b.bmp"), fb)
+    return str(folder), shifts
+
+
+def test_offline_piv_matches_golden_pipeline(pair_folder):
+    folder, shifts = pair_folder
+    kwargs = dict(wind_size=64, overlap=32, multipass=2, multipass_mode="CWS",
+                  dt=2.0, scale=0.05)
+    piv = OfflinePIV(folder, device="cpu", file_fmt=".bmp",
+                     folder_mode="pairs", batch_size=2, **kwargs)
+    assert len(piv) == len(shifts)
+    results = list(piv())
+    assert len(results) == len(shifts)
+
+    from torchpiv_tpu.io.dataset import PIVDataset
+
+    ds = PIVDataset(folder, ".bmp", "pairs")
+    for i, (x, y, u, v) in enumerate(results):
+        fa, fb = ds[i]
+        ref = golden.offline_piv_pair(
+            fa, fb, 64, 32, multipass=2, multipass_mode="CWS",
+            dt=2.0, scale=0.05,
+        )
+        assert ref is not None
+        gx, gy, gu, gv = ref
+        np.testing.assert_array_equal(x, gx)
+        np.testing.assert_array_equal(y, gy)
+        # parity on the final physical fields (vast majority of vectors;
+        # infilled outliers depend on f32-vs-f64 validation flips)
+        du = np.abs(u - gu)
+        dv = np.abs(v - gv)
+        assert np.median(du) < 0.01 * 0.05 / 2.0 * 1000
+        assert np.quantile(du, 0.9) < 0.05 * 0.05 / 2.0 * 1000
+        assert np.quantile(dv, 0.9) < 0.05 * 0.05 / 2.0 * 1000
+
+
+def test_offline_piv_physical_units(pair_folder):
+    folder, shifts = pair_folder
+    scale, dt = 0.1, 4.0  # mm/px, us
+    piv = OfflinePIV(folder, device="cpu", file_fmt=".bmp", wind_size=64,
+                     overlap=32, scale=scale, dt=dt, batch_size=3)
+    x, y, u, v = next(piv())
+    # first pair: u=3.3 px -> u_mm_per_us*1000 = 3.3*scale/dt*1000 m/s
+    expected = 3.3 * scale / dt * 1000
+    interior = np.abs(np.median(u))
+    assert abs(interior - expected) / expected < 0.05
+    # y-flip: v = -flip(v) => positive v_px (down in image) becomes negative
+    expected_v = -(-2.1) * scale / dt * 1000
+    assert abs(np.median(v) - expected_v) / abs(expected_v) < 0.1
+
+
+def test_sequential_folder_mode(pair_folder):
+    folder, _ = pair_folder
+    piv = OfflinePIV(folder, device="cpu", file_fmt=".bmp", wind_size=64,
+                     overlap=32, folder_mode="sequential")
+    assert len(piv) == 5  # 6 files -> 5 consecutive pairs
+
+
+def test_empty_folder(tmp_path):
+    piv = OfflinePIV(str(tmp_path), device="cpu", file_fmt=".bmp",
+                     wind_size=32, overlap=16)
+    assert len(piv) == 0
+    assert list(piv()) == []
+
+
+def test_runner_statistics_and_saving(pair_folder, tmp_path):
+    folder, _ = pair_folder
+    params = PIVParams(
+        wind_size=64, overlap=32, multipass=1, multipass_mode="CWS",
+        scale=0.05, dt=2.0, device="cpu", file_fmt=".bmp", folder=folder,
+        folder_mode="pairs", save_opt="Save statistics",
+        save_dir=str(tmp_path),
+    )
+    progress, outputs = [], []
+    runner = PIVRunner(
+        params,
+        on_progress=progress.append,
+        on_output=outputs.append,
+        batch_size=2,
+    )
+    table = runner.run()
+    assert table is not None
+    assert len(outputs) == 3
+    assert progress[-1] == 100
+    expected_cols = [
+        "x[mm]", "y[mm]", "Vx[m/s]", "Vy[m/s]",
+        "(vx-Vx)(vy-Vy)[m^2/s^2]", "(vx-Vx)^2[m^2/s^2]", "(vy-Vy)^2[m^2/s^2]",
+        "dVx/dx[1/s]", "dVx/dy[1/s]", "dVy/dx[1/s]", "dVy/dy[1/s]",
+        "W[1/s]", "S[1/s]",
+    ]
+    assert list(table.keys()) == expected_cols
+    saved = [f for f in os.listdir(tmp_path) if f.endswith("_statistics.txt")]
+    assert len(saved) == 1
+    # saved table loads back with the same grid
+    from torchpiv_tpu.utils.persistence import load_table
+
+    loaded = load_table(os.path.join(tmp_path, saved[0]))
+    assert loaded["Vx[m/s]"].shape == table["Vx[m/s]"].shape
+    np.testing.assert_allclose(
+        loaded["Vx[m/s]"], table["Vx[m/s]"], atol=1e-5
+    )
+
+
+def test_runner_empty_folder_fails(tmp_path):
+    params = PIVParams(folder=str(tmp_path), device="cpu", file_fmt=".bmp",
+                       wind_size=32, overlap=16)
+    failed = []
+    runner = PIVRunner(params, on_failed=lambda: failed.append(True))
+    assert runner.run() is None
+    assert failed == [True]
+
+
+def test_bmp_roundtrip(tmp_path, rng):
+    img = rng.integers(0, 255, (120, 160), dtype=np.uint8)
+    p = str(tmp_path / "t.bmp")
+    imwrite_gray(p, img)
+    back = imread_gray(p)
+    np.testing.assert_array_equal(img, back)
+    # the fast numpy BMP path handles it (cv2-independent)
+    from torchpiv_tpu.io.decode import decode_bmp_gray8
+
+    decoded = decode_bmp_gray8(np.fromfile(p, dtype=np.uint8))
+    if decoded is not None:  # cv2 may write a non-paletted BMP
+        np.testing.assert_array_equal(img, decoded)
+
+
+def test_infill_path_with_dead_region(tmp_path):
+    """A particle-free patch produces invalid windows; the tail must infill
+    them (not skip the pair) and match golden's Delaunay infill."""
+    fa, fb = particle_pair((256, 256), displacement=(2.0, 1.0), seed=21)
+    fa[96:160, 96:160] = 8
+    fb[96:160, 96:160] = 8
+    imwrite_gray(str(tmp_path / "d0_a.bmp"), fa)
+    imwrite_gray(str(tmp_path / "d0_b.bmp"), fb)
+    piv = OfflinePIV(str(tmp_path), device="cpu", file_fmt=".bmp",
+                     wind_size=32, overlap=16, multipass=1)
+    results = list(piv())
+    assert len(results) == 1
+    x, y, u, v = results[0]
+    assert np.isfinite(u).all() and np.isfinite(v).all()
+    ref = golden.offline_piv_pair(fa, fb, 32, 16, multipass=1)
+    assert ref is not None
+    _, _, gu, gv = ref
+    # infilled vectors depend on which windows each impl flags; compare the
+    # bulk of the field
+    assert np.quantile(np.abs(u - gu), 0.9) < 0.1

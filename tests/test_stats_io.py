@@ -1,0 +1,164 @@
+"""Statistics, persistence, config, watcher and prefetcher tests."""
+import os
+import threading
+import time
+
+import numpy as np
+
+from torchpiv_tpu.io.prefetch import PairPrefetcher
+from torchpiv_tpu.io.watch import StreamingPairSource, WatchMan
+from torchpiv_tpu.stats import EnsembleAccumulator, compute_statistics
+from torchpiv_tpu.utils.config import PIVParams
+from torchpiv_tpu.utils.database import Database
+from torchpiv_tpu.utils.persistence import (
+    natural_keys,
+    save_binary,
+    save_table,
+    uniquify,
+)
+
+
+def _reference_statistics(x, y, u_list, v_list):
+    """Literal transcription of the reference worker's formulas
+    (workers.py:85-119) for cross-checking."""
+    u_inst = np.stack(u_list).astype(np.float64)
+    v_inst = np.stack(v_list).astype(np.float64)
+    avg_u = u_inst.mean(0)
+    avg_v = v_inst.mean(0)
+    uu = ((u_inst - avg_u) ** 2).mean(0)
+    vv = ((v_inst - avg_v) ** 2).mean(0)
+    uv = ((u_inst - avg_u) * (v_inst - avg_v)).mean(0)
+    mid_i, mid_j = x.shape[-2] // 2, x.shape[-1] // 2
+    dx = (x[mid_i, mid_j + 1] - x[mid_i, mid_j]) / 1000
+    dy = (y[mid_i + 1, mid_j] - y[mid_i, mid_j]) / 1000
+    dUy, dUx = np.gradient(avg_u, dx, dy, edge_order=2)
+    dVy, dVx = np.gradient(avg_v, dx, dy, edge_order=2)
+    return avg_u, avg_v, uu, vv, uv, dUx, dUy, dVx, dVy
+
+
+def test_statistics_match_reference_formulas(rng):
+    x, y = np.meshgrid(np.arange(8) * 2.0, np.arange(6) * 2.0)
+    us = [rng.normal(3, 0.5, (6, 8)) for _ in range(10)]
+    vs = [rng.normal(-1, 0.3, (6, 8)) for _ in range(10)]
+    table = compute_statistics(x, y, us, vs)
+    avg_u, avg_v, uu, vv, uv, dUx, dUy, dVx, dVy = _reference_statistics(x, y, us, vs)
+    np.testing.assert_allclose(table["Vx[m/s]"], avg_u)
+    np.testing.assert_allclose(table["(vx-Vx)^2[m^2/s^2]"], uu)
+    np.testing.assert_allclose(table["(vx-Vx)(vy-Vy)[m^2/s^2]"], uv)
+    np.testing.assert_allclose(table["dVx/dx[1/s]"], dUx)
+    np.testing.assert_allclose(table["W[1/s]"], dVx - dUy)
+    np.testing.assert_allclose(table["S[1/s]"], dVx + dUy)
+
+    # streaming accumulator agrees with the two-pass computation
+    acc = EnsembleAccumulator()
+    for u, v in zip(us, vs):
+        acc.add(u, v)
+    table2 = acc.finalize(x, y)
+    for k in table:
+        np.testing.assert_allclose(table2[k], table[k], atol=1e-10)
+
+
+def test_natural_sort_and_uniquify(tmp_path):
+    names = ["img10_a.bmp", "img2_a.bmp", "img1_a.bmp"]
+    assert sorted(names, key=natural_keys) == ["img1_a.bmp", "img2_a.bmp", "img10_a.bmp"]
+    p = tmp_path / "out.txt"
+    p.write_text("x")
+    assert uniquify(str(p)) == str(tmp_path / "out (1).txt")
+
+
+def test_save_binary_and_table(tmp_path, rng):
+    data = {"x[mm]": rng.random((4, 5)), "Vx[m/s]": rng.random((4, 5))}
+    binp = save_binary("t.npy", str(tmp_path), dict(data))
+    arr = np.load(binp)
+    assert arr.shape == (2, 4, 5)
+    txtp = save_table("t.txt", str(tmp_path), dict(data))
+    with open(txtp) as f:
+        header = f.readline().strip()
+    assert header == "x[mm], Vx[m/s]"
+    loaded = np.loadtxt(txtp, skiprows=1, delimiter=",")
+    np.testing.assert_allclose(loaded[:, 0], data["x[mm]"].ravel(), atol=1e-6)
+
+
+def test_pivparams_roundtrip(tmp_path):
+    p = PIVParams(wind_size=48, overlap=24, folder="/data", multipass=3)
+    path = str(tmp_path / "settings.json")
+    p.to_json(path)
+    q = PIVParams.from_json(path)
+    assert q == p
+    # unknown keys ignored, missing keys default
+    (tmp_path / "partial.json").write_text('{"wind_size": 96, "bogus": 1}')
+    r = PIVParams.from_json(str(tmp_path / "partial.json"))
+    assert r.wind_size == 96 and r.overlap == PIVParams().overlap
+
+
+def test_database_is_shared_state():
+    Database().set({"Vx[m/s]": np.ones(3)})
+    assert "Vx[m/s]" in Database().get()
+
+
+class TestWatchMan:
+    def _mk(self, folder, names):
+        for n in names:
+            (folder / n).write_bytes(b"")
+
+    def test_pairing_cases(self, tmp_path):
+        wm = WatchMan(str(tmp_path), ".bmp")
+        # even count starting with _a -> straightforward pairs
+        wm.set_image_pairs([f"i{k}_{s}.bmp" for k in (1, 2) for s in "ab"])
+        assert wm.img_pairs == [("i1_a.bmp", "i1_b.bmp"), ("i2_a.bmp", "i2_b.bmp")]
+        # odd count starting with _a -> drop the trailing unpaired frame
+        wm.set_image_pairs(["i1_a.bmp", "i1_b.bmp", "i2_a.bmp"])
+        assert wm.img_pairs == [("i1_a.bmp", "i1_b.bmp")]
+        # odd count starting with _b -> drop the leading orphan
+        wm.set_image_pairs(["i0_b.bmp", "i1_a.bmp", "i1_b.bmp"])
+        assert wm.img_pairs == [("i1_a.bmp", "i1_b.bmp")]
+
+    def test_update_diffs_listing(self, tmp_path):
+        self._mk(tmp_path, ["old_a.bmp", "old_b.bmp"])
+        wm = WatchMan(str(tmp_path), ".bmp")
+        assert wm.update() == []
+        self._mk(tmp_path, ["new1_a.bmp", "new1_b.bmp"])
+        pairs = wm.update()
+        assert len(pairs) == 1
+        assert pairs[0][0].endswith("new1_a.bmp")
+
+
+def test_streaming_source_yields_new_pairs(tmp_path):
+    src = StreamingPairSource(str(tmp_path), ".bmp", poll_interval=0.05,
+                              idle_timeout=2.0)
+    got = []
+
+    def writer():
+        time.sleep(0.1)
+        for i in range(2):
+            (tmp_path / f"f{i}_a.bmp").write_bytes(b"")
+            (tmp_path / f"f{i}_b.bmp").write_bytes(b"")
+            time.sleep(0.15)
+        time.sleep(0.1)
+        src.stop()
+
+    t = threading.Thread(target=writer)
+    t.start()
+    for pair in src:
+        got.append(pair)
+    t.join()
+    assert len(got) == 2
+
+
+def test_prefetcher_batches_and_skips(rng):
+    class DS:
+        def __len__(self):
+            return 5
+
+        def __getitem__(self, i):
+            if i == 2:
+                return None, None  # unreadable pair -> skipped
+            a = np.full((8, 8), i, dtype=np.uint8)
+            return a, a + 1
+
+    out = list(PairPrefetcher(DS(), batch_size=2, device_put=False))
+    ids = [i for _, _, batch_ids in out for i in batch_ids]
+    assert ids == [0, 1, 3, 4]
+    for a, b, batch_ids in out:
+        assert a.shape[0] == len(batch_ids)
+        np.testing.assert_array_equal(b, a + 1)

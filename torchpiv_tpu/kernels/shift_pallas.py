@@ -1,0 +1,211 @@
+"""Pallas TPU kernel for CWS/DWS window shifting — the engine's hot op.
+
+The XLA path (`ops.shifts`) expresses the per-window shifted resampling as 4
+flat gathers of ``[N, w, w]`` indices into the frame; TPU lowers such random
+gathers at ~0.5 Gelem/s, making this >90% of multipass runtime (measured
+122 ms per call for a 1 MP frame at 32 px windows).  This kernel restructures
+the op around the memory system instead:
+
+* grid = one program per *window row*; each program DMAs a horizontal band of
+  the frame (rows ``r0 - S .. r0 + w + S``, all columns) from HBM into VMEM,
+  double-buffered across grid steps so the next band streams in while the
+  current one is processed;
+* per-window integer shift parts arrive as scalar-prefetch arrays (SMEM) and
+  select a ``(w+1, w+1)`` tile inside the band with dynamic slices;
+* the bilinear blend is 4 shifted static slices of the tile combined with
+  scalar weights on the VPU — no gathers anywhere.
+
+Semantics vs the reference (PIVbackend.py:147-216) and the XLA path:
+
+* shifts are clamped to a static ``max_shift`` (default ``wind_size // 2``,
+  physically the largest displacement a correlation window can detect);
+* tile origins clamp to the frame rectangle (2-D clamp) instead of the
+  reference's flat-index clamp.  For every window whose sampled region stays
+  inside the frame the two are IDENTICAL (flat addressing of an in-bounds
+  rectangle wraps columns exactly like the reference's flat indices); they
+  can differ only on the outermost ring of windows, for which
+  ``models.multipass`` substitutes the exact XLA gather when
+  ``edge_exact=True`` (the default);
+* fractional weights are per-window scalars (the reference computes them per
+  pixel in f32, where they vary only by ~1e-4 rounding; the discrete
+  integer-shift fallback — floor corner when either axis shift is integer —
+  is preserved per window).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _shift_kernel(
+    # scalar prefetch (SMEM):
+    dy_ref, dx_ref, fy_ref, fx_ref,
+    # inputs:
+    frame_hbm,
+    # outputs:
+    out_ref,
+    # scratch:
+    band, band_sem,
+    *,
+    H: int, W: int, Wp: int, w: int, step: int, S: int, n_cols: int,
+):
+    r = pl.program_id(0)
+    n_rows = pl.num_programs(0)
+    # Band height rounded to the sublane tile (8) — DMA slices must be
+    # tile-aligned in both offset and size.
+    BH = -(-(w + 2 * S + 1) // 8) * 8
+    Hp = -(-H // 8) * 8  # frame rows padded by the wrapper
+    BLK_H = w + 8  # aligned row-block height (covers any ty mod 8)
+    BLK_W = 256  # aligned col-block width (covers any tx mod 128 + w + 1)
+
+    def band_origin(row):
+        o = jnp.clip(row * step - S, 0, Hp - BH)
+        return pl.multiple_of((o // 8) * 8, 8)
+
+    def start_band_dma(slot, row):
+        return pltpu.make_async_copy(
+            frame_hbm.at[pl.ds(band_origin(row), BH), :],
+            band.at[slot, pl.ds(0, BH), :],
+            band_sem.at[slot],
+        )
+
+    # Double-buffered band pipeline: program r consumes slot r%2, which was
+    # started by program r-1 (program 0 primes its own).
+    @pl.when(r == 0)
+    def _():
+        start_band_dma(0, 0).start()
+
+    @pl.when(r + 1 < n_rows)
+    def _():
+        start_band_dma((r + 1) % 2, r + 1).start()
+
+    start_band_dma(r % 2, r).wait()
+    slot = r % 2
+    by0 = band_origin(r)
+
+    def body(c, _):
+        dy = dy_ref[r, c]
+        dx = dx_ref[r, c]
+        fy = fy_ref[r, c]
+        fx = fx_ref[r, c]
+        ty = jnp.clip(r * step + dy, 0, H - (w + 1)) - by0
+        tx = jnp.clip(c * step + dx, 0, W - (w + 1))
+
+        # Mosaic needs provably aligned vector-load offsets: load an aligned
+        # superset block, then rotate the sub-tile into place (dynamic
+        # rotates are cheap VPU ops; unaligned loads are not expressible).
+        t8 = pl.multiple_of((ty // 8) * 8, 8)
+        s_row = ty - t8
+        a = pl.multiple_of(jnp.clip((tx // 128) * 128, 0, Wp - BLK_W), 128)
+        s_col = tx - a
+        block = band[slot, pl.ds(t8, BLK_H), pl.ds(a, BLK_W)]
+        block = pltpu.roll(block, BLK_H - s_row, 0)
+        block = pltpu.roll(block, BLK_W - s_col, 1)
+        tile = block[: w + 1, : w + 1]
+
+        f11 = tile[:w, :w]
+        f21 = tile[:w, 1:]
+        f12 = tile[1:, :w]
+        f22 = tile[1:, 1:]
+        blend = (
+            f11 * ((1.0 - fx) * (1.0 - fy))
+            + f21 * (fx * (1.0 - fy))
+            + f12 * ((1.0 - fx) * fy)
+            + f22 * (fx * fy)
+        )
+        # Reference fallback: integer shift in EITHER axis -> floor corner.
+        integer_cell = jnp.logical_or(fy == 0.0, fx == 0.0)
+        out_ref[0, c] = jnp.where(integer_cell, f11, blend)
+        return 0
+
+    jax.lax.fori_loop(0, n_cols, body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("wind_size", "overlap", "frame_shape", "max_shift", "interpret"),
+)
+def shift_windows_pallas(
+    frame: jnp.ndarray,
+    vel_x: jnp.ndarray,
+    vel_y: jnp.ndarray,
+    *,
+    frame_shape: Tuple[int, int],
+    wind_size: int,
+    overlap: int,
+    max_shift: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Bilinear (CWS) per-window shift of all interrogation windows.
+
+    Args:
+      frame: ``[H, W]`` float32 frame.
+      vel_x, vel_y: ``[N]`` per-window shifts in pixels (float32).  Pass
+        integer-valued arrays for DWS semantics (the kernel then reduces to a
+        pure integer tile copy).
+
+    Returns ``[N, w, w]`` float32 shifted windows in row-major window order.
+    """
+    H, W = frame_shape
+    w = wind_size
+    step = wind_size - overlap
+    n_rows = (H - w) // step + 1
+    n_cols = (W - w) // step + 1
+    S = max_shift if max_shift is not None else max(w // 2, 1)
+    BH = -(-(w + 2 * S + 1) // 8) * 8
+    Hp = -(-H // 8) * 8  # row pad so tile-aligned band DMAs stay in bounds
+    Wp = -(-max(W, 256) // 128) * 128  # col pad for aligned 256-wide blocks
+
+    vx = jnp.clip(vel_x.astype(jnp.float32), -S, S).reshape(n_rows, n_cols)
+    vy = jnp.clip(vel_y.astype(jnp.float32), -S, S).reshape(n_rows, n_cols)
+    dy = jnp.floor(vy)
+    dx = jnp.floor(vx)
+    fy = vy - dy
+    fx = vx - dx
+
+    frame = frame.astype(jnp.float32)
+    if (Hp, Wp) != (H, W):
+        frame = jnp.pad(frame, ((0, Hp - H), (0, Wp - W)))
+
+    kernel = functools.partial(
+        _shift_kernel, H=H, W=W, Wp=Wp, w=w, step=step, S=S, n_cols=n_cols
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_rows,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, n_cols, w, w),
+            lambda r, *_: (r, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            # +8 rows: aligned row-block loads may read past the band tail.
+            pltpu.VMEM((2, BH + 8, Wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_rows, n_cols, w, w), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * n_rows * n_cols * w * w,
+            bytes_accessed=n_rows * BH * W * 4 + n_rows * n_cols * w * w * 4,
+            transcendentals=0,
+        ),
+    )(
+        dy.astype(jnp.int32),
+        dx.astype(jnp.int32),
+        fy,
+        fx,
+        frame,
+    )
+    return out.reshape(n_rows * n_cols, w, w)

@@ -31,7 +31,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.correlate import correlate_fft, mean_normalize, min_subtract
+from ..ops.correlate import (
+    correlate_fft,
+    correlate_matmul,
+    mean_normalize,
+    min_subtract,
+)
 from ..ops.geometry import get_coordinates, get_field_shape
 from ..ops.infill import fused_infill
 from ..ops.peakfit import correlation_to_displacement
@@ -55,6 +60,19 @@ class PIVConfig:
     validation_window: int = 3
     infill: str = "host"  # "host" (exact, after device) | "fused" (in-graph) | "none"
     dtype: str = "float32"
+    # Pallas shift kernel: "auto" uses it on TPU backends only.  The kernel
+    # clamps shifts to max_shift (default wind//2) and uses per-window scalar
+    # frac weights; with edge_exact the outer ring of windows (the only ones
+    # whose resampling can leave the frame) is computed by the exact XLA
+    # gather so frame-edge semantics stay bit-identical to the reference.
+    use_pallas: str = "auto"  # "auto" | "on" | "off"
+    pallas_interpret: bool = False
+    edge_exact: bool = True
+    max_shift: Optional[int] = None
+    # "matmul" computes the window DFTs as dense MXU matmuls (fastest on
+    # TPU, ~1e-6 relative difference vs FFT); "fft" uses jnp.fft; "auto"
+    # picks matmul on TPU backends.
+    correlator: str = "auto"  # "auto" | "fft" | "matmul"
 
     def pass_schedule(self) -> List[Tuple[int, int]]:
         """Per-pass (wind_size, overlap), shrunk by int floor-division per
@@ -75,6 +93,10 @@ class PIVConfig:
             raise ValueError("window size cannot be larger than the image")
         if self.multipass_mode not in ("CWS", "DWS"):
             raise ValueError(f"unknown multipass_mode {self.multipass_mode!r}")
+        if self.use_pallas not in ("auto", "on", "off"):
+            raise ValueError(f"unknown use_pallas {self.use_pallas!r}")
+        if self.correlator not in ("auto", "fft", "matmul"):
+            raise ValueError(f"unknown correlator {self.correlator!r}")
 
 
 class MultipassPIV:
@@ -105,6 +127,72 @@ class MultipassPIV:
             dt = jnp.dtype(config.dtype)
             self.upsamplers.append((jnp.asarray(Ay, dt), jnp.asarray(Ax, dt)))
 
+        # Outer-ring window ids per pass (frame-edge windows whose shifted
+        # resampling can leave the frame; only these can differ between the
+        # Pallas tile kernel and the reference's flat-clamp gather).
+        self.ring_ids = []
+        for p, (w, o) in enumerate(self.schedule):
+            R, C = self.field_shapes[p]
+            step = w - o
+            S = config.max_shift if config.max_shift is not None else max(w // 2, 1)
+            depth = -(-S // step)  # ceil: rings that can reach the frame edge
+            rr, cc = np.mgrid[0:R, 0:C]
+            ring = (rr < depth) | (rr >= R - depth) | (cc < depth) | (cc >= C - depth)
+            self.ring_ids.append(np.nonzero(ring.ravel())[0].astype(np.int32))
+
+    def _correlate(self, aa, bb):
+        c = self.config.correlator
+        if c == "matmul" or (c == "auto" and jax.default_backend() == "tpu"):
+            return min_subtract(correlate_matmul(aa, bb))
+        return min_subtract(correlate_fft(aa, bb))
+
+    def _use_pallas(self) -> bool:
+        cfg = self.config
+        if cfg.use_pallas == "on":
+            return True
+        if cfg.use_pallas == "off":
+            return False
+        return jax.default_backend() == "tpu"
+
+    def _shift(self, p, frame, vel_x, vel_y, dt, mode):
+        """Shifted window extraction for pass p: Pallas fast path with exact
+        XLA gather on the frame-edge ring, or pure XLA fallback."""
+        cfg = self.config
+        w, o = self.schedule[p]
+        row0w, col0w = self.origins[p]
+
+        def xla_shift(r0, c0, vx, vy):
+            if mode == "CWS":
+                return cws_shift(frame, r0, c0, w, vx, vy, dt)
+            return dws_shift(frame, r0, c0, w, vx, vy, dt)
+
+        if not (self._use_pallas() or cfg.pallas_interpret):
+            return xla_shift(jnp.asarray(row0w), jnp.asarray(col0w), vel_x, vel_y)
+
+        from ..kernels.shift_pallas import shift_windows_pallas
+
+        out = shift_windows_pallas(
+            frame.astype(dt),
+            vel_x.astype(dt),
+            vel_y.astype(dt),
+            frame_shape=cfg.frame_shape,
+            wind_size=w,
+            overlap=o,
+            max_shift=cfg.max_shift,
+            interpret=cfg.pallas_interpret,
+        )
+        if cfg.edge_exact:
+            ring = self.ring_ids[p]
+            if ring.size:
+                exact = xla_shift(
+                    jnp.asarray(row0w[ring]),
+                    jnp.asarray(col0w[ring]),
+                    vel_x[ring],
+                    vel_y[ring],
+                )
+                out = out.at[jnp.asarray(ring)].set(exact)
+        return out
+
     # -- public static info ------------------------------------------------
     @property
     def final_coordinates(self) -> Tuple[np.ndarray, np.ndarray]:
@@ -125,7 +213,7 @@ class MultipassPIV:
 
         aa = mean_normalize(extract_windows(frame_a, w, o), dt)
         bb = mean_normalize(extract_windows(frame_b, w, o), dt)
-        corr = min_subtract(correlate_fft(aa, bb))
+        corr = self._correlate(aa, bb)
         u, v, inval = correlation_to_displacement(
             corr, cfg.validate, cfg.val_ratio, cfg.validation_window
         )
@@ -142,9 +230,6 @@ class MultipassPIV:
         n_rows, n_cols = self.field_shapes[p]
         dt = jnp.dtype(cfg.dtype)
         Ay, Ax = self.upsamplers[p - 1]
-        row0w, col0w = self.origins[p]
-        row0w = jnp.asarray(row0w)
-        col0w = jnp.asarray(col0w)
 
         # In-graph spline predictor upsample (two matmuls on the MXU).
         # precision='highest' is essential: the TPU default (bf16 inputs)
@@ -171,8 +256,8 @@ class MultipassPIV:
             if validate:
                 u0 = jnp.where(val0, 0.0, u0)
                 v0 = jnp.where(val0, 0.0, v0)
-            aa = cws_shift(frame_a, row0w, col0w, w, -u2.reshape(-1), -v2.reshape(-1), dt)
-            bb = cws_shift(frame_b, row0w, col0w, w, u2.reshape(-1), v2.reshape(-1), dt)
+            aa = self._shift(p, frame_a, -u2.reshape(-1), -v2.reshape(-1), dt, "CWS")
+            bb = self._shift(p, frame_b, u2.reshape(-1), v2.reshape(-1), dt, "CWS")
         else:  # DWS: predictor zeroed BEFORE rounding (reference :779-786)
             if validate:
                 u0 = jnp.where(val0, 0.0, u0)
@@ -181,10 +266,10 @@ class MultipassPIV:
             v2 = jnp.rint(v0 / 2.0)
             ui = u2.reshape(-1).astype(jnp.int32)
             vi = v2.reshape(-1).astype(jnp.int32)
-            aa = dws_shift(frame_a, row0w, col0w, w, -ui, -vi, dt)
-            bb = dws_shift(frame_b, row0w, col0w, w, ui, vi, dt)
+            aa = self._shift(p, frame_a, -ui, -vi, dt, "DWS")
+            bb = self._shift(p, frame_b, ui, vi, dt, "DWS")
 
-        corr = min_subtract(correlate_fft(aa, bb))
+        corr = self._correlate(aa, bb)
         du, dv, new_inval = correlation_to_displacement(
             corr, validate, cfg.val_ratio, cfg.validation_window
         )

@@ -60,6 +60,11 @@ def fill_missing_values(field: np.ndarray) -> Optional[np.ndarray]:
     from scipy.interpolate import LinearNDInterpolator
 
     invalid = np.isnan(field)
+    if not invalid.any():
+        # Nothing to fill.  (The reference would feed an empty point set to
+        # LinearNDInterpolator here, raise, and silently skip the whole pair
+        # — a latent bug never hit on real data, not reproduced.)
+        return field
     dilated = ndimage.binary_dilation(invalid, structure=_CROSS)
     border = dilated & ~invalid
 

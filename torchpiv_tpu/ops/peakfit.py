@@ -24,9 +24,9 @@ version is the semantic reference and the fallback on non-TPU backends.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -88,17 +88,28 @@ def correlation_to_displacement(
     invalid = None
     if validate:
         w = validation_window
-        # Static flat offsets of the exclusion neighbourhood (col offset i,
-        # row offset j), clamped on the flat map exactly like reference
-        # ``peak2peak_secondpeak`` (:346-358).
-        offs = np.array(
-            [i + k * j for j in range(-w, w + 1) for i in range(-w, w + 1)],
-            dtype=np.int32,
-        )
-        ids = jnp.clip(m[:, None] + offs[None, :], 0, kd - 1)
-        zeroed = flat.at[jnp.arange(n)[:, None], ids].set(0.0)
-        m2 = jnp.argmax(zeroed, axis=-1).astype(jnp.int32)
-        c2 = take(m2)  # value from the UN-zeroed map (reference :411)
+        # Second peak = max over the map with the (2w+1)^2 flat-offset
+        # neighbourhood of the first peak excluded.  The reference scatters
+        # zeros at clamp(m + i + k*j) and re-argmaxes (:346-358); a scatter
+        # lowers poorly on TPU, so build the same exclusion set in closed
+        # form: flat position p is excluded iff d = p - m decomposes as
+        # i + k*j with |i|,|j| <= w, i.e. j = rint(d/k) in range and
+        # |d - k*j| <= w.  The clamp in the reference additionally collapses
+        # out-of-range offsets onto flat index 0 or kd-1.
+        p = jax.lax.broadcasted_iota(jnp.int32, (n, kd), 1)
+        d = p - m[:, None]
+        j = jnp.round(d.astype(fdt) / k).astype(jnp.int32)
+        excl = (jnp.abs(j) <= w) & (jnp.abs(d - k * j) <= w)
+        # clamp targets: offsets that fall off the ends zero index 0 / kd-1
+        lo_clamped = (m - (w + k * w)) < 0
+        hi_clamped = (m + (w + k * w)) > kd - 1
+        excl = excl.at[:, 0].set(excl[:, 0] | lo_clamped)
+        excl = excl.at[:, kd - 1].set(excl[:, kd - 1] | hi_clamped)
+        # Map values are >= EPS > 0 everywhere, so the max over the zeroed
+        # map equals the max over the exclusion-masked map (reference reads
+        # the value at the second argmax from the un-zeroed map — identical
+        # because excluded positions never win the argmax).
+        c2 = jnp.max(jnp.where(excl, 0.0, flat), axis=-1)
         invalid = (cm / c2) < val_ratio
         degenerate = (left >= kd - 1) & (right <= 0) & (top >= kd - 1) & (bot <= 0)
         invalid = invalid | degenerate

@@ -1,0 +1,383 @@
+"""Pipeline layer (L3/L4): OfflinePIV, OnlinePIV and the headless runner.
+
+``OfflinePIV`` preserves the reference API contract (/root/reference/src/
+torchPIV/PIVbackend.py:824-903): same constructor signature
+``(folder, device, file_fmt, wind_size, overlap, multipass, multipass_mode,
+dt, scale, multipass_scale, folder_mode)``, and calling the instance returns
+a generator yielding ``(x, y, u, v)`` numpy fields per image pair, with the
+same validation/NaN-infill tail, axis flip and physical-unit conversion.
+
+Differences under the hood (the TPU-native part):
+
+* pairs are processed in device batches via one jitted ``lax.scan`` over the
+  fused multipass graph — a single dispatch per batch instead of dozens of
+  kernel launches and host syncs per pair;
+* decode + host->device transfer run in a thread pool ahead of the device
+  (``io.prefetch``), replacing the synchronous ``DataLoader`` loop;
+* ``OnlinePIV`` actually works (the reference's is an unfinished stub):
+  it consumes a directory watcher and yields fields as a camera writes
+  frames.
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Callable, Dict, Generator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .io.dataset import PIVDataset
+from .io.decode import imread_gray
+from .io.prefetch import PairPrefetcher
+from .io.watch import StreamingPairSource
+from .models.multipass import MultipassPIV, PIVConfig
+from .ops.infill import fill_missing_values, interpolate_borders
+from .stats.ensemble import EnsembleAccumulator
+from .utils.config import PIVParams
+from .utils.persistence import save_binary, save_table
+
+log = logging.getLogger("torchpiv_tpu")
+
+
+class DeviceMap:
+    """Device-name string -> jax.Device, built on demand.
+
+    Equivalent of the reference's import-time CUDA enumeration
+    (PIVbackend.py:13-18) but lazy and multi-platform: accepts "cpu", "tpu",
+    a platform:index like "tpu:1", or a device's display string.
+    """
+
+    @staticmethod
+    def devices() -> Dict[str, jax.Device]:
+        table: Dict[str, jax.Device] = {}
+        for platform in ("tpu", "cpu"):
+            try:
+                devs = jax.devices(platform)
+            except RuntimeError:
+                continue
+            for i, d in enumerate(devs):
+                table.setdefault(str(d), d)
+                table.setdefault(f"{platform}:{i}", d)
+            if devs:
+                table.setdefault(platform, devs[0])
+        return table
+
+    @staticmethod
+    def resolve(name: str) -> jax.Device:
+        table = DeviceMap.devices()
+        if name in table:
+            return table[name]
+        # default: whatever jax considers the default backend
+        if name in ("", "auto", "default", None):
+            return jax.devices()[0]
+        raise ValueError(
+            f"unknown device {name!r}; available: {sorted(table)}"
+        )
+
+
+def finalize_fields(
+    u: np.ndarray,
+    v: np.ndarray,
+    invalid: Optional[np.ndarray],
+    x: np.ndarray,
+    y: np.ndarray,
+    scale: float,
+    dt: float,
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+    """The reference's per-pair tail (PIVbackend.py:884-900): NaN the invalid
+    vectors, border-interp + Delaunay infill (skip pair if >half invalid),
+    flip to physical y-axis, convert to mm and m/s.  Returns None when the
+    pair must be skipped."""
+    u = np.array(u, dtype=np.float64)
+    v = np.array(v, dtype=np.float64)
+    if invalid is not None:
+        invalid = np.asarray(invalid)
+        u[invalid] = np.nan
+        v[invalid] = np.nan
+        u = interpolate_borders(u)
+        v = interpolate_borders(v)
+        u = fill_missing_values(u)
+        v = fill_missing_values(v)
+        if u is None or v is None:
+            return None
+    u = np.flip(u, axis=0)
+    v = -np.flip(v, axis=0)
+    u = u * scale / dt * 1000
+    v = v * scale / dt * 1000
+    return x * scale, y * scale, u, v
+
+
+class OfflinePIV:
+    """Folder -> generator of (x, y, u, v) fields.  The reference API.
+
+    Extra (keyword-only) knobs beyond the reference signature: ``batch_size``
+    (pairs per device dispatch), ``validate``/``val_ratio``, and any
+    ``PIVConfig`` field via ``engine_options``.
+    """
+
+    def __init__(
+        self,
+        folder: str,
+        device: str = "auto",
+        file_fmt: str = ".bmp",
+        wind_size: int = 64,
+        overlap: int = 32,
+        multipass: int = 1,
+        multipass_mode: str = "CWS",
+        dt: float = 1,
+        scale: float = 1.0,
+        multipass_scale: float = 2.0,
+        folder_mode: str = "pairs",
+        *,
+        batch_size: int = 4,
+        validate: bool = True,
+        val_ratio: float = 1.2,
+        decode_threads: int = 4,
+        engine_options: Optional[dict] = None,
+    ) -> None:
+        self._wind_size = wind_size
+        self._overlap = overlap
+        self._dt = dt
+        self._scale = scale
+        self._batch = max(1, batch_size)
+        self._device = DeviceMap.resolve(device)
+        self._decode_threads = decode_threads
+        self._dataset = PIVDataset(folder, file_fmt, folder_mode)
+        self._engine_kwargs = dict(
+            wind_size=wind_size,
+            overlap=overlap,
+            multipass=multipass,
+            multipass_mode=multipass_mode,
+            multipass_scale=multipass_scale,
+            validate=validate,
+            val_ratio=val_ratio,
+            **(engine_options or {}),
+        )
+        self._engine: Optional[MultipassPIV] = None
+        self._batched_fn = None
+        if len(self._dataset) == 0:
+            return
+        frame_a, _ = self._dataset[0]
+        if frame_a is not None:
+            self._build_engine(frame_a.shape)
+
+    def _build_engine(self, frame_shape) -> None:
+        cfg = PIVConfig(frame_shape=tuple(frame_shape), **self._engine_kwargs)
+        self._engine = MultipassPIV(cfg)
+
+        def batched(fa, fb):
+            # One dispatch per batch: scan the fused per-pair graph.
+            def step(carry, ab):
+                u, v, inval = self._engine(ab[0], ab[1])
+                if inval is None:
+                    inval = jnp.zeros(u.shape, dtype=bool)
+                return carry, (u, v, inval)
+
+            _, out = jax.lax.scan(step, 0, (fa, fb))
+            return out
+
+        self._batched_fn = jax.jit(batched)
+
+    @property
+    def engine(self) -> Optional[MultipassPIV]:
+        return self._engine
+
+    def __len__(self) -> int:
+        return len(self._dataset)
+
+    def __call__(self) -> Generator:
+        if self._engine is None:
+            return
+        x, y = self._engine.final_coordinates
+        prefetch = PairPrefetcher(
+            self._dataset,
+            batch_size=self._batch,
+            num_threads=self._decode_threads,
+        )
+        with jax.default_device(self._device):
+            load_t = time.perf_counter()
+            for batch_a, batch_b, ids in prefetch:
+                start = time.perf_counter()
+                log.info("load time %.3f s", start - load_t)
+                B = len(ids)
+                if B < self._batch:  # pad short tail batch to the jit shape
+                    pad = self._batch - B
+                    batch_a = jnp.concatenate(
+                        [jnp.asarray(batch_a), jnp.tile(jnp.asarray(batch_a[-1:]), (pad, 1, 1))]
+                    )
+                    batch_b = jnp.concatenate(
+                        [jnp.asarray(batch_b), jnp.tile(jnp.asarray(batch_b[-1:]), (pad, 1, 1))]
+                    )
+                u_b, v_b, inval_b = self._batched_fn(batch_a, batch_b)
+                u_b, v_b, inval_b = map(np.asarray, (u_b, v_b, inval_b))
+                for i in range(B):
+                    inval = inval_b[i] if self._engine.config.validate else None
+                    res = finalize_fields(
+                        u_b[i], v_b[i], inval, x, y, self._scale, self._dt
+                    )
+                    if res is None:
+                        log.warning("pair %d skipped: too many invalid vectors", ids[i])
+                        continue
+                    yield res
+                log.info("batch of %d finished in %.3f s", B, time.perf_counter() - start)
+                load_t = time.perf_counter()
+
+
+class OnlinePIV:
+    """Streaming PIV: process pairs as a camera writes them (working
+    implementation of the reference's stub, PIVbackend.py:906-927).
+
+    Iterating yields ``(x, y, u, v)`` per new pair; call ``stop()`` (or let
+    ``idle_timeout`` expire) to end the stream.
+    """
+
+    def __init__(
+        self,
+        folder: str,
+        device: str = "auto",
+        file_fmt: str = ".bmp",
+        wind_size: int = 64,
+        overlap: int = 32,
+        multipass: int = 1,
+        multipass_mode: str = "CWS",
+        dt: float = 1,
+        scale: float = 1.0,
+        multipass_scale: float = 2.0,
+        *,
+        validate: bool = True,
+        poll_interval: float = 0.2,
+        idle_timeout: Optional[float] = None,
+        engine_options: Optional[dict] = None,
+    ) -> None:
+        self._dt = dt
+        self._scale = scale
+        self._device = DeviceMap.resolve(device)
+        self._source = StreamingPairSource(
+            folder, file_fmt, poll_interval, idle_timeout
+        )
+        self._engine_kwargs = dict(
+            wind_size=wind_size,
+            overlap=overlap,
+            multipass=multipass,
+            multipass_mode=multipass_mode,
+            multipass_scale=multipass_scale,
+            validate=validate,
+            **(engine_options or {}),
+        )
+        self._engine: Optional[MultipassPIV] = None
+        self._fn = None
+
+    def stop(self) -> None:
+        self._source.stop()
+
+    def __call__(self) -> Generator:
+        with jax.default_device(self._device):
+            for name_a, name_b in self._source:
+                frame_a = imread_gray(name_a)
+                frame_b = imread_gray(name_b)
+                if frame_a is None or frame_b is None:
+                    continue
+                if self._engine is None:
+                    cfg = PIVConfig(
+                        frame_shape=frame_a.shape, **self._engine_kwargs
+                    )
+                    self._engine = MultipassPIV(cfg)
+                    self._fn = jax.jit(self._engine)
+                u, v, inval = self._fn(jnp.asarray(frame_a), jnp.asarray(frame_b))
+                x, y = self._engine.final_coordinates
+                res = finalize_fields(
+                    np.asarray(u),
+                    np.asarray(v),
+                    np.asarray(inval) if inval is not None else None,
+                    x, y, self._scale, self._dt,
+                )
+                if res is not None:
+                    yield res
+
+
+class PIVRunner:
+    """Headless equivalent of the reference's Qt ``PIVWorker``
+    (workers.py:18-124): drives OfflinePIV, reports progress through plain
+    callbacks, supports cooperative pause/stop, optional per-pair saving, and
+    emits the 13-column statistics table at the end.  GUI layers wrap this in
+    a thread; nothing here imports Qt.
+    """
+
+    def __init__(
+        self,
+        params: PIVParams,
+        on_progress: Optional[Callable[[int], None]] = None,
+        on_output: Optional[Callable[[Dict[str, np.ndarray]], None]] = None,
+        on_finished: Optional[Callable[[Dict[str, np.ndarray]], None]] = None,
+        on_failed: Optional[Callable[[], None]] = None,
+        **offline_kwargs,
+    ):
+        self.params = params
+        self.on_progress = on_progress or (lambda pct: None)
+        self.on_output = on_output or (lambda out: None)
+        self.on_finished = on_finished or (lambda table: None)
+        self.on_failed = on_failed or (lambda: None)
+        self.is_paused = False
+        self.is_running = True
+        self._offline_kwargs = offline_kwargs
+
+    def stop(self) -> None:
+        self.is_running = False
+
+    def pause(self, flag: bool = True) -> None:
+        self.is_paused = flag
+
+    def run(self) -> Optional[Dict[str, np.ndarray]]:
+        import os
+
+        p = self.params
+        piv_gen = OfflinePIV(
+            folder=p.folder,
+            device=p.device,
+            file_fmt=p.file_fmt,
+            wind_size=p.wind_size,
+            overlap=p.overlap,
+            multipass=p.multipass,
+            multipass_mode=p.multipass_mode,
+            dt=p.dt,
+            scale=p.scale,
+            multipass_scale=p.multipass_scale,
+            folder_mode=p.folder_mode,
+            **self._offline_kwargs,
+        )
+        total = len(piv_gen)
+        if total == 0:
+            self.on_failed()
+            return None
+
+        acc = EnsembleAccumulator()
+        x = y = None
+        name = os.path.basename(os.path.normpath(p.folder))
+        start = time.perf_counter()
+        done = 0
+        for i, (x, y, u, v) in enumerate(piv_gen()):
+            while self.is_paused and self.is_running:
+                time.sleep(0)
+            if not self.is_running:
+                break
+            acc.add(u, v)
+            done += 1
+            self.on_progress(int((i + 1) / total * 100))
+            output = {"x[mm]": x, "y[mm]": y, "Vx[m/s]": u, "Vy[m/s]": v}
+            if p.save_opt == "Save all binary":
+                save_binary(f"{name}_pair.npy", p.save_dir, dict(output))
+            elif p.save_opt == "Save all text":
+                save_table(f"{name}_pair.txt", p.save_dir, dict(output))
+            self.on_output(output)
+
+        if acc.n == 0:
+            self.on_failed()
+            return None
+        log.info("avg PIV time %.0f ms", (time.perf_counter() - start) / acc.n * 1000)
+        table = acc.finalize(x, y)
+        if p.save_opt != "Dont save":
+            save_table(f"{name}_statistics.txt", p.save_dir, dict(table))
+        self.on_finished(table)
+        return table

@@ -1,0 +1,93 @@
+"""Result persistence + filename helpers.
+
+Mirrors the reference's PlotterFunctions persistence surface
+(/root/reference/src/torchPIV/PlotterFunctions.py:16-65, 100-111): natural
+filename sort, never-overwrite uniquify, binary (.npy stack) and CSV table
+writers, and the flat-CSV re-gridding used when re-loading saved fields.
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict
+
+import numpy as np
+
+
+def atoi(text: str):
+    return int(text) if text.isdigit() else text
+
+
+def natural_keys(text: str):
+    """Human-order sort key: 'img2' < 'img10' (reference :27-37)."""
+    return [atoi(c) for c in re.split(r"(\d+)", text)]
+
+
+def uniquify(path: str) -> str:
+    """Append ' (n)' until the path is free — outputs are never overwritten
+    (reference :16-24)."""
+    filename, extension = os.path.splitext(path)
+    counter = 1
+    while os.path.exists(path):
+        path = f"{filename} ({counter}){extension}"
+        counter += 1
+    return path
+
+
+def save_binary(name: str, path: str, data: Dict[str, np.ndarray]) -> str:
+    """Stack the dict's fields into one array and np.save it (reference
+    :48-53).  Returns the (uniquified) path written."""
+    os.makedirs(path, exist_ok=True)
+    out = uniquify(os.path.join(path, name))
+    np.save(out, np.stack([np.asarray(v) for v in data.values()], axis=0))
+    return out
+
+
+def save_table(name: str, path: str, data: Dict[str, np.ndarray], sep: str = ", ") -> str:
+    """Flatten each field to a column and write a headed CSV with '%.6f'
+    formatting (reference :55-65).  Returns the path written."""
+    cols = {k: np.asarray(v).reshape(-1) for k, v in data.items()}
+    os.makedirs(path, exist_ok=True)
+    out = uniquify(os.path.join(path, name))
+    arr = np.stack(list(cols.values()), axis=1)
+    np.savetxt(out, arr, delimiter=sep, header=sep.join(cols.keys()),
+               comments="", fmt="%.6f")
+    return out
+
+
+def make_name(name: str, key: str, horizontal: bool) -> tuple:
+    """Profile output filename '<base>_<key>_<Hor|Vert>_profile.txt' in ./Out
+    (reference :68-75)."""
+    orientation = "Hor" if horizontal else "Vert"
+    base = os.path.basename(os.path.normpath(name))
+    key = key[: key.find("[")].replace("/", "_")
+    filename = f"{base}_{key}_{orientation}_profile.txt".replace(" ", "")
+    return filename, os.path.join(os.getcwd(), "Out")
+
+
+def find_grid(first_column: np.ndarray) -> int:
+    """Infer the row width of a flattened 2-D grid from the first repeated
+    value of its first column (reference :100-107)."""
+    values = np.asarray(first_column)
+    zero_val = values[0]
+    idx = 1
+    for idx, val in enumerate(values):
+        if val == zero_val and idx > 0:
+            break
+    return idx
+
+
+def reshape_data(data: Dict[str, np.ndarray], grid: int) -> Dict[str, np.ndarray]:
+    """Re-grid flat columns into 2-D fields (reference :109-111)."""
+    return {k: np.asarray(v).reshape(-1, grid) for k, v in data.items()}
+
+
+def load_table(path: str) -> Dict[str, np.ndarray]:
+    """Read a saved CSV table back into 2-D fields (reference Database.load,
+    :194-199)."""
+    import pandas as pd
+
+    data = pd.read_csv(path, sep=None, engine="python")
+    data.columns = [c.strip() for c in data.columns]
+    grid = find_grid(data[data.keys()[0]].values)
+    return reshape_data({k: v.values for k, v in data.items()}, grid)
