@@ -1,0 +1,101 @@
+"""CLI and visualisation-core tests."""
+import json
+import os
+import sys
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import pytest
+
+from torchpiv_tpu.cli import main as cli_main
+from torchpiv_tpu.gui import viz
+from torchpiv_tpu.io.decode import imwrite_gray
+from torchpiv_tpu.utils.synthetic import particle_pair
+
+
+@pytest.fixture(scope="module")
+def folder(tmp_path_factory):
+    d = tmp_path_factory.mktemp("clipairs")
+    for i in range(2):
+        fa, fb = particle_pair((256, 256), displacement=(2.0, -1.0), seed=40 + i)
+        imwrite_gray(str(d / f"f{i}_a.bmp"), fa)
+        imwrite_gray(str(d / f"f{i}_b.bmp"), fb)
+    return str(d)
+
+
+def test_cli_run(folder, tmp_path, monkeypatch):
+    monkeypatch.setenv("TORCHPIV_TPU_CONFIG_DIR", str(tmp_path / "cfg"))
+    rc = cli_main([
+        "run", folder, "--device", "cpu", "--wind-size", "64",
+        "--overlap", "32", "--save", "Save statistics",
+        "--save-dir", str(tmp_path / "out"),
+    ])
+    assert rc == 0
+    outs = os.listdir(tmp_path / "out")
+    assert any(f.endswith("_statistics.txt") for f in outs)
+    # settings were snapshotted like the reference GUI does on Start
+    assert (tmp_path / "cfg" / "settings.json").exists()
+    cfg = json.loads((tmp_path / "cfg" / "settings.json").read_text())
+    assert cfg["wind_size"] == 64
+
+
+def test_cli_run_empty(tmp_path, monkeypatch):
+    monkeypatch.setenv("TORCHPIV_TPU_CONFIG_DIR", str(tmp_path / "cfg"))
+    rc = cli_main(["run", str(tmp_path), "--device", "cpu"])
+    assert rc == 1
+
+
+def test_cli_settings(tmp_path, monkeypatch, capsys):
+    monkeypatch.setenv("TORCHPIV_TPU_CONFIG_DIR", str(tmp_path))
+    rc = cli_main(["settings"])
+    assert rc == 0
+    data = json.loads(capsys.readouterr().out)
+    assert "wind_size" in data
+
+
+def _fake_table(rng):
+    x, y = np.meshgrid(np.arange(10) * 2.0, np.arange(8) * 2.0)
+    return {
+        "x[mm]": x,
+        "y[mm]": y,
+        "Vx[m/s]": rng.normal(3, 0.2, x.shape),
+        "Vy[m/s]": rng.normal(-1, 0.2, x.shape),
+    }
+
+
+def test_render_field_png(tmp_path, rng):
+    data = _fake_table(rng)
+    out = str(tmp_path / "field.png")
+    viz.render_field(data, "Vx[m/s]", streamlines=True, profile=(3, True),
+                     show_grid=True, out_path=out)
+    assert os.path.getsize(out) > 5000
+
+
+def test_extract_profile(rng):
+    data = _fake_table(rng)
+    cx, vals = viz.extract_profile(data, "Vx[m/s]", 2, True)
+    np.testing.assert_array_equal(cx, data["x[mm]"][2, :])
+    np.testing.assert_array_equal(vals, data["Vx[m/s]"][2, :])
+    cy, vals = viz.extract_profile(data, "Vx[m/s]", 3, False)
+    np.testing.assert_array_equal(cy, data["y[mm]"][:, 3])
+
+
+def test_regrid_for_streamlines(rng):
+    data = _fake_table(rng)
+    XI, YI, UI, VI = viz.regrid_for_streamlines(
+        data["x[mm]"], data["y[mm]"], data["Vx[m/s]"], data["Vy[m/s]"], n=20
+    )
+    assert XI.shape == (20, 20)
+    assert np.isfinite(UI).all()
+    # uniform spacing required by streamplot
+    assert np.allclose(np.diff(XI[0]), XI[0, 1] - XI[0, 0])
+
+
+def test_gui_import_without_qt():
+    import torchpiv_tpu.gui  # must import fine without PyQt5
+
+    with pytest.raises(ImportError, match="PyQt5"):
+        torchpiv_tpu.gui.runGUI()

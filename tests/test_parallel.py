@@ -1,0 +1,96 @@
+"""Sharded-engine tests on the virtual 8-device CPU mesh: pair-axis DP and
+window-axis model parallelism must reproduce the single-device engine."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from torchpiv_tpu.models import MultipassPIV, PIVConfig
+from torchpiv_tpu.parallel import ShardedPIV, default_piv_mesh, make_mesh
+from torchpiv_tpu.utils.synthetic import particle_pair
+
+
+@pytest.fixture(scope="module")
+def batch():
+    pairs = [particle_pair((256, 256), displacement=d, seed=s)
+             for d, s in [((3.3, -2.1), 1), ((1.0, 0.5), 2),
+                          ((-2.0, 1.5), 3), ((4.0, -1.0), 4)]]
+    fa = np.stack([p[0] for p in pairs])
+    fb = np.stack([p[1] for p in pairs])
+    return jnp.asarray(fa), jnp.asarray(fb)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return MultipassPIV(PIVConfig(frame_shape=(256, 256), wind_size=64,
+                                  overlap=32, multipass=2,
+                                  multipass_mode="CWS"))
+
+
+@pytest.fixture(scope="module")
+def reference_fields(engine, batch):
+    fa, fb = batch
+    single = jax.jit(jax.vmap(engine))
+    u, v, inval = single(fa, fb)
+    return np.asarray(u), np.asarray(v), np.asarray(inval)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_dp_only_matches_single_device(engine, batch, reference_fields):
+    fa, fb = batch
+    mesh = make_mesh({"pairs": 4})
+    sharded = ShardedPIV(engine, mesh, window_axis=None)
+    u, v, inval = jax.jit(sharded)(fa, fb)
+    ru, rv, ri = reference_fields
+    # different lowering -> f32 bit differences can flip a rare unstable fit
+    assert (np.asarray(inval) == ri).mean() > 0.999
+    du = np.abs(np.asarray(u) - ru)
+    assert np.median(du) < 1e-5
+    assert np.sqrt(np.mean(du[~(np.asarray(inval) | ri)] ** 2)) < 0.01
+
+
+@pytest.mark.parametrize("mesh_axes", [{"pairs": 2, "windows": 4},
+                                       {"pairs": 4, "windows": 2},
+                                       {"pairs": 1, "windows": 8}])
+def test_window_sharded_matches_single_device(engine, batch, reference_fields,
+                                              mesh_axes):
+    fa, fb = batch
+    B = mesh_axes["pairs"]
+    mesh = make_mesh(mesh_axes)
+    sharded = ShardedPIV(engine, mesh)
+    u, v, inval = jax.jit(sharded)(fa[:B], fb[:B])
+    ru, rv, ri = reference_fields
+    # same math, different reduction groupings: tiny f32 differences allowed,
+    # plus any validation flip they cause
+    agree = np.asarray(inval) == ri[:B]
+    assert agree.mean() > 0.99
+    both = ~(np.asarray(inval) | ri[:B])
+    du = np.abs(np.asarray(u) - ru[:B])[both]
+    assert np.sqrt(np.mean(du**2)) < 0.01
+    dv = np.abs(np.asarray(v) - rv[:B])[both]
+    assert np.sqrt(np.mean(dv**2)) < 0.01
+
+
+def test_window_sharded_dws(batch):
+    fa, fb = batch
+    eng = MultipassPIV(PIVConfig(frame_shape=(256, 256), wind_size=64,
+                                 overlap=32, multipass=2,
+                                 multipass_mode="DWS"))
+    mesh = make_mesh({"pairs": 2, "windows": 4})
+    sharded = ShardedPIV(eng, mesh)
+    u, v, inval = jax.jit(sharded)(fa[:2], fb[:2])
+    single = jax.jit(jax.vmap(eng))
+    ru, rv, ri = single(fa[:2], fb[:2])
+    both = ~(np.asarray(inval) | np.asarray(ri))
+    d = np.abs(np.asarray(u) - np.asarray(ru))[both]
+    assert np.sqrt(np.mean(d**2)) < 0.01
+
+
+def test_default_mesh_heuristic():
+    mesh = default_piv_mesh()
+    assert mesh.shape == {"pairs": 4, "windows": 2}
+    mesh2 = default_piv_mesh(2)
+    assert mesh2.shape == {"pairs": 2}

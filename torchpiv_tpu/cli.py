@@ -1,0 +1,176 @@
+"""``tpiv`` — headless command-line front end.
+
+The reference is driven from a PyQt5 GUI (`torchPIV.runGUI()`); production
+TPU boxes are headless, so the primary front end here is a CLI with the same
+capabilities: offline folder analysis, online (streaming) mode, per-pair
+saving, ensemble statistics, and settings.json round-trip.  ``tpiv gui``
+launches the Qt GUI when PyQt5 is installed.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+from .utils.config import PIVParams
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("folder", help="folder of frame images")
+    p.add_argument("--file-fmt", default=".bmp", help="image extension filter")
+    p.add_argument("--wind-size", type=int, default=64)
+    p.add_argument("--overlap", type=int, default=32)
+    p.add_argument("--multipass", type=int, default=1)
+    p.add_argument("--multipass-mode", choices=["CWS", "DWS"], default="CWS")
+    p.add_argument("--multipass-scale", type=float, default=2.0)
+    p.add_argument("--scale", type=float, default=1.0, help="mm per pixel")
+    p.add_argument("--dt", type=float, default=1.0, help="frame interval, us")
+    p.add_argument("--device", default="auto")
+    p.add_argument(
+        "--save",
+        choices=["Dont save", "Save statistics", "Save all text", "Save all binary"],
+        default="Save statistics",
+        dest="save_opt",
+    )
+    p.add_argument("--save-dir", default="./Out")
+    p.add_argument("--no-validate", action="store_true")
+    p.add_argument("-v", "--verbose", action="store_true")
+
+
+def _params_from_args(args, regime: str, folder_mode: str) -> PIVParams:
+    return PIVParams(
+        wind_size=args.wind_size,
+        overlap=args.overlap,
+        scale=args.scale,
+        dt=args.dt,
+        device=args.device,
+        multipass=args.multipass,
+        file_fmt=args.file_fmt,
+        save_opt=args.save_opt,
+        save_dir=args.save_dir,
+        multipass_scale=args.multipass_scale,
+        folder=args.folder,
+        regime=regime,
+        multipass_mode=args.multipass_mode,
+        folder_mode=folder_mode,
+    )
+
+
+def cmd_run(args) -> int:
+    from .pipeline import PIVRunner
+
+    params = _params_from_args(args, "offline", args.folder_mode)
+    params.to_json()  # snapshot settings like the reference GUI's Start
+
+    last = {"pct": -1}
+
+    def on_progress(pct):
+        if pct != last["pct"]:
+            last["pct"] = pct
+            print(f"\rprogress: {pct:3d}%", end="", file=sys.stderr, flush=True)
+
+    runner = PIVRunner(
+        params,
+        on_progress=on_progress,
+        batch_size=args.batch_size,
+        validate=not args.no_validate,
+    )
+    table = runner.run()
+    print("", file=sys.stderr)
+    if table is None:
+        print("no pairs processed", file=sys.stderr)
+        return 1
+    print(f"processed fields; statistics columns: {list(table.keys())}",
+          file=sys.stderr)
+    return 0
+
+
+def cmd_online(args) -> int:
+    from .pipeline import OnlinePIV
+
+    piv = OnlinePIV(
+        folder=args.folder,
+        device=args.device,
+        file_fmt=args.file_fmt,
+        wind_size=args.wind_size,
+        overlap=args.overlap,
+        multipass=args.multipass,
+        multipass_mode=args.multipass_mode,
+        dt=args.dt,
+        scale=args.scale,
+        multipass_scale=args.multipass_scale,
+        validate=not args.no_validate,
+        idle_timeout=args.idle_timeout,
+    )
+    import numpy as np
+
+    for i, (x, y, u, v) in enumerate(piv()):
+        print(
+            f"pair {i}: |V| median "
+            f"{float(np.median(np.hypot(u, v))):.3f} m/s",
+            file=sys.stderr,
+        )
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import subprocess
+    import os
+
+    return subprocess.call([sys.executable,
+                            os.path.join(os.path.dirname(__file__), "..",
+                                         "bench.py")])
+
+
+def cmd_gui(args) -> int:
+    from .gui import runGUI
+
+    runGUI()
+    return 0
+
+
+def cmd_settings(args) -> int:
+    params = PIVParams.from_json(args.path)
+    print(json.dumps(params.__dict__, indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="tpiv", description="TPU-native PIV engine"
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_run = sub.add_parser("run", help="offline analysis of a folder")
+    _add_common(p_run)
+    p_run.add_argument("--folder-mode", choices=["pairs", "sequential"],
+                       default="pairs")
+    p_run.add_argument("--batch-size", type=int, default=4)
+    p_run.set_defaults(fn=cmd_run)
+
+    p_on = sub.add_parser("online", help="streaming analysis of a growing folder")
+    _add_common(p_on)
+    p_on.add_argument("--idle-timeout", type=float, default=None)
+    p_on.set_defaults(fn=cmd_online)
+
+    p_gui = sub.add_parser("gui", help="launch the Qt GUI (requires PyQt5)")
+    p_gui.set_defaults(fn=cmd_gui)
+
+    p_set = sub.add_parser("settings", help="print current settings.json")
+    p_set.add_argument("--path", default=None)
+    p_set.set_defaults(fn=cmd_settings)
+
+    p_bench = sub.add_parser("bench", help="run the headline benchmark")
+    p_bench.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    logging.basicConfig(
+        level=logging.INFO if getattr(args, "verbose", False) else logging.WARNING,
+        format="%(levelname)s %(name)s: %(message)s",
+    )
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

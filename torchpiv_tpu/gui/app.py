@@ -1,0 +1,418 @@
+"""Qt GUI (optional, requires PyQt5).
+
+Functional equivalent of the reference's GUI layer (/root/reference/src/
+torchPIV/mainWindow.py, PIVwidgets.py, ControlsWidgets.py), re-composed
+around this package's headless pieces: the settings form edits ``PIVParams``,
+Start spins a ``PIVRunner`` on a QThread (progress/output/finished/failed
+re-emitted as Qt signals), a repaint timer refreshes the live field view
+(2 s, like mainWindow.py:35-38), results land in the shared ``Database``,
+and the plotting itself is ``gui.viz`` on embedded matplotlib canvases.
+A global excepthook routes worker exceptions into a message box
+(mainWindow.py:203-256).
+"""
+from __future__ import annotations
+
+import sys
+import traceback
+
+import numpy as np
+
+from ..pipeline import DeviceMap, PIVRunner
+from ..utils.config import PIVParams
+from ..utils.database import Database
+from ..utils.persistence import make_name, save_table
+from . import viz
+
+try:  # pragma: no cover - exercised only where PyQt5 exists
+    from PyQt5 import QtCore, QtWidgets
+    from matplotlib.backends.backend_qt5agg import (
+        FigureCanvasQTAgg,
+        NavigationToolbar2QT,
+    )
+    from matplotlib.figure import Figure
+
+    HAVE_QT = True
+except Exception:  # pragma: no cover
+    HAVE_QT = False
+
+
+def require_qt():
+    if not HAVE_QT:
+        raise ImportError(
+            "PyQt5 (and the matplotlib Qt backend) are required for the GUI; "
+            "install with `pip install torchpiv-tpu[gui]` or use the `tpiv` "
+            "CLI for headless operation."
+        )
+
+
+if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
+
+    class WorkerBridge(QtCore.QObject):
+        """Runs PIVRunner on a thread, bridging callbacks to Qt signals."""
+
+        finished = QtCore.pyqtSignal(dict)
+        progress = QtCore.pyqtSignal(int)
+        output = QtCore.pyqtSignal(dict)
+        failed = QtCore.pyqtSignal()
+
+        def __init__(self, params: PIVParams):
+            super().__init__()
+            self.runner = PIVRunner(
+                params,
+                on_progress=self.progress.emit,
+                on_output=self.output.emit,
+                on_finished=self.finished.emit,
+                on_failed=self.failed.emit,
+            )
+
+        @QtCore.pyqtSlot()
+        def run(self):
+            try:
+                self.runner.run()
+            except Exception:
+                traceback.print_exc()
+                self.failed.emit()
+
+    class FieldCanvas(FigureCanvasQTAgg):
+        """Live 2-D field view (reference PIVcanvas, PIVwidgets.py:106-251)."""
+
+        def __init__(self):
+            self.fig = Figure(figsize=(6, 5))
+            super().__init__(self.fig)
+            self.ax = self.fig.add_subplot(111)
+            self.key = "Vy[m/s]"
+            self.vmin = self.vmax = None
+            self.streamlines = False
+            self.show_grid = False
+            self.profile_index = 0
+            self.profile_horizontal = True
+            self.show_profile_line = True
+
+        def redraw(self):
+            data = Database().get()
+            if not data or self.key not in data:
+                return
+            self.fig.clf()
+            self.ax = self.fig.add_subplot(111)
+            prof = (
+                (self.profile_index, self.profile_horizontal)
+                if self.show_profile_line
+                else None
+            )
+            viz.render_field(
+                data,
+                self.key,
+                vmin=self.vmin,
+                vmax=self.vmax,
+                streamlines=self.streamlines,
+                profile=prof,
+                show_grid=self.show_grid,
+                ax=self.ax,
+            )
+            self.draw_idle()
+
+    class ProfileCanvas(FigureCanvasQTAgg):
+        """1-D profile plot (reference ProfileCanvas, PIVwidgets.py:44-103)."""
+
+        def __init__(self):
+            self.fig = Figure(figsize=(6, 2.5))
+            super().__init__(self.fig)
+            self.ax = self.fig.add_subplot(111)
+            self.key = "Vy[m/s]"
+            self.index = 0
+            self.horizontal = True
+
+        def redraw(self):
+            data = Database().get()
+            if not data or self.key not in data:
+                return
+            field = np.asarray(data[self.key])
+            idx = min(
+                self.index,
+                (field.shape[0] if self.horizontal else field.shape[1]) - 1,
+            )
+            coords, values = viz.extract_profile(data, self.key, idx, self.horizontal)
+            self.ax.clear()
+            self.ax.plot(coords, values)
+            self.ax.set_ylabel(self.key)
+            viz.autoscale_y(self.ax)
+            self.draw_idle()
+
+        def save_profile(self):
+            data = Database().get()
+            if not data or self.key not in data:
+                return
+            coords, values = viz.extract_profile(
+                data, self.key, self.index, self.horizontal
+            )
+            fname, save_dir = make_name(Database().name or "field", self.key,
+                                        self.horizontal)
+            save_table(fname, save_dir, {"coord": coords, self.key: values})
+
+    class SettingsForm(QtWidgets.QGroupBox):
+        """Analysis settings (reference Settings, ControlsWidgets.py:59-310)."""
+
+        FORMATS = [".bmp", ".tif", ".tiff", ".png", ".jpg", ".jpeg", ".pgm", ".dib"]
+        SAVE_OPTS = ["Dont save", "Save statistics", "Save all text",
+                     "Save all binary"]
+
+        def __init__(self, params: PIVParams):
+            super().__init__("Settings")
+            self.params = params
+            form = QtWidgets.QFormLayout(self)
+            self.fmt = QtWidgets.QComboBox()
+            self.fmt.addItems(self.FORMATS)
+            self.fmt.setCurrentText(params.file_fmt)
+            self.wind = QtWidgets.QSpinBox()
+            self.wind.setRange(4, 512)
+            self.wind.setValue(params.wind_size)
+            self.ovl = QtWidgets.QSpinBox()
+            self.ovl.setRange(0, 511)
+            self.ovl.setValue(params.overlap)
+            self.mode = QtWidgets.QComboBox()
+            self.mode.addItems(["CWS", "DWS"])
+            self.mode.setCurrentText(params.multipass_mode)
+            self.dev = QtWidgets.QComboBox()
+            self.dev.addItems(sorted(DeviceMap.devices()))
+            self.scale = QtWidgets.QLineEdit(str(params.scale))
+            self.dt = QtWidgets.QLineEdit(str(params.dt))
+            self.save_opt = QtWidgets.QComboBox()
+            self.save_opt.addItems(self.SAVE_OPTS)
+            self.save_opt.setCurrentText(params.save_opt or self.SAVE_OPTS[0])
+            self.mp = QtWidgets.QSpinBox()
+            self.mp.setRange(1, 10)
+            self.mp.setValue(params.multipass)
+            self.mp_scale = QtWidgets.QLineEdit(str(params.multipass_scale))
+            self.save_dir = QtWidgets.QLineEdit(params.save_dir)
+            self.regime = QtWidgets.QComboBox()
+            self.regime.addItems(["offline", "online"])
+            self.regime.setCurrentText(params.regime or "offline")
+            self.folder_mode = QtWidgets.QComboBox()
+            self.folder_mode.addItems(["pairs", "sequential"])
+            self.folder_mode.setCurrentText(params.folder_mode or "pairs")
+            for label, widget in [
+                ("File format", self.fmt), ("Window size [px]", self.wind),
+                ("Overlap [px]", self.ovl), ("Multipass mode", self.mode),
+                ("Device", self.dev), ("Scale [mm/px]", self.scale),
+                ("dt [us]", self.dt), ("Save options", self.save_opt),
+                ("Multipass count", self.mp), ("Multipass scale", self.mp_scale),
+                ("Save directory", self.save_dir), ("Regime", self.regime),
+                ("Folder mode", self.folder_mode),
+            ]:
+                form.addRow(label, widget)
+            confirm = QtWidgets.QPushButton("Confirm")
+            confirm.clicked.connect(self.confirm_changes)
+            form.addRow(confirm)
+
+        def confirm_changes(self):
+            p = self.params
+            p.file_fmt = self.fmt.currentText()
+            p.wind_size = self.wind.value()
+            p.overlap = self.ovl.value()
+            p.multipass_mode = self.mode.currentText()
+            p.device = self.dev.currentText()
+            p.scale = float(self.scale.text())
+            p.dt = float(self.dt.text())
+            p.save_opt = self.save_opt.currentText()
+            p.multipass = self.mp.value()
+            p.multipass_scale = float(self.mp_scale.text())
+            p.save_dir = self.save_dir.text()
+            p.regime = self.regime.currentText()
+            p.folder_mode = self.folder_mode.currentText()
+            p.to_json()
+
+    class MainWindow(QtWidgets.QMainWindow):
+        def __init__(self):
+            super().__init__()
+            self.setWindowTitle("torchpiv-tpu")
+            self.params = PIVParams.from_json()
+            self.thread = None
+            self.bridge = None
+
+            central = QtWidgets.QWidget()
+            layout = QtWidgets.QHBoxLayout(central)
+            self.setCentralWidget(central)
+
+            # left: views
+            views = QtWidgets.QVBoxLayout()
+            self.field = FieldCanvas()
+            self.profile = ProfileCanvas()
+            views.addWidget(NavigationToolbar2QT(self.field, self))
+            views.addWidget(self.field, stretch=3)
+            views.addWidget(self.profile, stretch=1)
+            layout.addLayout(views, stretch=3)
+
+            # right: controls
+            controls = QtWidgets.QVBoxLayout()
+            self.settings = SettingsForm(self.params)
+            controls.addWidget(self.settings)
+
+            folder_btn = QtWidgets.QPushButton("Choose folder…")
+            folder_btn.clicked.connect(self.choose_folder)
+            controls.addWidget(folder_btn)
+            self.folder_label = QtWidgets.QLabel(self.params.folder or "(no folder)")
+            self.folder_label.setWordWrap(True)
+            controls.addWidget(self.folder_label)
+
+            self.start_btn = QtWidgets.QPushButton("Start PIV")
+            self.start_btn.clicked.connect(self.toggle_start_stop)
+            controls.addWidget(self.start_btn)
+            self.pause_btn = QtWidgets.QPushButton("Pause")
+            self.pause_btn.setCheckable(True)
+            self.pause_btn.toggled.connect(self.toggle_pause)
+            controls.addWidget(self.pause_btn)
+            self.pbar = QtWidgets.QProgressBar()
+            controls.addWidget(self.pbar)
+
+            # view controls
+            self.stream_cb = QtWidgets.QCheckBox("Streamlines")
+            self.stream_cb.toggled.connect(self._set_stream)
+            controls.addWidget(self.stream_cb)
+            self.field_combo = QtWidgets.QComboBox()
+            self.field_combo.currentTextChanged.connect(self._set_key)
+            controls.addWidget(self.field_combo)
+            self.prof_slider = QtWidgets.QSlider(QtCore.Qt.Horizontal)
+            self.prof_slider.valueChanged.connect(self._set_profile_index)
+            controls.addWidget(self.prof_slider)
+            self.orient_combo = QtWidgets.QComboBox()
+            self.orient_combo.addItems(["Horizontal", "Vertical"])
+            self.orient_combo.currentTextChanged.connect(self._set_orientation)
+            controls.addWidget(self.orient_combo)
+            open_btn = QtWidgets.QPushButton("Open saved PIV file…")
+            open_btn.clicked.connect(self.open_saved)
+            controls.addWidget(open_btn)
+            controls.addStretch(1)
+            layout.addLayout(controls, stretch=1)
+
+            # 2 s live-refresh timer (reference mainWindow.py:35-38)
+            self.timer = QtCore.QTimer(self)
+            self.timer.setInterval(2000)
+            self.timer.timeout.connect(self.refresh_views)
+
+        # -- view plumbing ---------------------------------------------
+        def _set_stream(self, on):
+            self.field.streamlines = on
+            self.refresh_views()
+
+        def _set_key(self, key):
+            if key:
+                self.field.key = key
+                self.profile.key = key
+                self.refresh_views()
+
+        def _set_profile_index(self, idx):
+            self.field.profile_index = idx
+            self.profile.index = idx
+            self.refresh_views()
+
+        def _set_orientation(self, text):
+            horiz = text == "Horizontal"
+            self.field.profile_horizontal = horiz
+            self.profile.horizontal = horiz
+            self.refresh_views()
+
+        def refresh_views(self):
+            data = Database().get()
+            if data and self.field_combo.count() == 0:
+                # field combo from Database keys, skipping coordinates
+                self.field_combo.addItems(list(data.keys())[2:])
+                self.field_combo.setCurrentText("Vy[m/s]")
+                shape = np.asarray(next(iter(data.values()))).shape
+                self.prof_slider.setMaximum(max(shape) - 1)
+            self.field.redraw()
+            self.profile.redraw()
+
+        # -- run control -------------------------------------------------
+        def choose_folder(self):
+            folder = QtWidgets.QFileDialog.getExistingDirectory(self, "Frames")
+            if folder:
+                self.params.folder = folder
+                self.folder_label.setText(folder)
+
+        def toggle_start_stop(self):
+            # one button serves start and stop, switched on its label
+            # (reference mainWindow.py:32-34, ControlsWidgets.py:507-511)
+            if self.start_btn.text() == "Start PIV":
+                self.start_piv()
+            else:
+                self.stop_piv()
+
+        def start_piv(self):
+            self.settings.confirm_changes()
+            self.params.to_json()
+            self.thread = QtCore.QThread()
+            self.bridge = WorkerBridge(self.params)
+            self.bridge.moveToThread(self.thread)
+            self.thread.started.connect(self.bridge.run)
+            self.bridge.progress.connect(self.pbar.setValue)
+            self.bridge.output.connect(self.report_output)
+            self.bridge.finished.connect(self.report_finish)
+            self.bridge.failed.connect(self.report_failed)
+            self.thread.start()
+            self.timer.start()
+            self.start_btn.setText("Stop PIV")
+
+        def stop_piv(self):
+            if self.bridge:
+                self.bridge.runner.stop()
+            self.start_btn.setText("Start PIV")
+
+        def toggle_pause(self, paused):
+            if self.bridge:
+                self.bridge.runner.pause(paused)
+
+        def report_output(self, output):
+            Database().set(output)
+
+        def report_finish(self, table):
+            Database().set(table)
+            self.timer.stop()
+            self.refresh_views()
+            self.start_btn.setText("Start PIV")
+            if self.thread:
+                self.thread.quit()
+
+        def report_failed(self):
+            self.timer.stop()
+            self.start_btn.setText("Start PIV")
+            QtWidgets.QMessageBox.critical(
+                self, "PIV failed",
+                "No image pairs were processed — check folder and file format.",
+            )
+
+        def open_saved(self):
+            path, _ = QtWidgets.QFileDialog.getOpenFileName(
+                self, "Saved PIV table", filter="Tables (*.txt *.csv)"
+            )
+            if path:
+                Database().load(path)
+                self.field_combo.clear()
+                self.refresh_views()
+
+
+def _install_excepthook():  # pragma: no cover
+    """Global excepthook -> critical message box with the traceback
+    (reference mainWindow.py:203-256); KeyboardInterrupt passes through."""
+
+    def hook(exc_type, value, tb):
+        if issubclass(exc_type, KeyboardInterrupt):
+            sys.__excepthook__(exc_type, value, tb)
+            return
+        text = "".join(traceback.format_exception(exc_type, value, tb))
+        print(text, file=sys.stderr)
+        if QtWidgets.QApplication.instance() is not None:
+            QtWidgets.QMessageBox.critical(None, "Error", text)
+
+    sys.excepthook = hook
+
+
+def runGUI():  # pragma: no cover
+    """Launch the GUI (reference runGUI, mainWindow.py:259-265)."""
+    require_qt()
+    _install_excepthook()
+    app = QtWidgets.QApplication(sys.argv)
+    app.setStyle("fusion")
+    win = MainWindow()
+    win.resize(1200, 800)
+    win.show()
+    sys.exit(app.exec_())

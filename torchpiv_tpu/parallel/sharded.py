@@ -1,0 +1,245 @@
+"""Multi-chip PIV: pair-batch data parallelism + window-axis model
+parallelism over a ``jax.sharding.Mesh``.
+
+Decomposition (TPU-native; nothing like this exists in the single-device
+reference):
+
+* **pairs axis (DP)** — the batch of image pairs splits across mesh axis
+  ``pairs``; pairs are independent, so no communication at all.
+* **windows axis (model/sequence parallel)** — within one pair, the window
+  grid's *rows* split across mesh axis ``windows``.  Window extraction,
+  correlation and peak fit are per-window local; the only cross-window
+  coupling is the spline predictor upsample between passes, which needs the
+  full coarse field — one ``all_gather`` of a tiny ``[R, C]`` float field per
+  pass, riding ICI.  Frames are replicated (a 4 MP uint8 frame is 4 MB —
+  cheap next to the window tensors, which are what actually shard).
+
+Any window-row count works for any axis size: each shard computes a clamped
+contiguous block (standard dynamic-slice clamping), and a static permutation
+rebuilds the exact field after the gather — duplicated tail rows are
+recomputed, never wrong.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.multipass import MultipassPIV
+from ..ops.correlate import mean_normalize
+from ..ops.peakfit import correlation_to_displacement
+from ..ops.shifts import cws_shift, dws_shift
+from ..ops.windows import extract_windows
+
+
+def _block_layout(R: int, n_shards: int):
+    """Clamped contiguous block per shard + static gather-reconstruction map.
+
+    Shard ``s`` computes rows ``origin(s) .. origin(s)+rloc-1`` with
+    ``origin(s) = min(s*rloc, R-rloc)``; ``pos`` maps global row -> position
+    in the concatenated ``[n_shards*rloc]`` gather.
+    """
+    rloc = -(-R // n_shards)
+    rloc = min(rloc, R)
+    origins = [min(s * rloc, R - rloc) for s in range(n_shards)]
+    pos = np.empty(R, dtype=np.int32)
+    for s in reversed(range(n_shards)):
+        for i in range(rloc):
+            r = origins[s] + i
+            pos[r] = s * rloc + i
+    return rloc, np.array(origins, dtype=np.int32), pos
+
+
+class ShardedPIV:
+    """Sharded multipass PIV over a mesh.
+
+    Args:
+      engine: a built ``MultipassPIV`` (its static schedule/operators are
+        reused; its Pallas path applies per-device in DP mode).
+      mesh: mesh with a ``pair_axis`` and optionally a ``window_axis``.
+
+    ``__call__(batch_a, batch_b)``: ``[B, H, W]`` uint8 batches (B divisible
+    by the pairs-axis size) -> ``(u, v, invalid)`` of shape ``[B, R, C]``.
+    """
+
+    def __init__(
+        self,
+        engine: MultipassPIV,
+        mesh: Mesh,
+        pair_axis: str = "pairs",
+        window_axis: Optional[str] = "windows",
+    ):
+        self.engine = engine
+        self.mesh = mesh
+        self.pair_axis = pair_axis
+        self.window_axis = window_axis if window_axis in mesh.axis_names else None
+        self.nw = mesh.shape[self.window_axis] if self.window_axis else 1
+        # Per-pass block layouts for the windows axis.
+        self.layouts = [
+            _block_layout(fs[0], self.nw) for fs in engine.field_shapes
+        ]
+
+    # ---- public ----------------------------------------------------------
+    def __call__(self, batch_a: jnp.ndarray, batch_b: jnp.ndarray):
+        spec_in = P(self.pair_axis, None, None)
+        if self.window_axis:
+            spec_out = P(self.pair_axis, self.window_axis, None)
+        else:
+            spec_out = P(self.pair_axis, None, None)
+        f = jax.shard_map(
+            self._local_batch,
+            mesh=self.mesh,
+            in_specs=(spec_in, spec_in),
+            out_specs=(spec_out, spec_out, spec_out),
+            check_vma=False,
+        )
+        u, v, inval = f(batch_a, batch_b)
+        if self.window_axis:
+            # undo block clamping: select the true rows from the gathered dim
+            pos = jnp.asarray(self.layouts[-1][2])
+            u, v, inval = (t[:, pos, :] for t in (u, v, inval))
+        return u, v, inval.astype(bool)
+
+    def jit(self):
+        """Jitted callable with sharded-in/sharded-out placement."""
+        s_in = NamedSharding(self.mesh, P(self.pair_axis, None, None))
+        return jax.jit(self, in_shardings=(s_in, s_in))
+
+    # ---- local (per-device) program -------------------------------------
+    def _local_batch(self, a_local, b_local):
+        if not self.window_axis:
+            def one(fa, fb):
+                u, v, inval = self.engine(fa, fb)
+                if inval is None:
+                    inval = jnp.zeros(u.shape, bool)
+                return u, v, inval.astype(jnp.int8)
+
+            return jax.vmap(one)(a_local, b_local)
+        return jax.vmap(self._local_pair_window_sharded)(a_local, b_local)
+
+    def _local_pair_window_sharded(self, frame_a, frame_b):
+        eng = self.engine
+        cfg = eng.config
+        dt = jnp.dtype(cfg.dtype)
+        wa = self.window_axis
+        wr = jax.lax.axis_index(wa)
+        H, W = cfg.frame_shape
+
+        # ---- pass 1 on the local window-row block ----
+        w, o = eng.schedule[0]
+        R, C = eng.field_shapes[0]
+        step = w - o
+        rloc, origins, _ = self.layouts[0]
+        org = jnp.asarray(origins)[wr]
+        slice_h = (rloc - 1) * step + w
+        fa = jax.lax.dynamic_slice(frame_a, (org * step, 0), (slice_h, W))
+        fb = jax.lax.dynamic_slice(frame_b, (org * step, 0), (slice_h, W))
+        aa = mean_normalize(extract_windows(fa, w, o), dt)
+        bb = mean_normalize(extract_windows(fb, w, o), dt)
+        corr = eng._correlate(aa, bb)
+        u, v, inval = correlation_to_displacement(
+            corr, cfg.validate, cfg.val_ratio, cfg.validation_window
+        )
+        u = u.reshape(rloc, C)
+        v = v.reshape(rloc, C)
+        inval = (
+            inval.reshape(rloc, C).astype(dt)
+            if inval is not None
+            else jnp.zeros((rloc, C), dt)
+        )
+
+        # ---- refinement passes ----
+        for p in range(1, len(eng.schedule)):
+            u, v, inval = self._refine_local(p, frame_a, frame_b, u, v, inval, wr)
+
+        return u, v, inval.astype(jnp.int8)
+
+    def _gather_full(self, field, p):
+        """all_gather a locally-computed block field into the full [R, C]."""
+        R = self.engine.field_shapes[p][0]
+        pos = jnp.asarray(self.layouts[p][2])
+        gathered = jax.lax.all_gather(
+            field, self.window_axis, axis=0, tiled=True
+        )
+        return gathered[pos]
+
+    def _refine_local(self, p, frame_a, frame_b, u, v, inval, wr):
+        eng = self.engine
+        cfg = eng.config
+        dt = jnp.dtype(cfg.dtype)
+        w, o = eng.schedule[p]
+        step = w - o
+        Rf, Cf = eng.field_shapes[p]
+        rloc, origins, _ = self.layouts[p]
+        org = jnp.asarray(origins)[wr]
+
+        # Full coarse predictor via one tiny all_gather per field (ICI).
+        u_full = self._gather_full(u, p - 1)
+        v_full = self._gather_full(v, p - 1)
+        val_full = self._gather_full(inval, p - 1)
+
+        Ay, Ax = eng.upsamplers[p - 1]
+        Ay_loc = jax.lax.dynamic_slice(Ay, (org, 0), (rloc, Ay.shape[1]))
+
+        def up(full):
+            return jnp.matmul(
+                jnp.matmul(Ay_loc, full.astype(dt), precision="highest"),
+                Ax.T,
+                precision="highest",
+            )
+
+        u0 = up(u_full)
+        v0 = up(v_full)
+        validate = cfg.validate
+        if validate:
+            val0 = up(val_full) >= 0.5
+
+        # Local window origins (global pixel coordinates, traced values).
+        r0 = ((org + jnp.arange(rloc)) * step).astype(jnp.int32)
+        c0 = (jnp.arange(Cf) * step).astype(jnp.int32)
+        r0w = jnp.repeat(r0, Cf)
+        c0w = jnp.tile(c0, rloc)
+
+        if cfg.multipass_mode == "CWS":
+            u2 = u0 / 2.0
+            v2 = v0 / 2.0
+            if validate:
+                u0 = jnp.where(val0, 0.0, u0)
+                v0 = jnp.where(val0, 0.0, v0)
+            aa = cws_shift(frame_a, r0w, c0w, w, -u2.reshape(-1), -v2.reshape(-1), dt)
+            bb = cws_shift(frame_b, r0w, c0w, w, u2.reshape(-1), v2.reshape(-1), dt)
+        else:
+            if validate:
+                u0 = jnp.where(val0, 0.0, u0)
+                v0 = jnp.where(val0, 0.0, v0)
+            u2 = jnp.rint(u0 / 2.0)
+            v2 = jnp.rint(v0 / 2.0)
+            ui = u2.reshape(-1).astype(jnp.int32)
+            vi = v2.reshape(-1).astype(jnp.int32)
+            aa = dws_shift(frame_a, r0w, c0w, w, -ui, -vi, dt)
+            bb = dws_shift(frame_b, r0w, c0w, w, ui, vi, dt)
+
+        corr = eng._correlate(aa, bb)
+        du, dv, new_inval = correlation_to_displacement(
+            corr, validate, cfg.val_ratio, cfg.validation_window
+        )
+        du = du.reshape(rloc, Cf)
+        dv = dv.reshape(rloc, Cf)
+        u_new = 2.0 * u2 + du
+        v_new = 2.0 * v2 + dv
+        mask_u = (du > u0) & (jnp.rint(u0) > 0)
+        mask_v = (dv > v0) & (jnp.rint(v0) > 0)
+        if new_inval is not None:
+            new_inval = new_inval.reshape(rloc, Cf)
+            mask_u = mask_u | new_inval
+            mask_v = mask_v | new_inval
+            out_inval = new_inval.astype(dt)
+        else:
+            out_inval = jnp.zeros((rloc, Cf), dt)
+        u = jnp.where(mask_u, u0, u_new)
+        v = jnp.where(mask_v, v0, v_new)
+        return u, v, out_inval
