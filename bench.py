@@ -95,16 +95,16 @@ def main():
     u.block_until_ready()
     log(f"compile+first batch: {time.perf_counter() - t0:.1f} s")
 
-    # steady state: overlap H2D with device compute via async device_put
+    # steady state: JAX dispatch is async — queue every batch (H2D + compute)
+    # back to back, then drain results and run the host tail as they land.
     t0 = time.perf_counter()
     done = 0
-    in_flight = jax.device_put(host_batches[0])
     results = None
+    pending = []
     for b in range(n_batches):
-        current = in_flight
-        if b + 1 < n_batches:
-            in_flight = jax.device_put(host_batches[b + 1])  # async
-        u, v, iv = fn(current[0], current[1])
+        dev = jax.device_put(host_batches[b])
+        pending.append(fn(dev[0], dev[1]))
+    for u, v, iv in pending:
         u_h, v_h, iv_h = np.asarray(u), np.asarray(v), np.asarray(iv)
         for i in range(u_h.shape[0]):
             results = finalize_fields(u_h[i], v_h[i], iv_h[i], x, y, 1.0, 1.0)

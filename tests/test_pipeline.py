@@ -165,3 +165,39 @@ def test_infill_path_with_dead_region(tmp_path):
     # infilled vectors depend on which windows each impl flags; compare the
     # bulk of the field
     assert np.quantile(np.abs(u - gu), 0.9) < 0.1
+
+
+def test_runner_checkpoint_resume(pair_folder, tmp_path):
+    """Stop after the first pair, resume from the checkpoint, and get the
+    same statistics as an uninterrupted run."""
+    folder, _ = pair_folder
+    ckpt = str(tmp_path / "run.ckpt.npz")
+    params = PIVParams(wind_size=64, overlap=32, multipass=1, scale=0.05,
+                       dt=2.0, device="cpu", file_fmt=".bmp", folder=folder,
+                       folder_mode="pairs", save_opt="Dont save")
+
+    # full run for reference statistics
+    full = PIVRunner(params, batch_size=1).run()
+
+    # interrupted run: stop after the first pair
+    stopper = {}
+
+    def on_output(out):
+        stopper["runner"].stop()
+
+    r1 = PIVRunner(params, on_output=on_output, checkpoint_path=ckpt,
+                   checkpoint_every=1, batch_size=1)
+    stopper["runner"] = r1
+    r1.run()
+    assert os.path.exists(ckpt)
+
+    # resumed run completes and matches the uninterrupted statistics
+    r2 = PIVRunner(params, checkpoint_path=ckpt, checkpoint_every=1,
+                   batch_size=1)
+    table = r2.run()
+    assert table is not None
+    np.testing.assert_allclose(table["Vx[m/s]"], full["Vx[m/s]"], atol=1e-9)
+    np.testing.assert_allclose(
+        table["(vx-Vx)^2[m^2/s^2]"], full["(vx-Vx)^2[m^2/s^2]"], atol=1e-9
+    )
+    assert not os.path.exists(ckpt)  # cleared after completion

@@ -32,11 +32,22 @@ def list_pairs(folder: str, file_fmt: str, folder_mode: str) -> List[Tuple[str, 
 
 
 class PIVDataset:
-    """Indexable dataset of decoded uint8 grayscale frame pairs."""
+    """Indexable dataset of decoded uint8 grayscale frame pairs.
+
+    ``read_batch`` is the bulk path the prefetcher uses: for folders of
+    8-bit BMP (the usual camera format) it decodes whole batches on C++
+    threads with the GIL released (``native.loader``); anything else falls
+    back to the per-file Python decoders.
+    """
 
     def __init__(self, folder: str, file_fmt: str, folder_mode: str = "pairs"):
         self.folder = folder
         self.img_pairs = list_pairs(folder, file_fmt, folder_mode)
+        self._native_shape = None
+        if self.img_pairs:
+            from ..native import loader as native
+
+            self._native_shape = native.probe_bmp8(self.img_pairs[0][0])
 
     def __len__(self) -> int:
         return len(self.img_pairs)
@@ -50,3 +61,41 @@ class PIVDataset:
         if frame_a is None or frame_b is None:
             return None, None
         return frame_a, frame_b
+
+    def read_batch(self, indices, threads: int = 8):
+        """Decode pairs for ``indices`` -> (ids, batch_a, batch_b); failed
+        pairs are dropped (reference skip semantics, PIVbackend.py:869-870).
+        """
+        if self._native_shape is not None:
+            from ..native import loader as native
+
+            paths = [p for i in indices for p in self.img_pairs[i]]
+            frames, status = native.read_batch_bmp8(
+                paths, self._native_shape, threads
+            )
+            ok = [
+                j
+                for j, i in enumerate(indices)
+                if status[2 * j] == 0 and status[2 * j + 1] == 0
+            ]
+            if len(ok) == len(indices):
+                return list(indices), frames[0::2], frames[1::2]
+            if ok:
+                ids = [indices[j] for j in ok]
+                a = np.stack([frames[2 * j] for j in ok])
+                b = np.stack([frames[2 * j + 1] for j in ok])
+                return ids, a, b
+            return [], None, None
+        pairs = [self[i] for i in indices]
+        keep = [
+            (i, a, b)
+            for i, (a, b) in zip(indices, pairs)
+            if a is not None and b is not None
+        ]
+        if not keep:
+            return [], None, None
+        return (
+            [i for i, _, _ in keep],
+            np.stack([a for _, a, _ in keep]),
+            np.stack([b for _, _, b in keep]),
+        )

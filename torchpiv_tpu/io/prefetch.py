@@ -61,17 +61,22 @@ class PairPrefetcher:
             ]
 
             def load_batch(idxs):
-                pairs = [self.dataset[i] for i in idxs]
-                keep = [
-                    (i, a, b)
-                    for i, (a, b) in zip(idxs, pairs)
-                    if a is not None and b is not None
-                ]
-                if not keep:
-                    return None
-                ids = [i for i, _, _ in keep]
-                a = np.stack([a for _, a, _ in keep])
-                b = np.stack([b for _, _, b in keep])
+                if hasattr(self.dataset, "read_batch"):
+                    ids, a, b = self.dataset.read_batch(idxs)
+                    if not ids:
+                        return None
+                else:
+                    pairs = [self.dataset[i] for i in idxs]
+                    keep = [
+                        (i, a, b)
+                        for i, (a, b) in zip(idxs, pairs)
+                        if a is not None and b is not None
+                    ]
+                    if not keep:
+                        return None
+                    ids = [i for i, _, _ in keep]
+                    a = np.stack([a for _, a, _ in keep])
+                    b = np.stack([b for _, _, b in keep])
                 if self.device_put:
                     a, b = jax.device_put(a), jax.device_put(b)
                 return a, b, ids

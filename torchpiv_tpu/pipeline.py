@@ -135,6 +135,7 @@ class OfflinePIV:
         validate: bool = True,
         val_ratio: float = 1.2,
         decode_threads: int = 4,
+        skip_pairs: int = 0,
         engine_options: Optional[dict] = None,
     ) -> None:
         self._wind_size = wind_size
@@ -145,6 +146,8 @@ class OfflinePIV:
         self._device = DeviceMap.resolve(device)
         self._decode_threads = decode_threads
         self._dataset = PIVDataset(folder, file_fmt, folder_mode)
+        if skip_pairs:  # resume support: pairs are consumed in sorted order
+            self._dataset.img_pairs = self._dataset.img_pairs[skip_pairs:]
         self._engine_kwargs = dict(
             wind_size=wind_size,
             overlap=overlap,
@@ -312,6 +315,8 @@ class PIVRunner:
         on_output: Optional[Callable[[Dict[str, np.ndarray]], None]] = None,
         on_finished: Optional[Callable[[Dict[str, np.ndarray]], None]] = None,
         on_failed: Optional[Callable[[], None]] = None,
+        checkpoint_path: Optional[str] = None,
+        checkpoint_every: int = 50,
         **offline_kwargs,
     ):
         self.params = params
@@ -321,6 +326,8 @@ class PIVRunner:
         self.on_failed = on_failed or (lambda: None)
         self.is_paused = False
         self.is_running = True
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_every = checkpoint_every
         self._offline_kwargs = offline_kwargs
 
     def stop(self) -> None:
@@ -332,7 +339,17 @@ class PIVRunner:
     def run(self) -> Optional[Dict[str, np.ndarray]]:
         import os
 
+        from .utils.checkpoint import load_checkpoint, save_checkpoint
+
         p = self.params
+        acc = EnsembleAccumulator()
+        x = y = None
+        skip = 0
+        if self.checkpoint_path:
+            state = load_checkpoint(self.checkpoint_path)
+            if state is not None:
+                acc, skip, x, y = state
+                log.info("resuming from checkpoint: %d pairs done", skip)
         piv_gen = OfflinePIV(
             folder=p.folder,
             device=p.device,
@@ -345,18 +362,17 @@ class PIVRunner:
             scale=p.scale,
             multipass_scale=p.multipass_scale,
             folder_mode=p.folder_mode,
+            skip_pairs=skip,
             **self._offline_kwargs,
         )
-        total = len(piv_gen)
+        total = len(piv_gen) + skip
         if total == 0:
             self.on_failed()
             return None
 
-        acc = EnsembleAccumulator()
-        x = y = None
         name = os.path.basename(os.path.normpath(p.folder))
         start = time.perf_counter()
-        done = 0
+        done = skip
         for i, (x, y, u, v) in enumerate(piv_gen()):
             while self.is_paused and self.is_running:
                 time.sleep(0)
@@ -364,20 +380,31 @@ class PIVRunner:
                 break
             acc.add(u, v)
             done += 1
-            self.on_progress(int((i + 1) / total * 100))
+            self.on_progress(int(done / total * 100))
             output = {"x[mm]": x, "y[mm]": y, "Vx[m/s]": u, "Vy[m/s]": v}
             if p.save_opt == "Save all binary":
                 save_binary(f"{name}_pair.npy", p.save_dir, dict(output))
             elif p.save_opt == "Save all text":
                 save_table(f"{name}_pair.txt", p.save_dir, dict(output))
             self.on_output(output)
+            if (
+                self.checkpoint_path
+                and self.checkpoint_every
+                and done % self.checkpoint_every == 0
+            ):
+                save_checkpoint(self.checkpoint_path, acc, done, x, y)
 
         if acc.n == 0:
             self.on_failed()
             return None
+        if self.checkpoint_path and self.is_running is False:
+            # interrupted: persist progress for resume
+            save_checkpoint(self.checkpoint_path, acc, done, x, y)
         log.info("avg PIV time %.0f ms", (time.perf_counter() - start) / acc.n * 1000)
         table = acc.finalize(x, y)
         if p.save_opt != "Dont save":
             save_table(f"{name}_statistics.txt", p.save_dir, dict(table))
+        if self.checkpoint_path and self.is_running and os.path.exists(self.checkpoint_path):
+            os.remove(self.checkpoint_path)  # completed: clear resume state
         self.on_finished(table)
         return table

@@ -1,0 +1,60 @@
+"""Run checkpointing: resume long pair-stream analyses by pair index.
+
+The reference has no checkpoint/resume — a stopped run is rerun from scratch
+(SURVEY §5); its closest analog is the per-pair incremental saves.  Here the
+runner persists the streaming statistics state (Welford moments) plus the
+number of pairs already processed; pairs are consumed in deterministic
+(natural-sorted) order, so "resume" = restore moments and skip that many
+pairs.
+"""
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..stats.ensemble import EnsembleAccumulator
+
+
+def save_checkpoint(
+    path: str, acc: EnsembleAccumulator, done: int,
+    x: np.ndarray, y: np.ndarray,
+) -> None:
+    """Atomically persist the accumulator state, progress counter and grid."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(path)),
+                               suffix=".tmp")
+    os.close(fd)
+    np.savez(
+        tmp,
+        done=done,
+        n=acc.n,
+        x=x,
+        y=y,
+        mu=acc._mu if acc.n else np.zeros(0),
+        mv=acc._mv if acc.n else np.zeros(0),
+        muu=acc._muu if acc.n else np.zeros(0),
+        mvv=acc._mvv if acc.n else np.zeros(0),
+        muv=acc._muv if acc.n else np.zeros(0),
+    )
+    os.replace(tmp + ".npz", path)
+
+
+def load_checkpoint(
+    path: str,
+) -> Optional[Tuple[EnsembleAccumulator, int, np.ndarray, np.ndarray]]:
+    """Restore ``(accumulator, pairs_done, x, y)``; None if no checkpoint."""
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as z:
+        acc = EnsembleAccumulator()
+        acc.n = int(z["n"])
+        if acc.n:
+            acc._mu = z["mu"]
+            acc._mv = z["mv"]
+            acc._muu = z["muu"]
+            acc._mvv = z["mvv"]
+            acc._muv = z["muv"]
+        return acc, int(z["done"]), z["x"], z["y"]
