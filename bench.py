@@ -89,10 +89,12 @@ def main():
 
     x, y = engine.final_coordinates
 
-    # warmup / compile
+    # warmup / compile — including the D2H transfer programs and host tail
     t0 = time.perf_counter()
     u, v, iv = fn(jnp.asarray(host_batches[0][0]), jnp.asarray(host_batches[0][1]))
-    u.block_until_ready()
+    finalize_fields(
+        np.asarray(u)[0], np.asarray(v)[0], np.asarray(iv)[0], x, y, 1.0, 1.0
+    )
     log(f"compile+first batch: {time.perf_counter() - t0:.1f} s")
 
     # steady state: JAX dispatch is async — queue every batch (H2D + compute)

@@ -71,6 +71,11 @@ class StreamingPairSource:
 
     Used by ``OnlinePIV``.  Stops when ``stop()`` is called or after
     ``idle_timeout`` seconds without new files (None = wait forever).
+
+    Unlike ``WatchMan`` (which, like the reference, only pairs files that
+    appeared within a single poll and silently drops odd leftovers), this
+    keeps a pending buffer across polls, so an ``_a`` frame seen in one poll
+    pairs with its ``_b`` frame arriving in the next.
     """
 
     def __init__(
@@ -80,18 +85,54 @@ class StreamingPairSource:
         poll_interval: float = 0.2,
         idle_timeout: Optional[float] = None,
     ):
-        self.watchman = WatchMan(folder, file_fmt)
+        self.folder = folder
+        self.file_fmt = file_fmt
         self.poll_interval = poll_interval
         self.idle_timeout = idle_timeout
+        self._seen = self._listing()
+        self._pending: List[str] = []
         self._stop = threading.Event()
+
+    def _listing(self) -> set:
+        return {
+            os.path.join(self.folder, name)
+            for name in os.listdir(self.folder)
+            if name.endswith(self.file_fmt)
+        }
 
     def stop(self) -> None:
         self._stop.set()
 
+    def _poll(self) -> List[Tuple[str, str]]:
+        listing = self._listing()
+        new = sorted(listing - self._seen, key=natural_keys)
+        self._seen = listing
+        self._pending.extend(new)
+        self._pending.sort(key=natural_keys)
+        pairs = []
+        i = 0
+        fmt = self.file_fmt
+        suf = len("_a" + fmt)
+        while i < len(self._pending):
+            name = self._pending[i]
+            if not name.endswith("_a" + fmt):
+                i += 1  # orphan _b (or unsuffixed file): drop
+                continue
+            if i + 1 >= len(self._pending):
+                break  # trailing _a: wait for its _b to arrive
+            mate = self._pending[i + 1]
+            if mate.endswith("_b" + fmt) and mate[:-suf] == name[:-suf]:
+                pairs.append((name, mate))
+                i += 2
+            else:
+                i += 1  # _a whose _b never arrived: drop
+        self._pending = self._pending[i:]
+        return pairs
+
     def __iter__(self) -> Iterator[Tuple[str, str]]:
         last_new = time.monotonic()
         while not self._stop.is_set():
-            pairs = self.watchman.update()
+            pairs = self._poll()
             if pairs:
                 last_new = time.monotonic()
                 yield from pairs
@@ -102,3 +143,5 @@ class StreamingPairSource:
                 return
             else:
                 self._stop.wait(self.poll_interval)
+        # stop() means "no more frames are coming": drain what already landed
+        yield from self._poll()
