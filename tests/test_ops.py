@@ -199,3 +199,37 @@ def test_correlate_matmul_matches_fft(rng):
         theirs = golden.correlate_fft(a.astype(np.float64), b.astype(np.float64))
         scale = np.abs(theirs).max()
         np.testing.assert_allclose(ours / scale, theirs / scale, atol=2e-5)
+
+
+class TestSAD:
+    def test_fast_sad_locates_integer_shift(self, rng):
+        from torchpiv_tpu.ops.sad import fast_sad
+
+        # windows where B is A shifted by (+3, -2): SAD minimum at the shift
+        base = rng.random((4, 40, 40)).astype(np.float32)
+        a = base[:, 4:36, 4:36]
+        b = np.stack([np.roll(np.roll(w, 2, axis=0), 3, axis=1) for w in a])
+        sad_x, sad_y = fast_sad(jnp.asarray(a), jnp.asarray(b))
+        n = 32
+        # placement offset k corresponds to displacement k - n//2
+        assert (np.asarray(sad_x).argmin(-1) - n // 2 == -3).all()
+        assert (np.asarray(sad_y).argmin(-1) - n // 2 == -2).all()
+
+    def test_sad_fft_minimum_at_shift(self, rng):
+        from torchpiv_tpu.ops.sad import sad_fft
+
+        base = rng.random((3, 32, 32)).astype(np.float32)
+        b = np.stack([np.roll(np.roll(w, 1, axis=0), -2, axis=1) for w in base])
+        out = np.asarray(sad_fft(jnp.asarray(base), jnp.asarray(b)))
+        # the maximum of the cos/sin similarity map sits at the displacement
+        for m in out:
+            r, c = np.unravel_index(m.argmax(), m.shape)
+            assert (r - 16, c - 16) == (1, -2)
+
+    def test_batch_normalize(self, rng):
+        from torchpiv_tpu.ops.sad import batch_normalize
+
+        w = rng.integers(10, 200, (5, 8, 8)).astype(np.float32)
+        out = np.asarray(batch_normalize(jnp.asarray(w)))
+        assert np.allclose(out.min(axis=(-2, -1)), 0)
+        assert np.allclose(out.max(axis=(-2, -1)), 1)
