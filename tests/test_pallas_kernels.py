@@ -37,9 +37,10 @@ def test_shift_kernel_interior_matches_xla(rng, shape, w, ov):
             frame_shape=(H, W), wind_size=w, overlap=ov, interpret=True,
         )
     ).reshape(n_rows, n_cols, w, w)
-    # Interior windows: identical up to per-window-vs-per-pixel f32 frac
-    # weights (~1e-4 relative).
-    d = np.abs(out - ref)[1:-1, 1:-1]
+    # flat_wrap padding reproduces the XLA path's flat-index edge semantics
+    # on EVERY window (incl. the frame-edge ring), up to per-window-vs-
+    # per-pixel f32 frac weights (~1e-4 relative).
+    d = np.abs(out - ref)
     assert d.max() < 0.05, d.max()
 
 
@@ -63,8 +64,9 @@ def test_dws_integer_shifts_exact(rng):
             frame_shape=(H, W), wind_size=w, overlap=ov, interpret=True,
         )
     ).reshape(n_rows, n_cols, w, w)
-    # Integer shifts hit the floor-corner path: interior windows bit-exact.
-    np.testing.assert_array_equal(out[1:-1, 1:-1], ref[1:-1, 1:-1])
+    # Integer shifts hit the floor-corner path: bit-exact everywhere
+    # (flat-wrap padding covers the frame-edge windows too).
+    np.testing.assert_array_equal(out, ref)
 
 
 def test_engine_with_pallas_interpret_matches_xla_engine():

@@ -94,3 +94,27 @@ def test_default_mesh_heuristic():
     assert mesh.shape == {"pairs": 4, "windows": 2}
     mesh2 = default_piv_mesh(2)
     assert mesh2.shape == {"pairs": 2}
+
+
+def test_offline_piv_over_mesh(tmp_path):
+    """The production OfflinePIV pipeline runs sharded over a mesh and
+    matches the single-device pipeline."""
+    from torchpiv_tpu.io.decode import imwrite_gray
+    from torchpiv_tpu.pipeline import OfflinePIV
+
+    for i, disp in enumerate([(3.0, -1.0), (1.5, 0.5), (-2.0, 1.0), (0.5, 2.0)]):
+        fa, fb = particle_pair((256, 256), displacement=disp, seed=80 + i)
+        imwrite_gray(str(tmp_path / f"m{i}_a.bmp"), fa)
+        imwrite_gray(str(tmp_path / f"m{i}_b.bmp"), fb)
+
+    kwargs = dict(device="cpu", file_fmt=".bmp", wind_size=64, overlap=32,
+                  multipass=2, multipass_mode="CWS")
+    plain = list(OfflinePIV(str(tmp_path), batch_size=4, **kwargs)())
+    mesh = make_mesh({"pairs": 2, "windows": 2})
+    sharded = list(OfflinePIV(str(tmp_path), batch_size=4, mesh=mesh, **kwargs)())
+    assert len(plain) == len(sharded) == 4
+    for (x0, y0, u0, v0), (x1, y1, u1, v1) in zip(plain, sharded):
+        np.testing.assert_array_equal(x0, x1)
+        d = np.abs(u0 - u1)
+        assert np.median(d) < 1e-3
+        assert np.quantile(d, 0.95) < 0.05 * 1000  # rare unstable-fit flips

@@ -54,7 +54,10 @@ def _shift_kernel(
     band, band_sem,
     *,
     H: int, W: int, Wp: int, w: int, step: int, S: int, n_cols: int,
+    OFF: int,
 ):
+    # H/W are the *kernel-view* frame dims (includes any flat-wrap padding);
+    # OFF is the window-origin offset into that view.
     r = pl.program_id(0)
     n_rows = pl.num_programs(0)
     # Band height rounded to the sublane tile (8) — DMA slices must be
@@ -65,7 +68,7 @@ def _shift_kernel(
     BLK_W = 256  # aligned col-block width (covers any tx mod 128 + w + 1)
 
     def band_origin(row):
-        o = jnp.clip(row * step - S, 0, Hp - BH)
+        o = jnp.clip(row * step + OFF - S, 0, Hp - BH)
         return pl.multiple_of((o // 8) * 8, 8)
 
     def start_band_dma(slot, row):
@@ -94,8 +97,8 @@ def _shift_kernel(
         dx = dx_ref[r, c]
         fy = fy_ref[r, c]
         fx = fx_ref[r, c]
-        ty = jnp.clip(r * step + dy, 0, H - (w + 1)) - by0
-        tx = jnp.clip(c * step + dx, 0, W - (w + 1))
+        ty = jnp.clip(r * step + OFF + dy, 0, H - (w + 1)) - by0
+        tx = jnp.clip(c * step + OFF + dx, 0, W - (w + 1))
 
         # Mosaic needs provably aligned vector-load offsets: load an aligned
         # superset block, then rotate the sub-tile into place (dynamic
@@ -127,9 +130,39 @@ def _shift_kernel(
     jax.lax.fori_loop(0, n_cols, body, 0)
 
 
+def flat_wrap_pad(frame: jnp.ndarray, P: int) -> jnp.ndarray:
+    """Pad a frame so 2-D sampling of the result reproduces the reference's
+    *flat-index-clamped* addressing of the original (PIVbackend.py:177-180):
+
+    * horizontally, out-of-row columns wrap into the adjacent row (flat index
+      ``r*W + c`` with ``c`` outside ``[0, W)`` lands in row ``r±1``);
+    * row 0's left overhang and the last row's right overhang clamp to the
+      first/last pixel (flat clamp to ``[0, H*W-1]``);
+    * fully out-of-range rows clamp to the first/last pixel too.
+    """
+    H, W = frame.shape
+    left = jnp.roll(frame, 1, axis=0)[:, W - P:]
+    left = left.at[0, :].set(frame[0, 0])
+    right = jnp.roll(frame, -1, axis=0)[:, :P]
+    right = right.at[-1, :].set(frame[-1, -1])
+    mid = jnp.concatenate([left, frame, right], axis=1)
+    top = jnp.full((P, W + 2 * P), frame[0, 0], frame.dtype)
+    # virtual row -1 with columns >= W wraps forward into row 0's head
+    # (flat index -W + x = x - W >= 0); deeper rows clamp entirely.
+    top = top.at[-1, W + P:].set(frame[0, :P])
+    bot = jnp.full((P, W + 2 * P), frame[-1, -1], frame.dtype)
+    # virtual row H with columns < 0 wraps back into the last row's tail
+    # (flat index H*W + x < H*W); deeper rows clamp entirely.
+    bot = bot.at[0, :P].set(frame[-1, W - P:])
+    return jnp.concatenate([top, mid, bot], axis=0)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("wind_size", "overlap", "frame_shape", "max_shift", "interpret"),
+    static_argnames=(
+        "wind_size", "overlap", "frame_shape", "max_shift", "interpret",
+        "flat_wrap",
+    ),
 )
 def shift_windows_pallas(
     frame: jnp.ndarray,
@@ -141,6 +174,7 @@ def shift_windows_pallas(
     overlap: int,
     max_shift: int | None = None,
     interpret: bool = False,
+    flat_wrap: bool = True,
 ) -> jnp.ndarray:
     """Bilinear (CWS) per-window shift of all interrogation windows.
 
@@ -149,15 +183,28 @@ def shift_windows_pallas(
       vel_x, vel_y: ``[N]`` per-window shifts in pixels (float32).  Pass
         integer-valued arrays for DWS semantics (the kernel then reduces to a
         pure integer tile copy).
+      flat_wrap: reproduce the reference's flat-index edge semantics exactly
+        via a padded frame (costs one cheap pad); False clamps tiles to the
+        frame rectangle at the edges instead.
 
     Returns ``[N, w, w]`` float32 shifted windows in row-major window order.
     """
-    H, W = frame_shape
+    H0, W0 = frame_shape
     w = wind_size
     step = wind_size - overlap
-    n_rows = (H - w) // step + 1
-    n_cols = (W - w) // step + 1
+    n_rows = (H0 - w) // step + 1
+    n_cols = (W0 - w) // step + 1
     S = max_shift if max_shift is not None else max(w // 2, 1)
+
+    frame = frame.astype(jnp.float32)
+    if flat_wrap:
+        frame = flat_wrap_pad(frame, S)
+        OFF = S
+        H, W = H0 + 2 * S, W0 + 2 * S
+    else:
+        OFF = 0
+        H, W = H0, W0
+
     BH = -(-(w + 2 * S + 1) // 8) * 8
     Hp = -(-H // 8) * 8  # row pad so tile-aligned band DMAs stay in bounds
     Wp = -(-max(W, 256) // 128) * 128  # col pad for aligned 256-wide blocks
@@ -169,17 +216,17 @@ def shift_windows_pallas(
     fy = vy - dy
     fx = vx - dx
 
-    frame = frame.astype(jnp.float32)
     if (Hp, Wp) != (H, W):
         frame = jnp.pad(frame, ((0, Hp - H), (0, Wp - W)))
 
     kernel = functools.partial(
-        _shift_kernel, H=H, W=W, Wp=Wp, w=w, step=step, S=S, n_cols=n_cols
+        _shift_kernel, H=H, W=W, Wp=Wp, w=w, step=step, S=S, n_cols=n_cols,
+        OFF=OFF,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n_rows,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, n_cols, w, w),
             lambda r, *_: (r, 0, 0, 0),

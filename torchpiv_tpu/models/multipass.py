@@ -62,9 +62,9 @@ class PIVConfig:
     dtype: str = "float32"
     # Pallas shift kernel: "auto" uses it on TPU backends only.  The kernel
     # clamps shifts to max_shift (default wind//2) and uses per-window scalar
-    # frac weights; with edge_exact the outer ring of windows (the only ones
-    # whose resampling can leave the frame) is computed by the exact XLA
-    # gather so frame-edge semantics stay bit-identical to the reference.
+    # frac weights; with edge_exact (default) it samples a flat-wrap padded
+    # frame so the reference's flat-index frame-edge addressing is
+    # reproduced exactly.
     use_pallas: str = "auto"  # "auto" | "on" | "off"
     pallas_interpret: bool = False
     edge_exact: bool = True
@@ -127,19 +127,6 @@ class MultipassPIV:
             dt = jnp.dtype(config.dtype)
             self.upsamplers.append((jnp.asarray(Ay, dt), jnp.asarray(Ax, dt)))
 
-        # Outer-ring window ids per pass (frame-edge windows whose shifted
-        # resampling can leave the frame; only these can differ between the
-        # Pallas tile kernel and the reference's flat-clamp gather).
-        self.ring_ids = []
-        for p, (w, o) in enumerate(self.schedule):
-            R, C = self.field_shapes[p]
-            step = w - o
-            S = config.max_shift if config.max_shift is not None else max(w // 2, 1)
-            depth = -(-S // step)  # ceil: rings that can reach the frame edge
-            rr, cc = np.mgrid[0:R, 0:C]
-            ring = (rr < depth) | (rr >= R - depth) | (cc < depth) | (cc >= C - depth)
-            self.ring_ids.append(np.nonzero(ring.ravel())[0].astype(np.int32))
-
     def _correlate(self, aa, bb):
         c = self.config.correlator
         if c == "matmul" or (c == "auto" and jax.default_backend() == "tpu"):
@@ -155,8 +142,9 @@ class MultipassPIV:
         return jax.default_backend() == "tpu"
 
     def _shift(self, p, frame, vel_x, vel_y, dt, mode):
-        """Shifted window extraction for pass p: Pallas fast path with exact
-        XLA gather on the frame-edge ring, or pure XLA fallback."""
+        """Shifted window extraction for pass p: Pallas fast path (with
+        flat-wrap padding for exact reference edge semantics) or pure XLA
+        fallback."""
         cfg = self.config
         w, o = self.schedule[p]
         row0w, col0w = self.origins[p]
@@ -171,7 +159,10 @@ class MultipassPIV:
 
         from ..kernels.shift_pallas import shift_windows_pallas
 
-        out = shift_windows_pallas(
+        # edge_exact -> flat_wrap padding inside the kernel reproduces the
+        # reference's flat-index frame-edge addressing exactly (no separate
+        # gather needed); otherwise tiles clamp to the frame rectangle.
+        return shift_windows_pallas(
             frame.astype(dt),
             vel_x.astype(dt),
             vel_y.astype(dt),
@@ -180,18 +171,8 @@ class MultipassPIV:
             overlap=o,
             max_shift=cfg.max_shift,
             interpret=cfg.pallas_interpret,
+            flat_wrap=cfg.edge_exact,
         )
-        if cfg.edge_exact:
-            ring = self.ring_ids[p]
-            if ring.size:
-                exact = xla_shift(
-                    jnp.asarray(row0w[ring]),
-                    jnp.asarray(col0w[ring]),
-                    vel_x[ring],
-                    vel_y[ring],
-                )
-                out = out.at[jnp.asarray(ring)].set(exact)
-        return out
 
     # -- public static info ------------------------------------------------
     @property

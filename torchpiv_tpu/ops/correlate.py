@@ -56,15 +56,19 @@ def correlate_matmul(images_a: jnp.ndarray, images_b: jnp.ndarray) -> jnp.ndarra
     F = jnp.asarray(F)
     Fs = jnp.asarray(Fs)
 
+    # precision='high' = bf16_3x passes (~f32 accuracy, half the cost of
+    # 'highest'/bf16_6x on the MXU); parity impact ~1e-6 relative, verified
+    # against the FFT path in tests.
+    def mm(a, b):
+        return jnp.matmul(a, b, precision="high")
+
     def dft2(x):
-        y = jnp.einsum("ij,bjk->bik", F, x.astype(jnp.complex64), precision="highest")
-        return jnp.einsum("bik,kl->bil", y, F, precision="highest")
+        return mm(mm(F, x.astype(jnp.complex64)), F)
 
     A = dft2(images_a.reshape(-1, n, n))
     B = dft2(images_b.reshape(-1, n, n))
     C = jnp.conj(A) * B
-    y = jnp.einsum("ij,bjk->bik", Fs, C, precision="highest")
-    out = jnp.einsum("bik,kl->bil", y, Fs.T, precision="highest")
+    out = mm(mm(Fs, C), Fs.T)
     return jnp.real(out).reshape(images_a.shape)
 
 

@@ -136,6 +136,7 @@ class OfflinePIV:
         val_ratio: float = 1.2,
         decode_threads: int = 4,
         skip_pairs: int = 0,
+        mesh=None,
         engine_options: Optional[dict] = None,
     ) -> None:
         self._wind_size = wind_size
@@ -158,6 +159,7 @@ class OfflinePIV:
             val_ratio=val_ratio,
             **(engine_options or {}),
         )
+        self._mesh = mesh
         self._engine: Optional[MultipassPIV] = None
         self._batched_fn = None
         if len(self._dataset) == 0:
@@ -169,6 +171,18 @@ class OfflinePIV:
     def _build_engine(self, frame_shape) -> None:
         cfg = PIVConfig(frame_shape=tuple(frame_shape), **self._engine_kwargs)
         self._engine = MultipassPIV(cfg)
+
+        if self._mesh is not None:
+            # Multi-chip: shard the batch over the mesh (pairs axis, plus
+            # window-axis model parallelism when the mesh has one).
+            from .parallel.sharded import ShardedPIV
+
+            sharded = ShardedPIV(self._engine, self._mesh)
+            npairs = self._mesh.shape[sharded.pair_axis]
+            if self._batch % npairs:
+                self._batch = -(-self._batch // npairs) * npairs
+            self._batched_fn = sharded.jit()
+            return
 
         def batched(fa, fb):
             # One dispatch per batch: scan the fused per-pair graph.
@@ -198,6 +212,9 @@ class OfflinePIV:
             self._dataset,
             batch_size=self._batch,
             num_threads=self._decode_threads,
+            # in mesh mode jit distributes host batches per its in_shardings;
+            # pre-committing them to one device would conflict
+            device_put=self._mesh is None,
         )
         with jax.default_device(self._device):
             load_t = time.perf_counter()
