@@ -86,3 +86,52 @@ def test_engine_with_pallas_interpret_matches_xla_engine():
     assert np.sqrt(np.mean(d**2)) < 0.01, d.max()
     d = np.abs(np.asarray(v0) - np.asarray(v1))[both]
     assert np.sqrt(np.mean(d**2)) < 0.01, d.max()
+
+
+class TestPeakfitPallas:
+    def test_matches_xla_exactly(self, rng):
+        from torchpiv_tpu.kernels.peakfit_pallas import (
+            correlation_to_displacement_pallas,
+        )
+        from torchpiv_tpu.ops.peakfit import correlation_to_displacement
+
+        maps = (rng.random((150, 32, 32)).astype(np.float32)) ** 2
+        maps -= maps.min(axis=(-2, -1), keepdims=True)
+        u0, v0, i0 = correlation_to_displacement(jnp.asarray(maps), True)
+        u1, v1, i1 = correlation_to_displacement_pallas(
+            jnp.asarray(maps), True, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(u0), np.asarray(u1))
+        np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+    def test_novalidate_and_padding(self, rng):
+        from torchpiv_tpu.kernels.peakfit_pallas import (
+            correlation_to_displacement_pallas,
+        )
+        from torchpiv_tpu.ops.peakfit import correlation_to_displacement
+
+        # N=37 forces block padding; validate=False path
+        maps = (rng.random((37, 16, 16)).astype(np.float32)) ** 2
+        u0, v0, _ = correlation_to_displacement(jnp.asarray(maps), False)
+        u1, v1, i1 = correlation_to_displacement_pallas(
+            jnp.asarray(maps), False, interpret=True
+        )
+        assert i1 is None
+        np.testing.assert_array_equal(np.asarray(u0), np.asarray(u1))
+        np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+
+    def test_engine_end_to_end_interpret(self):
+        from torchpiv_tpu.models import MultipassPIV, PIVConfig
+
+        fa, fb = particle_pair((256, 256), displacement=(3.3, -2.1), seed=7)
+        base = dict(frame_shape=(256, 256), wind_size=64, overlap=32,
+                    multipass=2, multipass_mode="CWS")
+        ex = MultipassPIV(PIVConfig(**base, use_pallas="off"))
+        ep = MultipassPIV(PIVConfig(**base, use_pallas="off",
+                                    pallas_interpret=True))
+        u0, v0, i0 = jax.jit(ex)(jnp.asarray(fa), jnp.asarray(fb))
+        u1, v1, i1 = ep(jnp.asarray(fa), jnp.asarray(fb))
+        both = ~(np.asarray(i0) | np.asarray(i1))
+        d = np.abs(np.asarray(u0) - np.asarray(u1))[both]
+        assert np.sqrt(np.mean(d**2)) < 0.01

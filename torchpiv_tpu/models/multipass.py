@@ -73,6 +73,9 @@ class PIVConfig:
     # TPU, ~1e-6 relative difference vs FFT); "fft" uses jnp.fft; "auto"
     # picks matmul on TPU backends.
     correlator: str = "auto"  # "auto" | "fft" | "matmul"
+    # "xla" (default) lowers the peak fit with XLA; "pallas" uses the fused
+    # kernel (bit-exact, currently slower in-graph on v5e — see _peakfit).
+    peakfit: str = "xla"  # "xla" | "pallas"
 
     def pass_schedule(self) -> List[Tuple[int, int]]:
         """Per-pass (wind_size, overlap), shrunk by int floor-division per
@@ -132,6 +135,27 @@ class MultipassPIV:
         if c == "matmul" or (c == "auto" and jax.default_backend() == "tpu"):
             return min_subtract(correlate_matmul(aa, bb))
         return min_subtract(correlate_fft(aa, bb))
+
+    def _peakfit(self, corr, validate):
+        cfg = self.config
+        # The fused Pallas peak-fit is bit-exact but measured *slower* than
+        # the XLA lowering inside the full graph on v5e (the pallas_call
+        # boundary forces the correlation tensor to materialise with a
+        # constrained layout), so it is opt-in.
+        if cfg.peakfit == "pallas" or (
+            cfg.pallas_interpret and cfg.peakfit != "xla"
+        ):
+            from ..kernels.peakfit_pallas import (
+                correlation_to_displacement_pallas,
+            )
+
+            return correlation_to_displacement_pallas(
+                corr, validate, cfg.val_ratio, cfg.validation_window,
+                interpret=cfg.pallas_interpret,
+            )
+        return correlation_to_displacement(
+            corr, validate, cfg.val_ratio, cfg.validation_window
+        )
 
     def _use_pallas(self) -> bool:
         cfg = self.config
@@ -195,9 +219,7 @@ class MultipassPIV:
         aa = mean_normalize(extract_windows(frame_a, w, o), dt)
         bb = mean_normalize(extract_windows(frame_b, w, o), dt)
         corr = self._correlate(aa, bb)
-        u, v, inval = correlation_to_displacement(
-            corr, cfg.validate, cfg.val_ratio, cfg.validation_window
-        )
+        u, v, inval = self._peakfit(corr, cfg.validate)
         u = u.reshape(n_rows, n_cols)
         v = v.reshape(n_rows, n_cols)
         if inval is not None:
@@ -251,9 +273,7 @@ class MultipassPIV:
             bb = self._shift(p, frame_b, ui, vi, dt, "DWS")
 
         corr = self._correlate(aa, bb)
-        du, dv, new_inval = correlation_to_displacement(
-            corr, validate, cfg.val_ratio, cfg.validation_window
-        )
+        du, dv, new_inval = self._peakfit(corr, validate)
         du = du.reshape(n_rows, n_cols)
         dv = dv.reshape(n_rows, n_cols)
         if new_inval is not None:
