@@ -123,6 +123,21 @@ def cmd_bench(args) -> int:
                                          "bench.py")])
 
 
+def cmd_watch(args) -> int:
+    """Print new frame pairs as they appear (the working counterpart of the
+    reference's standalone watchman.py watchdog script)."""
+    from .io.watch import StreamingPairSource
+
+    src = StreamingPairSource(args.folder, args.file_fmt,
+                              idle_timeout=args.idle_timeout)
+    try:
+        for name_a, name_b in src:
+            print(f"{name_a} {name_b}", flush=True)
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def cmd_gui(args) -> int:
     from .gui import runGUI
 
@@ -153,6 +168,12 @@ def main(argv=None) -> int:
     _add_common(p_on)
     p_on.add_argument("--idle-timeout", type=float, default=None)
     p_on.set_defaults(fn=cmd_online)
+
+    p_watch = sub.add_parser("watch", help="print new frame pairs as they appear")
+    p_watch.add_argument("folder")
+    p_watch.add_argument("--file-fmt", default=".bmp")
+    p_watch.add_argument("--idle-timeout", type=float, default=None)
+    p_watch.set_defaults(fn=cmd_watch)
 
     p_gui = sub.add_parser("gui", help="launch the Qt GUI (requires PyQt5)")
     p_gui.set_defaults(fn=cmd_gui)
