@@ -128,3 +128,42 @@ def test_vmap_batches_pairs():
     u0, v0, i0 = single(jnp.asarray(fa1), jnp.asarray(fb1))
     np.testing.assert_allclose(np.asarray(u[0]), np.asarray(u0), atol=1e-5)
     np.testing.assert_allclose(np.asarray(v[0]), np.asarray(v0), atol=1e-5)
+
+
+def test_three_pass_cws_subpixel_accuracy():
+    """BASELINE config #3 (scaled down): known uniform+shear flow, 3-pass
+    CWS, sub-pixel accuracy on the final dense grid."""
+    du_dy = 0.008
+    fa, fb = particle_pair((512, 512), displacement=shear_flow(2.0, du_dy),
+                           seed=31, density=0.03)
+    cfg = PIVConfig(frame_shape=(512, 512), wind_size=64, overlap=32,
+                    multipass=3, multipass_mode="CWS")
+    engine = MultipassPIV(cfg)
+    u, v, inval = jax.jit(engine)(jnp.asarray(fa), jnp.asarray(fb))
+    u, inval = np.asarray(u), np.asarray(inval)
+    x, y = engine.final_coordinates
+    assert engine.final_field_shape == ((512 - 16) // 8 + 1,) * 2
+    expected = 2.0 + du_dy * y
+    sel = ~inval
+    sel[:4] = sel[-4:] = False
+    sel[:, :4] = sel[:, -4:] = False
+    err = u[sel] - expected[sel]
+    assert abs(np.mean(err)) < 0.05
+    assert np.sqrt(np.mean(err**2)) < 0.25  # 16px windows are noisy
+
+
+def test_dense_16px_75pct_overlap():
+    """BASELINE config #5 (scaled down): final 16 px windows at 75% overlap
+    — peak-fit/validation bound, stride does not divide the window."""
+    fa, fb = particle_pair((256, 256), displacement=(1.2, -0.7), seed=33,
+                           density=0.05)
+    cfg = PIVConfig(frame_shape=(256, 256), wind_size=16, overlap=12,
+                    multipass=1)
+    engine = MultipassPIV(cfg)
+    assert engine.final_field_shape == (61, 61)
+    u, v, inval = jax.jit(engine)(jnp.asarray(fa), jnp.asarray(fb))
+    u, v, inval = map(np.asarray, (u, v, inval))
+    sel = ~inval
+    assert sel.mean() > 0.5  # tiny windows validate aggressively
+    assert abs(np.median(u[sel]) - 1.2) < 0.15
+    assert abs(np.median(v[sel]) + 0.7) < 0.15

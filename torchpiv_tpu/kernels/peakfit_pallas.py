@@ -34,8 +34,9 @@ EPS = 1e-7
 def _peakfit_kernel(
     corr_ref, u_ref, v_ref, inval_ref, *,
     d: int, k: int, validate: bool, val_ratio: float, vw: int,
+    min_subtract: bool,
 ):
-    x = corr_ref[...] + EPS  # [B, d, k]
+    x = corr_ref[...]  # [B, d, k]
     B = x.shape[0]
     kd = k * d
     fdt = x.dtype
@@ -49,6 +50,12 @@ def _peakfit_kernel(
 
     def min2(t):
         return jnp.min(jnp.min(t, axis=2, keepdims=True), axis=1, keepdims=True)
+
+    if min_subtract:
+        # fold the reference's per-window `corr - amin(corr)` in here so the
+        # correlation tensor makes one HBM round-trip fewer
+        x = x - min2(x)
+    x = x + EPS
 
     cm = max2(x)  # [B,1,1]
     big = jnp.int32(kd)
@@ -103,7 +110,7 @@ def _peakfit_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("validate", "val_ratio", "validation_window",
-                     "block", "interpret"),
+                     "block", "interpret", "min_subtract"),
 )
 def correlation_to_displacement_pallas(
     corr: jnp.ndarray,
@@ -112,17 +119,21 @@ def correlation_to_displacement_pallas(
     validation_window: int = 3,
     block: Optional[int] = None,
     interpret: bool = False,
+    min_subtract: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
     """Drop-in fused version of ``ops.correlation_to_displacement``.
 
-    Returns ``(u, v, invalid)`` flat ``[N]`` arrays (invalid is None when
-    ``validate`` is False).
+    With ``min_subtract`` the kernel also applies the reference's per-window
+    min subtraction (pass it the raw correlation and skip
+    ``ops.min_subtract``).  Returns ``(u, v, invalid)`` flat ``[N]`` arrays
+    (invalid is None when ``validate`` is False).
     """
     n, d, k = corr.shape
     if block is None:
-        # Mosaic keeps ~12 block-sized live intermediates on the VMEM stack
-        # (measured); budget 8 MB so double buffering fits too.
-        block = max(8, min(128, (8 << 20) // (d * k * 4 * 12) // 8 * 8))
+        # Mosaic keeps 30+ block-sized live intermediates on the VMEM stack
+        # (measured: 17.3 MB scoped usage at block*d*k*4 = 512 KB); cap the
+        # block tensor at ~384 KB.
+        block = max(8, min(128, (384 << 10) // (d * k * 4) // 8 * 8))
     npad = -(-n // block) * block
     x = corr.astype(jnp.float32)
     if npad != n:
@@ -134,6 +145,7 @@ def correlation_to_displacement_pallas(
     kernel = functools.partial(
         _peakfit_kernel, d=d, k=k, validate=validate,
         val_ratio=val_ratio, vw=validation_window,
+        min_subtract=min_subtract,
     )
     out_sds = jax.ShapeDtypeStruct((npad, 1, 1), jnp.float32)
     u, v, inval = pl.pallas_call(

@@ -131,17 +131,16 @@ class MultipassPIV:
             self.upsamplers.append((jnp.asarray(Ay, dt), jnp.asarray(Ax, dt)))
 
     def _correlate(self, aa, bb):
+        """Raw circular cross-correlation (min subtraction happens in
+        ``_peakfit`` so the fused kernel can fold it in)."""
         c = self.config.correlator
         if c == "matmul" or (c == "auto" and jax.default_backend() == "tpu"):
-            return min_subtract(correlate_matmul(aa, bb))
-        return min_subtract(correlate_fft(aa, bb))
+            return correlate_matmul(aa, bb)
+        return correlate_fft(aa, bb)
 
     def _peakfit(self, corr, validate):
+        """Min-subtraction + sub-pixel fit + validation on raw corr maps."""
         cfg = self.config
-        # The fused Pallas peak-fit is bit-exact but measured *slower* than
-        # the XLA lowering inside the full graph on v5e (the pallas_call
-        # boundary forces the correlation tensor to materialise with a
-        # constrained layout), so it is opt-in.
         if cfg.peakfit == "pallas" or (
             cfg.pallas_interpret and cfg.peakfit != "xla"
         ):
@@ -151,10 +150,10 @@ class MultipassPIV:
 
             return correlation_to_displacement_pallas(
                 corr, validate, cfg.val_ratio, cfg.validation_window,
-                interpret=cfg.pallas_interpret,
+                interpret=cfg.pallas_interpret, min_subtract=True,
             )
         return correlation_to_displacement(
-            corr, validate, cfg.val_ratio, cfg.validation_window
+            min_subtract(corr), validate, cfg.val_ratio, cfg.validation_window
         )
 
     def _use_pallas(self) -> bool:

@@ -30,7 +30,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.multipass import MultipassPIV
-from ..ops.correlate import mean_normalize
+from ..ops.correlate import mean_normalize, min_subtract
 from ..ops.peakfit import correlation_to_displacement
 from ..ops.shifts import cws_shift, dws_shift
 from ..ops.windows import extract_windows
@@ -140,7 +140,7 @@ class ShardedPIV:
         fb = jax.lax.dynamic_slice(frame_b, (org * step, 0), (slice_h, W))
         aa = mean_normalize(extract_windows(fa, w, o), dt)
         bb = mean_normalize(extract_windows(fb, w, o), dt)
-        corr = eng._correlate(aa, bb)
+        corr = min_subtract(eng._correlate(aa, bb))
         u, v, inval = correlation_to_displacement(
             corr, cfg.validate, cfg.val_ratio, cfg.validation_window
         )
@@ -223,7 +223,7 @@ class ShardedPIV:
             aa = dws_shift(frame_a, r0w, c0w, w, -ui, -vi, dt)
             bb = dws_shift(frame_b, r0w, c0w, w, ui, vi, dt)
 
-        corr = eng._correlate(aa, bb)
+        corr = min_subtract(eng._correlate(aa, bb))
         du, dv, new_inval = correlation_to_displacement(
             corr, validate, cfg.val_ratio, cfg.validation_window
         )
