@@ -201,3 +201,25 @@ def test_runner_checkpoint_resume(pair_folder, tmp_path):
         table["(vx-Vx)^2[m^2/s^2]"], full["(vx-Vx)^2[m^2/s^2]"], atol=1e-9
     )
     assert not os.path.exists(ckpt)  # cleared after completion
+
+
+def test_fused_infill_pipeline_skips_host_tail(tmp_path):
+    """With engine_options={'infill': 'fused'} the device fills holes and the
+    host tail must not re-NaN them."""
+    fa, fb = particle_pair((256, 256), displacement=(2.0, 1.0), seed=22)
+    fa[96:160, 96:160] = 8
+    fb[96:160, 96:160] = 8
+    imwrite_gray(str(tmp_path / "g0_a.bmp"), fa)
+    imwrite_gray(str(tmp_path / "g0_b.bmp"), fb)
+    piv = OfflinePIV(str(tmp_path), device="cpu", file_fmt=".bmp",
+                     wind_size=32, overlap=16,
+                     engine_options={"infill": "fused"})
+    results = list(piv())
+    assert len(results) == 1
+    _, _, u, v = results[0]
+    assert np.isfinite(u).all() and np.isfinite(v).all()
+    # compare against the host-infill pipeline: same valid vectors
+    piv2 = OfflinePIV(str(tmp_path), device="cpu", file_fmt=".bmp",
+                      wind_size=32, overlap=16)
+    _, _, u2, v2 = next(piv2())
+    assert np.quantile(np.abs(u - u2), 0.8) < 1.0

@@ -232,8 +232,14 @@ class OfflinePIV:
                     )
                 u_b, v_b, inval_b = self._batched_fn(batch_a, batch_b)
                 u_b, v_b, inval_b = map(np.asarray, (u_b, v_b, inval_b))
+                # With in-graph ("fused") infill the engine already filled
+                # the invalid vectors on device — no host infill tail.
+                tail_validates = (
+                    self._engine.config.validate
+                    and self._engine.config.infill != "fused"
+                )
                 for i in range(B):
-                    inval = inval_b[i] if self._engine.config.validate else None
+                    inval = inval_b[i] if tail_validates else None
                     res = finalize_fields(
                         u_b[i], v_b[i], inval, x, y, self._scale, self._dt
                     )
