@@ -130,6 +130,87 @@ def _shift_kernel(
     jax.lax.fori_loop(0, n_cols, body, 0)
 
 
+def _shift_kernel_phases(
+    # scalar prefetch (SMEM):
+    dy_ref, dx_ref, fy_ref, fx_ref,
+    # inputs:
+    frame_hbm,  # bf16 [Hp, Wp]
+    # outputs:
+    out_ref,  # f32 (1, n_cols, w, w)
+    # scratch:
+    phases, band_sem,
+    *,
+    H: int, W: int, Wp: int, w: int, step: int, S: int, n_cols: int,
+    OFF: int,
+):
+    """Phase-table variant: the band is stored bf16 (uint8 frame values are
+    exact in bf16) in 16 pre-rolled sublane phases, so per-window tile
+    extraction needs NO row rotate — just an aligned load from the right
+    phase plus one lane rotate.  ~4x less per-window register traffic than
+    the f32 two-rotate kernel."""
+    r = pl.program_id(0)
+    BH = -(-(w + 2 * S + 1) // 16) * 16  # bf16 sublane tile is 16
+    BHp = BH + 16
+    Hp = -(-H // 16) * 16
+    BLK_H = -(-(w + 1) // 16) * 16 + 16  # covers ty..ty+w from any t16
+    BLK_W = 256
+
+    o = jnp.clip(r * step + OFF - S, 0, Hp - BH)
+    by0 = pl.multiple_of((o // 16) * 16, 16)
+
+    dma = pltpu.make_async_copy(
+        frame_hbm.at[pl.ds(by0, BH), :],
+        phases.at[0, pl.ds(0, BH), :],
+        band_sem,
+    )
+    dma.start()
+    dma.wait()
+    # Build phases[p][i] == band[i + p].  Mosaic cannot rotate bf16 vectors,
+    # so the sublane rolls run on an f32 copy (the values are 8-bit grey
+    # levels — exact in both types).
+    base = phases[0, pl.ds(0, BHp), :].astype(jnp.float32)
+    for p in range(1, 16):
+        phases[p, pl.ds(0, BHp), :] = pltpu.roll(base, BHp - p, 0).astype(
+            jnp.bfloat16
+        )
+
+    def body(c, _):
+        dy = dy_ref[r, c]
+        dx = dx_ref[r, c]
+        fy = fy_ref[r, c]
+        fx = fx_ref[r, c]
+        ty = jnp.clip(r * step + OFF + dy, 0, H - (w + 1)) - by0
+        tx = jnp.clip(c * step + OFF + dx, 0, W - (w + 1))
+
+        p = jax.lax.rem(ty, 16)
+        t16 = pl.multiple_of(ty - p, 16)
+        a = pl.multiple_of(jnp.clip((tx // 128) * 128, 0, Wp - BLK_W), 128)
+        s_col = tx - a
+        block = phases[p, pl.ds(t16, BLK_H), pl.ds(a, BLK_W)]
+        # Lane rotation is sublane-packing-agnostic: rotate the 32-bit view
+        # (Mosaic has no bf16 rotate).
+        b32 = pltpu.bitcast(block, jnp.int32)
+        b32 = pltpu.roll(b32, BLK_W - s_col, 1)
+        block = pltpu.bitcast(b32, jnp.bfloat16)
+        tile = block[: w + 1, : w + 1].astype(jnp.float32)
+
+        f11 = tile[:w, :w]
+        f21 = tile[:w, 1:]
+        f12 = tile[1:, :w]
+        f22 = tile[1:, 1:]
+        blend = (
+            f11 * ((1.0 - fx) * (1.0 - fy))
+            + f21 * (fx * (1.0 - fy))
+            + f12 * ((1.0 - fx) * fy)
+            + f22 * (fx * fy)
+        )
+        integer_cell = jnp.logical_or(fy == 0.0, fx == 0.0)
+        out_ref[0, c] = jnp.where(integer_cell, f11, blend)
+        return 0
+
+    jax.lax.fori_loop(0, n_cols, body, 0)
+
+
 def flat_wrap_pad(frame: jnp.ndarray, P: int) -> jnp.ndarray:
     """Pad a frame so 2-D sampling of the result reproduces the reference's
     *flat-index-clamped* addressing of the original (PIVbackend.py:177-180):
@@ -161,7 +242,7 @@ def flat_wrap_pad(frame: jnp.ndarray, P: int) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "wind_size", "overlap", "frame_shape", "max_shift", "interpret",
-        "flat_wrap",
+        "flat_wrap", "variant",
     ),
 )
 def shift_windows_pallas(
@@ -175,6 +256,7 @@ def shift_windows_pallas(
     max_shift: int | None = None,
     interpret: bool = False,
     flat_wrap: bool = True,
+    variant: str = "rolls",
 ) -> jnp.ndarray:
     """Bilinear (CWS) per-window shift of all interrogation windows.
 
@@ -186,6 +268,10 @@ def shift_windows_pallas(
       flat_wrap: reproduce the reference's flat-index edge semantics exactly
         via a padded frame (costs one cheap pad); False clamps tiles to the
         frame rectangle at the edges instead.
+      variant: "rolls" (f32 band, two dynamic rotates per window; default)
+        or "phases" (bf16 sublane phase-table band + i32-bitcast lane
+        rotates — bit-identical output, similar measured speed, half the
+        band bandwidth but 16x the band VMEM).
 
     Returns ``[N, w, w]`` float32 shifted windows in row-major window order.
     """
@@ -195,6 +281,7 @@ def shift_windows_pallas(
     n_rows = (H0 - w) // step + 1
     n_cols = (W0 - w) // step + 1
     S = max_shift if max_shift is not None else max(w // 2, 1)
+    phases = variant == "phases"
 
     frame = frame.astype(jnp.float32)
     if flat_wrap:
@@ -205,8 +292,9 @@ def shift_windows_pallas(
         OFF = 0
         H, W = H0, W0
 
-    BH = -(-(w + 2 * S + 1) // 8) * 8
-    Hp = -(-H // 8) * 8  # row pad so tile-aligned band DMAs stay in bounds
+    grain = 16 if phases else 8  # sublane tile: bf16 is (16, 128)
+    BH = -(-(w + 2 * S + 1) // grain) * grain
+    Hp = -(-H // grain) * grain  # row pad so aligned band DMAs stay in bounds
     Wp = -(-max(W, 256) // 128) * 128  # col pad for aligned 256-wide blocks
 
     vx = jnp.clip(vel_x.astype(jnp.float32), -S, S).reshape(n_rows, n_cols)
@@ -218,10 +306,24 @@ def shift_windows_pallas(
 
     if (Hp, Wp) != (H, W):
         frame = jnp.pad(frame, ((0, Hp - H), (0, Wp - W)))
+    if phases:
+        frame = frame.astype(jnp.bfloat16)  # exact for 8-bit grey levels
 
     kernel = functools.partial(
-        _shift_kernel, H=H, W=W, Wp=Wp, w=w, step=step, S=S, n_cols=n_cols,
-        OFF=OFF,
+        _shift_kernel_phases if phases else _shift_kernel,
+        H=H, W=W, Wp=Wp, w=w, step=step, S=S, n_cols=n_cols, OFF=OFF,
+    )
+    scratch = (
+        [
+            pltpu.VMEM((16, BH + 16, Wp), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+        if phases
+        else [
+            # +8 rows: aligned row-block loads may read past the band tail.
+            pltpu.VMEM((2, BH + 8, Wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -232,11 +334,7 @@ def shift_windows_pallas(
             lambda r, *_: (r, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
-            # +8 rows: aligned row-block loads may read past the band tail.
-            pltpu.VMEM((2, BH + 8, Wp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         kernel,
