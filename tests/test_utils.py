@@ -1,0 +1,80 @@
+"""Coverage for small utilities: profiling, device map, misc helpers."""
+import logging
+import os
+import time
+
+import numpy as np
+import pytest
+
+from torchpiv_tpu.pipeline import DeviceMap
+from torchpiv_tpu.utils import free_device_memory
+from torchpiv_tpu.utils.persistence import make_name
+from torchpiv_tpu.utils.profiling import StageTimers, Throughput, device_trace
+
+
+def test_stage_timers():
+    timers = StageTimers()
+    with timers.stage("decode"):
+        time.sleep(0.01)
+    with timers.stage("decode"):
+        time.sleep(0.01)
+    with timers.stage("compute"):
+        pass
+    report = timers.report()
+    assert report["decode"]["count"] == 2
+    assert report["decode"]["mean_ms"] >= 5
+    assert "compute" in report
+
+
+def test_throughput_meter():
+    t = Throughput()
+    t.tick(4)
+    time.sleep(0.01)
+    t.tick(4)
+    assert t.pairs_per_sec > 0
+
+
+def test_device_trace_noop_and_real(tmp_path):
+    with device_trace(None):
+        pass
+    with device_trace(str(tmp_path / "trace")):
+        np.ones(4).sum()
+    # jax profiler writes a plugins/profile dir
+    assert any("plugin" in d or "profile" in d.lower()
+               for _, dirs, _ in os.walk(tmp_path / "trace") for d in dirs) or \
+        os.path.exists(tmp_path / "trace")
+
+
+def test_device_map():
+    devs = DeviceMap.devices()
+    assert "cpu" in devs
+    assert DeviceMap.resolve("cpu").platform == "cpu"
+    assert DeviceMap.resolve("auto") is not None
+    with pytest.raises(ValueError, match="unknown device"):
+        DeviceMap.resolve("gpu:7")
+
+
+def test_free_device_memory_runs():
+    free_device_memory()
+
+
+def test_make_name():
+    fname, save_dir = make_name("/data/run42/", "Vx[m/s]", True)
+    assert fname == "run42_Vx_Hor_profile.txt"
+    assert save_dir.endswith("Out")
+
+
+def test_unreadable_first_pair_builds_engine_from_next(tmp_path):
+    from torchpiv_tpu.io.decode import imwrite_gray
+    from torchpiv_tpu.pipeline import OfflinePIV
+    from torchpiv_tpu.utils.synthetic import particle_pair
+
+    (tmp_path / "a0_a.bmp").write_bytes(b"junk")
+    (tmp_path / "a0_b.bmp").write_bytes(b"junk")
+    fa, fb = particle_pair((128, 128), displacement=(2.0, 1.0), seed=9)
+    imwrite_gray(str(tmp_path / "a1_a.bmp"), fa)
+    imwrite_gray(str(tmp_path / "a1_b.bmp"), fb)
+    piv = OfflinePIV(str(tmp_path), device="cpu", file_fmt=".bmp",
+                     wind_size=32, overlap=16)
+    results = list(piv())
+    assert len(results) == 1  # junk pair skipped, good pair processed

@@ -92,6 +92,11 @@ class PIVDataset:
             for i, (a, b) in zip(indices, pairs)
             if a is not None and b is not None
         ]
+        if keep:
+            # frames of a different camera format than the first pair are
+            # treated as unreadable (the engine is shape-specialised)
+            shape = keep[0][1].shape
+            keep = [t for t in keep if t[1].shape == shape and t[2].shape == shape]
         if not keep:
             return [], None, None
         return (

@@ -162,11 +162,13 @@ class OfflinePIV:
         self._mesh = mesh
         self._engine: Optional[MultipassPIV] = None
         self._batched_fn = None
-        if len(self._dataset) == 0:
-            return
-        frame_a, _ = self._dataset[0]
-        if frame_a is not None:
-            self._build_engine(frame_a.shape)
+        # Build the engine from the first *readable* pair (the reference
+        # crashes if pair 0 is unreadable, PIVbackend.py:853).
+        for i in range(len(self._dataset)):
+            frame_a, _ = self._dataset[i]
+            if frame_a is not None:
+                self._build_engine(frame_a.shape)
+                break
 
     def _build_engine(self, frame_shape) -> None:
         cfg = PIVConfig(frame_shape=tuple(frame_shape), **self._engine_kwargs)
