@@ -76,6 +76,11 @@ class PIVConfig:
     # "xla" (default) lowers the peak fit with XLA; "pallas" uses the fused
     # kernel (bit-exact, currently slower in-graph on v5e — see _peakfit).
     peakfit: str = "xla"  # "xla" | "pallas"
+    # Optional vector-field outlier test on top of the reference's
+    # peak-ratio validation (applied after the final pass, in-graph):
+    # None (reference parity) | "median" | "normmedian" (Westerweel-Scarano).
+    median_filter: Optional[str] = None
+    median_threshold: float = 2.0
 
     def pass_schedule(self) -> List[Tuple[int, int]]:
         """Per-pass (wind_size, overlap), shrunk by int floor-division per
@@ -296,6 +301,13 @@ class MultipassPIV:
         u, v, inval = self.first_pass(frame_a, frame_b)
         for p in range(1, len(self.schedule)):
             u, v, inval = self._refine_pass(p, frame_a, frame_b, u, v, inval)
+        if self.config.median_filter is not None:
+            from ..ops.validation import apply_median_filter
+
+            inval = apply_median_filter(
+                u, v, inval, self.config.median_filter,
+                self.config.median_threshold,
+            )
         if self.config.infill == "fused" and inval is not None:
             u = fused_infill(jnp.where(inval, jnp.nan, u), inval)
             v = fused_infill(jnp.where(inval, jnp.nan, v), inval)

@@ -1,0 +1,97 @@
+"""Vector-field outlier validation beyond the reference's peak ratio.
+
+The reference validates solely by the first/second correlation-peak ratio
+(PIVbackend.py:346-358, 409-413).  Standard PIV practice additionally
+filters the *vector field* itself: the median test and the normalized
+median (universal outlier) test of Westerweel & Scarano (Exp. Fluids 39,
+2005).  Both are provided here as jit-friendly in-graph ops over the 3x3
+neighbourhood and can be enabled on top of peak-ratio validation
+(``PIVConfig.median_filter``); parity tests against the reference always
+run with them off.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+def _neighbors(field: jnp.ndarray) -> jnp.ndarray:
+    """Stack of the 8 neighbours of every grid point, edge-padded with NaN
+    so border points are judged only against their real neighbours.
+    Returns ``[8, rows, cols]``."""
+    f = jnp.pad(field, 1, constant_values=jnp.nan)
+    shifts = [
+        f[:-2, :-2], f[:-2, 1:-1], f[:-2, 2:],
+        f[1:-1, :-2], f[1:-1, 2:],
+        f[2:, :-2], f[2:, 1:-1], f[2:, 2:],
+    ]
+    return jnp.stack(shifts)
+
+
+def _nanmedian8(stack: jnp.ndarray) -> jnp.ndarray:
+    """NaN-aware median over the leading axis of an ``[8, ...]`` stack.
+
+    Sorts with NaN pushed to the end (+inf) and picks the middle of the
+    valid count — branch-free and jit-friendly.
+    """
+    n_valid = jnp.sum(~jnp.isnan(stack), axis=0)
+    s = jnp.sort(jnp.where(jnp.isnan(stack), jnp.inf, stack), axis=0)
+    # indices of the middle pair for the (runtime) valid count
+    hi = jnp.maximum(n_valid // 2, 0)
+    lo = jnp.maximum((n_valid - 1) // 2, 0)
+    idx = jnp.arange(stack.shape[0]).reshape(-1, *([1] * (stack.ndim - 1)))
+    take = lambda k: jnp.sum(jnp.where(idx == k[None], s, 0.0), axis=0)
+    med = 0.5 * (take(lo) + take(hi))
+    return jnp.where(n_valid > 0, med, 0.0)
+
+
+def median_test(
+    u: jnp.ndarray, v: jnp.ndarray, threshold: float = 2.0
+) -> jnp.ndarray:
+    """Classic median test: flag vectors deviating from the neighbourhood
+    median by more than ``threshold`` (in velocity units, both components).
+    Returns a bool invalid-mask of the field shape."""
+    bad = jnp.zeros(u.shape, bool)
+    for f in (u, v):
+        med = _nanmedian8(_neighbors(f))
+        bad = bad | (jnp.abs(f - med) > threshold)
+    return bad
+
+def normalized_median_test(
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    threshold: float = 2.0,
+    eps: float = 0.1,
+) -> jnp.ndarray:
+    """Universal outlier detection (Westerweel & Scarano 2005).
+
+    ``r = |u - med| / (med(|u_j - med|) + eps)`` over the 3x3 neighbourhood;
+    a vector is invalid when ``r > threshold`` in either component.  The
+    default threshold 2 and eps 0.1 px are the published universal values.
+    """
+    bad = jnp.zeros(u.shape, bool)
+    for f in (u, v):
+        nb = _neighbors(f)
+        med = _nanmedian8(nb)
+        resid = _nanmedian8(jnp.abs(nb - med[None]))
+        r = jnp.abs(f - med) / (resid + eps)
+        bad = bad | (r > threshold)
+    return bad
+
+
+def apply_median_filter(
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    invalid: Optional[jnp.ndarray],
+    mode: str,
+    threshold: float = 2.0,
+) -> jnp.ndarray:
+    """Combine the configured median-family test with an existing mask."""
+    if mode == "median":
+        extra = median_test(u, v, threshold)
+    elif mode == "normmedian":
+        extra = normalized_median_test(u, v, threshold)
+    else:
+        raise ValueError(f"unknown median_filter {mode!r}")
+    return extra if invalid is None else (invalid | extra)
