@@ -202,7 +202,8 @@ def test_correlate_matmul_matches_fft(rng):
 
 
 class TestSAD:
-    def test_fast_sad_locates_integer_shift(self, rng):
+    def test_fast_sad_locates_integer_shift(self):
+        rng = np.random.default_rng(6)
         from torchpiv_tpu.ops.sad import fast_sad
 
         # windows where B is A shifted by (+3, -2): SAD minimum at the shift
