@@ -99,3 +99,23 @@ def test_gui_import_without_qt():
 
     with pytest.raises(ImportError, match="PyQt5"):
         torchpiv_tpu.gui.runGUI()
+
+
+def test_cli_view(folder, tmp_path, monkeypatch):
+    monkeypatch.setenv("TORCHPIV_TPU_CONFIG_DIR", str(tmp_path / "cfg"))
+    rc = cli_main([
+        "run", folder, "--device", "cpu", "--wind-size", "64",
+        "--overlap", "32", "--save", "Save statistics",
+        "--save-dir", str(tmp_path / "o"),
+    ])
+    assert rc == 0
+    table = [f for f in os.listdir(tmp_path / "o") if f.endswith(".txt")][0]
+    monkeypatch.chdir(tmp_path)
+    rc = cli_main(["view", str(tmp_path / "o" / table), "--field", "Vx[m/s]",
+                   "--streamlines"])
+    assert rc == 0
+    pngs = [f for f in os.listdir(tmp_path) if f.endswith(".png")]
+    assert pngs and os.path.getsize(tmp_path / pngs[0]) > 5000
+    # unknown field -> helpful error
+    rc = cli_main(["view", str(tmp_path / "o" / table), "--field", "nope"])
+    assert rc == 1

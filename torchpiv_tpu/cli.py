@@ -138,6 +138,30 @@ def cmd_watch(args) -> int:
     return 0
 
 
+def cmd_view(args) -> int:
+    """Render a saved PIV table to a PNG (the GUI's open-saved-file flow,
+    headless; reference Database.load + PIVcanvas)."""
+    from .gui import viz
+    from .utils.database import Database
+
+    db = Database()
+    db.load(args.table)
+    data = db.get()
+    key = args.field
+    if key not in data:
+        candidates = [k for k in data if k not in ("x[mm]", "y[mm]")]
+        print(f"field {key!r} not in table; available: {candidates}",
+              file=sys.stderr)
+        return 1
+    out = args.out or f"{db.name}_{key[:key.find('[')]}.png".replace("/", "_")
+    viz.render_field(
+        data, key, streamlines=args.streamlines, out_path=out,
+        vmin=args.vmin, vmax=args.vmax,
+    )
+    print(out)
+    return 0
+
+
 def cmd_gui(args) -> int:
     from .gui import runGUI
 
@@ -174,6 +198,15 @@ def main(argv=None) -> int:
     p_watch.add_argument("--file-fmt", default=".bmp")
     p_watch.add_argument("--idle-timeout", type=float, default=None)
     p_watch.set_defaults(fn=cmd_watch)
+
+    p_view = sub.add_parser("view", help="render a saved PIV table to PNG")
+    p_view.add_argument("table", help="saved statistics/pair .txt table")
+    p_view.add_argument("--field", default="Vy[m/s]")
+    p_view.add_argument("--out", default=None)
+    p_view.add_argument("--streamlines", action="store_true")
+    p_view.add_argument("--vmin", type=float, default=None)
+    p_view.add_argument("--vmax", type=float, default=None)
+    p_view.set_defaults(fn=cmd_view)
 
     p_gui = sub.add_parser("gui", help="launch the Qt GUI (requires PyQt5)")
     p_gui.set_defaults(fn=cmd_gui)
