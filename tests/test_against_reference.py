@@ -151,3 +151,27 @@ def test_cws_iteration_matches_reference(ref, frames):
     assert np.sqrt(np.mean(d**2)) < 1e-3
     d = np.abs(gv - rv)[both]
     assert np.sqrt(np.mean(d**2)) < 1e-3
+
+
+def test_dws_iteration_matches_reference(ref, frames):
+    import torch
+
+    fa, fb = frames
+    tu, tv, tx, ty, tval = ref.extended_search_area_piv(
+        torch.tensor(fa, dtype=torch.uint8),
+        torch.tensor(fb, dtype=torch.uint8),
+        window_size=64, overlap=32, validate=True,
+    )
+    it = ref.piv_iteration_DWS((256, 256), 32, 16, torch.device("cpu"))
+    ru, rv, rx, ry, rval = it(
+        torch.tensor(fa, dtype=torch.uint8),
+        torch.tensor(fb, dtype=torch.uint8),
+        tx, ty, tu.copy(), tv.copy(), tval.copy(),
+    )
+    gu, gv, gx, gy, gval = golden.dws_iteration(
+        fa, fb, tx, ty, tu.copy(), tv.copy(), tval.copy(), 32, 16
+    )
+    both = ~(gval | rval)
+    assert (gval == rval).mean() > 0.98
+    d = np.abs(gu - ru)[both]
+    assert np.sqrt(np.mean(d**2)) < 1e-3
