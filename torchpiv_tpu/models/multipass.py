@@ -158,7 +158,8 @@ class MultipassPIV:
                 interpret=cfg.pallas_interpret, min_subtract=True,
             )
         return correlation_to_displacement(
-            min_subtract(corr), validate, cfg.val_ratio, cfg.validation_window
+            corr, validate, cfg.val_ratio, cfg.validation_window,
+            min_subtract=True,
         )
 
     def _use_pallas(self) -> bool:

@@ -38,11 +38,16 @@ def correlation_to_displacement(
     validate: bool = True,
     val_ratio: float = 1.2,
     validation_window: int = 3,
+    min_subtract: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
     """Batched sub-pixel displacement from correlation maps.
 
     Args:
-      corr: ``[N, d, k]`` min-subtracted correlation maps (d == k).
+      corr: ``[N, d, k]`` min-subtracted correlation maps (d == k) — or RAW
+        maps with ``min_subtract=True``, in which case the per-window min
+        handling happens here on scalars: the argmax is invariant to the
+        per-window constant, so the big map tensor makes fewer HBM passes
+        than a separate ``ops.min_subtract`` (semantically identical).
       validate: compute the peak-ratio validation mask.
       val_ratio: windows with ``first_peak / second_peak < val_ratio`` are
         flagged invalid (reference default 1.2).
@@ -58,8 +63,12 @@ def correlation_to_displacement(
     kd = k * d
     fdt = corr.dtype
 
-    corr = corr + jnp.asarray(EPS, fdt)
     flat = corr.reshape(n, kd)
+    if min_subtract:
+        mn = jnp.min(flat, axis=-1)
+        shift = jnp.asarray(EPS, fdt) - mn  # value adjustment per window
+    else:
+        shift = jnp.asarray(EPS, fdt)
     m = jnp.argmax(flat, axis=-1).astype(jnp.int32)
 
     # Flat-index neighbours with the reference's edge replacement (:385-392).
@@ -69,7 +78,7 @@ def correlation_to_displacement(
     bot = jnp.where(m - k <= 0, m, m - k)
 
     def take(idx):
-        return jnp.take_along_axis(flat, idx[:, None], axis=-1)[:, 0]
+        return jnp.take_along_axis(flat, idx[:, None], axis=-1)[:, 0] + shift
 
     cm, cl, cr, ct, cb = take(m), take(left), take(right), take(top), take(bot)
     lcm, lcl, lcr, lct, lcb = (jnp.log(c) for c in (cm, cl, cr, ct, cb))
@@ -105,11 +114,14 @@ def correlation_to_displacement(
         hi_clamped = (m + (w + k * w)) > kd - 1
         excl = excl.at[:, 0].set(excl[:, 0] | lo_clamped)
         excl = excl.at[:, kd - 1].set(excl[:, kd - 1] | hi_clamped)
-        # Map values are >= EPS > 0 everywhere, so the max over the zeroed
-        # map equals the max over the exclusion-masked map (reference reads
-        # the value at the second argmax from the un-zeroed map — identical
-        # because excluded positions never win the argmax).
-        c2 = jnp.max(jnp.where(excl, 0.0, flat), axis=-1)
+        # Map values are >= EPS > 0 everywhere after the shift, so the max
+        # over the zeroed map equals the max over the exclusion-masked map
+        # (reference reads the value at the second argmax from the un-zeroed
+        # map — identical because excluded positions never win the argmax).
+        # The floor at 0 reproduces the all-excluded degenerate case.
+        c2 = jnp.maximum(
+            jnp.max(jnp.where(excl, -jnp.inf, flat), axis=-1) + shift, 0.0
+        )
         invalid = (cm / c2) < val_ratio
         degenerate = (left >= kd - 1) & (right <= 0) & (top >= kd - 1) & (bot <= 0)
         invalid = invalid | degenerate
