@@ -167,3 +167,27 @@ def test_dense_16px_75pct_overlap():
     assert sel.mean() > 0.5  # tiny windows validate aggressively
     assert abs(np.median(u[sel]) - 1.2) < 0.15
     assert abs(np.median(v[sel]) + 0.7) < 0.15
+
+
+def test_degenerate_black_frames():
+    """Featureless frames: outputs stay finite and validation flags
+    (nearly) everything — no NaN/Inf escapes the engine."""
+    fa = np.zeros((128, 128), dtype=np.uint8)
+    fb = np.zeros((128, 128), dtype=np.uint8)
+    cfg = PIVConfig(frame_shape=(128, 128), wind_size=32, overlap=16,
+                    multipass=2)
+    u, v, inval = jax.jit(MultipassPIV(cfg))(jnp.asarray(fa), jnp.asarray(fb))
+    assert np.isfinite(np.asarray(u)).all()
+    assert np.isfinite(np.asarray(v)).all()
+
+
+def test_saturated_frames():
+    fa = np.full((128, 128), 255, dtype=np.uint8)
+    fb = np.full((128, 128), 255, dtype=np.uint8)
+    cfg = PIVConfig(frame_shape=(128, 128), wind_size=32, overlap=16)
+    u, v, inval = jax.jit(MultipassPIV(cfg))(jnp.asarray(fa), jnp.asarray(fb))
+    # FFT noise on constant windows creates spurious peak structure the
+    # reference algorithm may call "valid" — the contract is only that
+    # nothing non-finite escapes
+    assert np.isfinite(np.asarray(u)).all()
+    assert np.isfinite(np.asarray(v)).all()
