@@ -19,13 +19,11 @@ Semantics vs the reference (PIVbackend.py:147-216) and the XLA path:
 
 * shifts are clamped to a static ``max_shift`` (default ``wind_size // 2``,
   physically the largest displacement a correlation window can detect);
-* tile origins clamp to the frame rectangle (2-D clamp) instead of the
-  reference's flat-index clamp.  For every window whose sampled region stays
-  inside the frame the two are IDENTICAL (flat addressing of an in-bounds
-  rectangle wraps columns exactly like the reference's flat indices); they
-  can differ only on the outermost ring of windows, for which
-  ``models.multipass`` substitutes the exact XLA gather when
-  ``edge_exact=True`` (the default);
+* with ``flat_wrap`` (the default) the kernel samples a padded frame built by
+  ``flat_wrap_pad`` whose borders reproduce the reference's flat-index
+  clamped addressing EXACTLY (wrapped columns, clamped corners), so even the
+  frame-edge windows match the reference bit-for-bit for integer shifts;
+  ``flat_wrap=False`` clamps tiles to the frame rectangle instead;
 * fractional weights are per-window scalars (the reference computes them per
   pixel in f32, where they vary only by ~1e-4 rounding; the discrete
   integer-shift fallback — floor corner when either axis shift is integer —
