@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -52,9 +53,11 @@ def correlate_matmul(images_a: jnp.ndarray, images_b: jnp.ndarray) -> jnp.ndarra
     inverse transform matrix.
     """
     n = images_a.shape[-1]
-    F, Fs = _dft_matrices(n)
-    F = jnp.asarray(F)
-    Fs = jnp.asarray(Fs)
+    F_np, Fs_np = _dft_matrices(n)
+    F = jnp.asarray(F_np)
+    Fs = jnp.asarray(Fs_np)
+    Fr = jnp.asarray(np.real(F_np).astype(np.float32))
+    Fi = jnp.asarray(np.imag(F_np).astype(np.float32))
 
     # precision='high' = bf16_3x passes (~f32 accuracy, half the cost of
     # 'highest'/bf16_6x on the MXU); parity impact ~1e-6 relative, verified
@@ -63,10 +66,16 @@ def correlate_matmul(images_a: jnp.ndarray, images_b: jnp.ndarray) -> jnp.ndarra
         return jnp.matmul(a, b, precision="high")
 
     def dft2(x):
-        return mm(mm(F, x.astype(jnp.complex64)), F)
+        # Stage 1 on REAL input as two real matmuls — avoids materialising
+        # an explicitly-zero imaginary plane (the f32->c64 convert alone
+        # cost ~2.6 ms/pair at 4 MP) and its wasted MXU work.  Stage 2 stays
+        # complex64: XLA's complex dot lowering is the fastest variant
+        # measured on v5e.
+        y = jax.lax.complex(mm(Fr, x), mm(Fi, x))
+        return mm(y, F)
 
-    A = dft2(images_a.reshape(-1, n, n))
-    B = dft2(images_b.reshape(-1, n, n))
+    A = dft2(images_a.reshape(-1, n, n).astype(jnp.float32))
+    B = dft2(images_b.reshape(-1, n, n).astype(jnp.float32))
     C = jnp.conj(A) * B
     out = mm(mm(Fs, C), Fs.T)
     return jnp.real(out).reshape(images_a.shape)
