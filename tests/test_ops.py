@@ -234,3 +234,45 @@ class TestSAD:
         out = np.asarray(batch_normalize(jnp.asarray(w)))
         assert np.allclose(out.min(axis=(-2, -1)), 0)
         assert np.allclose(out.max(axis=(-2, -1)), 1)
+
+
+class TestFusedInfill:
+    def test_reproduces_linear_field_exactly(self):
+        """Harmonic (Jacobi) infill of holes in a linear field must converge
+        back to the plane — linear functions are harmonic."""
+        from torchpiv_tpu.ops.infill import fused_infill
+
+        yy, xx = np.mgrid[0:20, 0:24].astype(np.float32)
+        field = 2.0 + 0.3 * xx - 0.1 * yy
+        invalid = np.zeros_like(field, bool)
+        invalid[8:12, 10:15] = True
+        invalid[3, 3] = True
+        holes = jnp.where(jnp.asarray(invalid), jnp.nan, jnp.asarray(field))
+        filled = np.asarray(
+            jax.jit(lambda f, m: fused_infill(f, m, iters=400))(
+                holes, jnp.asarray(invalid)
+            )
+        )
+        np.testing.assert_allclose(filled, field, atol=1e-3)
+
+    def test_matches_exact_infill_on_smooth_field(self, rng):
+        from torchpiv_tpu.ops.infill import (
+            fill_missing_values,
+            fused_infill,
+            interpolate_borders,
+        )
+
+        yy, xx = np.mgrid[0:16, 0:16].astype(np.float64)
+        field = np.sin(xx / 5) + 0.5 * np.cos(yy / 4)
+        invalid = np.zeros_like(field, bool)
+        invalid[6:9, 6:10] = True
+        withnan = np.where(invalid, np.nan, field)
+        exact = fill_missing_values(interpolate_borders(withnan.copy()))
+        fused = np.asarray(
+            fused_infill(jnp.asarray(withnan, dtype=jnp.float32),
+                         jnp.asarray(invalid), iters=300)
+        )
+        # both are interpolants of the same boundary data; they agree to the
+        # field's curvature scale
+        d = np.abs(fused - exact)[invalid]
+        assert d.max() < 0.08  # harmonic vs Delaunay differ at curvature scale
