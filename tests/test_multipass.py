@@ -191,3 +191,26 @@ def test_saturated_frames():
     # nothing non-finite escapes
     assert np.isfinite(np.asarray(u)).all()
     assert np.isfinite(np.asarray(v)).all()
+
+
+def test_window_deformation_beats_cws_on_strong_shear():
+    """DEF mode (deforming windows, beyond the reference) reduces the
+    gradient bias of pure-translation CWS on a strong shear flow."""
+    du_dy = 0.03  # ~2 px velocity variation across a 64 px window
+    fa, fb = particle_pair((512, 512), displacement=shear_flow(1.0, du_dy),
+                           seed=41, density=0.04)
+    errs = {}
+    for mode in ("CWS", "DEF"):
+        cfg = PIVConfig(frame_shape=(512, 512), wind_size=64, overlap=32,
+                        multipass=2, multipass_mode=mode)
+        engine = MultipassPIV(cfg)
+        u, v, inval = jax.jit(engine)(jnp.asarray(fa), jnp.asarray(fb))
+        u, inval = np.asarray(u), np.asarray(inval)
+        x, y = engine.final_coordinates
+        expected = 1.0 + du_dy * y
+        sel = ~inval
+        sel[:3] = sel[-3:] = False
+        sel[:, :3] = sel[:, -3:] = False
+        errs[mode] = np.sqrt(np.mean((u[sel] - expected[sel]) ** 2))
+    assert errs["DEF"] < 0.3
+    assert errs["DEF"] <= errs["CWS"] * 1.05  # at least as good as CWS

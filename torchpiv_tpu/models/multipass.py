@@ -99,7 +99,7 @@ class PIVConfig:
         H, W = self.frame_shape
         if self.wind_size > H or self.wind_size > W:
             raise ValueError("window size cannot be larger than the image")
-        if self.multipass_mode not in ("CWS", "DWS"):
+        if self.multipass_mode not in ("CWS", "DWS", "DEF"):
             raise ValueError(f"unknown multipass_mode {self.multipass_mode!r}")
         if self.use_pallas not in ("auto", "on", "off"):
             raise ValueError(f"unknown use_pallas {self.use_pallas!r}")
@@ -266,6 +266,37 @@ class MultipassPIV:
                 v0 = jnp.where(val0, 0.0, v0)
             aa = self._shift(p, frame_a, -u2.reshape(-1), -v2.reshape(-1), dt, "CWS")
             bb = self._shift(p, frame_b, u2.reshape(-1), v2.reshape(-1), dt, "CWS")
+        elif cfg.multipass_mode == "DEF":
+            # Window deformation (Scarano 2002, beyond the reference): each
+            # window is resampled with a locally-linearised displacement
+            # field — the per-window half shift plus its spatial gradient
+            # across the window, symmetric between frames.  Eliminates the
+            # gradient bias of pure-translation CWS in shear/rotation.
+            u2 = u0 / 2.0
+            v2 = v0 / 2.0
+            if validate:
+                u0 = jnp.where(val0, 0.0, u0)
+                v0 = jnp.where(val0, 0.0, v0)
+            step = w - o
+            dudy, dudx = jnp.gradient(u2, step, step)
+            dvdy, dvdx = jnp.gradient(v2, step, step)
+            off = jnp.arange(w, dtype=dt) - (w - 1) / 2.0
+            n_w = n_rows * n_cols
+
+            def dense(center, gx_, gy_):
+                return (
+                    center.reshape(n_w, 1, 1)
+                    + gx_.reshape(n_w, 1, 1) * off[None, None, :]
+                    + gy_.reshape(n_w, 1, 1) * off[None, :, None]
+                )
+
+            du_d = dense(u2, dudx, dudy)
+            dv_d = dense(v2, dvdx, dvdy)
+            row0w, col0w = self.origins[p]
+            aa = cws_shift(frame_a, jnp.asarray(row0w), jnp.asarray(col0w),
+                           w, -du_d, -dv_d, dt)
+            bb = cws_shift(frame_b, jnp.asarray(row0w), jnp.asarray(col0w),
+                           w, du_d, dv_d, dt)
         else:  # DWS: predictor zeroed BEFORE rounding (reference :779-786)
             if validate:
                 u0 = jnp.where(val0, 0.0, u0)

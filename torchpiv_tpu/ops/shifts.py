@@ -58,7 +58,8 @@ def cws_shift(
     Args:
       frame: 2-D frame (any integer/float dtype).
       row0w, col0w: ``[N]`` static window origins (``per_window_origins``).
-      vel_x, vel_y: ``[N]`` per-window shift in pixels (float).
+      vel_x, vel_y: ``[N]`` per-window shift in pixels (float), or
+        ``[N, w, w]`` per-PIXEL shifts (window-deformation mode).
 
     Returns ``[N, w, w]`` float windows.  Mirrors reference
     ``biliniar_interpolation_CWS`` (PIVbackend.py:147-194).
@@ -68,8 +69,11 @@ def cws_shift(
     flat = frame.reshape(-1)
 
     gy, gx = _window_pixel_grids(row0w, col0w, wind_size)
-    new_y = gy.astype(dtype) + vel_y[:, None, None].astype(dtype)
-    new_x = gx.astype(dtype) + vel_x[:, None, None].astype(dtype)
+    if vel_x.ndim == 1:
+        vel_x = vel_x[:, None, None]
+        vel_y = vel_y[:, None, None]
+    new_y = gy.astype(dtype) + vel_y.astype(dtype)
+    new_x = gx.astype(dtype) + vel_x.astype(dtype)
 
     up_x = jnp.ceil(new_x).astype(jnp.int32)
     up_y = jnp.ceil(new_y).astype(jnp.int32)

@@ -9,7 +9,7 @@ statistics files match the reference's byte-for-column).
 """
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Optional
+from typing import Dict, Iterable
 
 import numpy as np
 
