@@ -214,3 +214,35 @@ def test_window_deformation_beats_cws_on_strong_shear():
         errs[mode] = np.sqrt(np.mean((u[sel] - expected[sel]) ** 2))
     assert errs["DEF"] < 0.3
     assert errs["DEF"] <= errs["CWS"] * 1.05  # at least as good as CWS
+
+
+def test_ensemble_correlation_averaging_rescues_sparse_seeding():
+    """With very sparse seeding single pairs mostly fail validation, but
+    averaging correlation planes across the batch recovers the flow."""
+    from torchpiv_tpu.models.ensemble_corr import EnsemblePIV
+
+    pairs = [particle_pair((256, 256), displacement=(2.5, -1.5), seed=300 + i,
+                           density=0.0015, noise=4.0) for i in range(16)]
+    fa = jnp.asarray(np.stack([p[0] for p in pairs]))
+    fb = jnp.asarray(np.stack([p[1] for p in pairs]))
+    cfg = PIVConfig(frame_shape=(256, 256), wind_size=32, overlap=16,
+                    multipass=1)
+
+    # single-pair baseline: sparse seeding -> many invalid vectors
+    single = MultipassPIV(cfg)
+    _, _, iv1 = jax.jit(single)(fa[0], fb[0])
+    single_invalid = float(np.asarray(iv1).mean())
+
+    ens = EnsemblePIV(cfg)
+    u, v, inval = jax.jit(ens)(fa, fb)
+    u, v, inval = map(np.asarray, (u, v, inval))
+    assert inval.mean() < single_invalid  # averaging helps validation
+    sel = ~inval
+    assert sel.mean() > 0.8
+    assert abs(np.median(u[sel]) - 2.5) < 0.2
+    assert abs(np.median(v[sel]) + 1.5) < 0.2
+
+    # multipass config rejected
+    with pytest.raises(ValueError, match="single-pass"):
+        EnsemblePIV(PIVConfig(frame_shape=(256, 256), wind_size=32,
+                              overlap=16, multipass=2))

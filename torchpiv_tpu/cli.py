@@ -22,7 +22,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--wind-size", type=int, default=64)
     p.add_argument("--overlap", type=int, default=32)
     p.add_argument("--multipass", type=int, default=1)
-    p.add_argument("--multipass-mode", choices=["CWS", "DWS"], default="CWS")
+    p.add_argument("--multipass-mode", choices=["CWS", "DWS", "DEF"], default="CWS")
     p.add_argument("--multipass-scale", type=float, default=2.0)
     p.add_argument("--scale", type=float, default=1.0, help="mm per pixel")
     p.add_argument("--dt", type=float, default=1.0, help="frame interval, us")
