@@ -223,3 +223,38 @@ def test_fused_infill_pipeline_skips_host_tail(tmp_path):
                       wind_size=32, overlap=16)
     _, _, u2, v2 = next(piv2())
     assert np.quantile(np.abs(u - u2), 0.8) < 1.0
+
+
+def test_background_subtraction_improves_glare_case(tmp_path):
+    """A bright stationary glare spot corrupts correlations; 'auto'
+    background subtraction (temporal minimum) removes it."""
+    rng = np.random.default_rng(77)
+    yy, xx = np.mgrid[0:256, 0:256]
+    glare = (200 * np.exp(-((yy - 128) ** 2 + (xx - 128) ** 2) / (2 * 40**2)))
+    for i in range(3):
+        fa, fb = particle_pair((256, 256), displacement=(2.0, 1.0),
+                               seed=400 + i, background=5.0, noise=1.0)
+        fa = np.clip(fa.astype(np.int32) + glare, 0, 255).astype(np.uint8)
+        fb = np.clip(fb.astype(np.int32) + glare, 0, 255).astype(np.uint8)
+        imwrite_gray(str(tmp_path / f"g{i}_a.bmp"), fa)
+        imwrite_gray(str(tmp_path / f"g{i}_b.bmp"), fb)
+
+    def median_err(**kw):
+        piv = OfflinePIV(str(tmp_path), device="cpu", file_fmt=".bmp",
+                         wind_size=32, overlap=16, **kw)
+        errs = []
+        for x, y, u, v in piv():
+            errs.append(abs(np.median(u) - 2000.0))
+        return np.mean(errs)
+
+    e_plain = median_err()
+    e_bg = median_err(background="auto")
+    assert e_bg <= e_plain + 1e-9
+    assert e_bg < 100  # recovered 2 px * 1000 within 5%
+
+    from torchpiv_tpu.io.dataset import PIVDataset, compute_background
+
+    bg = compute_background(PIVDataset(str(tmp_path), ".bmp", "pairs"))
+    assert bg is not None
+    # glare survives the temporal minimum
+    assert bg[128, 128] > 100

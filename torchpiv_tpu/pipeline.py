@@ -137,6 +137,7 @@ class OfflinePIV:
         decode_threads: int = 4,
         skip_pairs: int = 0,
         mesh=None,
+        background="none",
         engine_options: Optional[dict] = None,
     ) -> None:
         self._wind_size = wind_size
@@ -160,6 +161,20 @@ class OfflinePIV:
             **(engine_options or {}),
         )
         self._mesh = mesh
+        # Background subtraction (beyond the reference): "auto" computes the
+        # temporal-minimum image over the first pairs; an array uses it
+        # directly; "none" disables.
+        if isinstance(background, str):
+            if background == "auto":
+                from .io.dataset import compute_background
+
+                self._background = compute_background(self._dataset)
+            elif background == "none":
+                self._background = None
+            else:
+                raise ValueError(f"unknown background option {background!r}")
+        else:
+            self._background = np.asarray(background, dtype=np.uint8)
         self._engine: Optional[MultipassPIV] = None
         self._batched_fn = None
         # Build the engine from the first *readable* pair (the reference
@@ -186,10 +201,20 @@ class OfflinePIV:
             self._batched_fn = sharded.jit()
             return
 
+        bg = (
+            jnp.asarray(self._background)
+            if self._background is not None
+            else None
+        )
+
         def batched(fa, fb):
             # One dispatch per batch: scan the fused per-pair graph.
             def step(carry, ab):
-                u, v, inval = self._engine(ab[0], ab[1])
+                a, b = ab
+                if bg is not None:  # saturating uint8 background subtract
+                    a = jnp.where(a > bg, a - bg, 0)
+                    b = jnp.where(b > bg, b - bg, 0)
+                u, v, inval = self._engine(a, b)
                 if inval is None:
                     inval = jnp.zeros(u.shape, dtype=bool)
                 return carry, (u, v, inval)
