@@ -119,3 +119,14 @@ def test_cli_view(folder, tmp_path, monkeypatch):
     # unknown field -> helpful error
     rc = cli_main(["view", str(tmp_path / "o" / table), "--field", "nope"])
     assert rc == 1
+
+
+def test_cli_run_with_extras(folder, tmp_path, monkeypatch):
+    """Median filter + background subtraction reachable from the CLI."""
+    monkeypatch.setenv("TORCHPIV_TPU_CONFIG_DIR", str(tmp_path / "cfg"))
+    rc = cli_main([
+        "run", folder, "--device", "cpu", "--wind-size", "64",
+        "--overlap", "32", "--median-filter", "normmedian",
+        "--background", "auto", "--save", "Dont save",
+    ])
+    assert rc == 0

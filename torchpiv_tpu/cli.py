@@ -35,6 +35,15 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument("--save-dir", default="./Out")
     p.add_argument("--no-validate", action="store_true")
+    p.add_argument(
+        "--median-filter", choices=["none", "median", "normmedian"],
+        default="none",
+        help="extra vector-field outlier test on top of peak-ratio validation",
+    )
+    p.add_argument(
+        "--background", choices=["none", "auto"], default="none",
+        help="temporal-minimum background subtraction before analysis",
+    )
     p.add_argument("-v", "--verbose", action="store_true")
 
 
@@ -70,11 +79,16 @@ def cmd_run(args) -> int:
             last["pct"] = pct
             print(f"\rprogress: {pct:3d}%", end="", file=sys.stderr, flush=True)
 
+    engine_options = {}
+    if args.median_filter != "none":
+        engine_options["median_filter"] = args.median_filter
     runner = PIVRunner(
         params,
         on_progress=on_progress,
         batch_size=args.batch_size,
         validate=not args.no_validate,
+        background=args.background,
+        engine_options=engine_options or None,
     )
     table = runner.run()
     print("", file=sys.stderr)
