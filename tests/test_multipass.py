@@ -246,3 +246,30 @@ def test_ensemble_correlation_averaging_rescues_sparse_seeding():
     with pytest.raises(ValueError, match="single-pass"):
         EnsemblePIV(PIVConfig(frame_shape=(256, 256), wind_size=32,
                               overlap=16, multipass=2))
+
+
+def test_degenerate_schedule_rejected():
+    with pytest.raises(ValueError, match="degenerates"):
+        PIVConfig(frame_shape=(512, 512), wind_size=64, overlap=32,
+                  multipass=6)  # 64->32->16->8->4->2
+
+
+def test_validate_false_engine_and_sharded():
+    from torchpiv_tpu.parallel import ShardedPIV, make_mesh
+
+    fa, fb = particle_pair((256, 256), displacement=(2.0, 1.0), seed=13)
+    cfg = PIVConfig(frame_shape=(256, 256), wind_size=64, overlap=32,
+                    multipass=2, validate=False)
+    engine = MultipassPIV(cfg)
+    u, v, inval = jax.jit(engine)(jnp.asarray(fa), jnp.asarray(fb))
+    assert inval is None
+    assert np.isfinite(np.asarray(u)).all()
+
+    mesh = make_mesh({"pairs": 2, "windows": 2})
+    sharded = ShardedPIV(engine, mesh)
+    fa_b = jnp.stack([jnp.asarray(fa)] * 2)
+    fb_b = jnp.stack([jnp.asarray(fb)] * 2)
+    us, vs, invs = jax.jit(sharded)(fa_b, fb_b)
+    assert not np.asarray(invs).any()
+    d = np.abs(np.asarray(us[0]) - np.asarray(u))
+    assert np.median(d) < 1e-3

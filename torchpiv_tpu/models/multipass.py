@@ -53,7 +53,7 @@ class PIVConfig:
     wind_size: int = 64
     overlap: int = 32
     multipass: int = 1
-    multipass_mode: str = "CWS"  # "CWS" | "DWS"
+    multipass_mode: str = "CWS"  # "CWS" | "DWS" | "DEF" (deforming windows)
     multipass_scale: float = 2.0
     validate: bool = True
     val_ratio: float = 1.2
@@ -105,6 +105,14 @@ class PIVConfig:
             raise ValueError(f"unknown use_pallas {self.use_pallas!r}")
         if self.correlator not in ("auto", "fft", "matmul"):
             raise ValueError(f"unknown correlator {self.correlator!r}")
+        for p, (w, o) in enumerate(self.pass_schedule()):
+            # the reference would crash obscurely when the //scale schedule
+            # shrinks a window to nothing (PIVbackend.py:855-857)
+            if w < 4 or o >= w or o < 0:
+                raise ValueError(
+                    f"pass {p + 1} degenerates to window {w}, overlap {o} — "
+                    f"reduce multipass/multipass_scale"
+                )
 
 
 class MultipassPIV:
