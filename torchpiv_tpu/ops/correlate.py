@@ -43,6 +43,29 @@ def _dft_matrices(n: int):
     return F, Fs
 
 
+@lru_cache(maxsize=8)
+def _dft_matrices_half(n: int):
+    """Half-spectrum (rfft-style) constants for real-input correlation.
+
+    Real windows give a Hermitian spectrum along the transformed axis, so
+    only ``h = n//2 + 1`` columns are computed.  ``Mh`` is the
+    Hermitian-doubled inverse column transform such that
+    ``real(D_half @ Mh) == real(D_full @ Fs.T)`` when ``D_full`` has the
+    symmetry ``D[:, j] == conj(D[:, n-j])`` — one matmul at half width
+    replaces the full-width complex product.
+    """
+    h = n // 2 + 1
+    F, Fs = _dft_matrices(n)
+    F = np.asarray(F, dtype=np.complex64)
+    FsT = np.asarray(Fs, dtype=np.complex64).T  # [n, n]
+    w = np.ones(h, dtype=np.complex64)
+    w[0] = 0.0
+    if n % 2 == 0:
+        w[h - 1] = 0.0
+    Mh = FsT[:h] + w[:, None] * np.conj(FsT[(n - np.arange(h)) % n])
+    return F[:, :h].copy(), Mh.astype(np.complex64)
+
+
 def correlate_matmul(images_a: jnp.ndarray, images_b: jnp.ndarray) -> jnp.ndarray:
     """Cross-correlation with the DFTs computed as dense matmuls on the MXU.
 
@@ -54,10 +77,12 @@ def correlate_matmul(images_a: jnp.ndarray, images_b: jnp.ndarray) -> jnp.ndarra
     """
     n = images_a.shape[-1]
     F_np, Fs_np = _dft_matrices(n)
+    Fh_np, Mh_np = _dft_matrices_half(n)
     F = jnp.asarray(F_np)
     Fs = jnp.asarray(Fs_np)
-    Fr = jnp.asarray(np.real(F_np).astype(np.float32))
-    Fi = jnp.asarray(np.imag(F_np).astype(np.float32))
+    Mh = jnp.asarray(Mh_np)
+    Fhr = jnp.asarray(np.real(Fh_np).astype(np.float32))
+    Fhi = jnp.asarray(np.imag(Fh_np).astype(np.float32))
 
     # precision='high' = bf16_3x passes (~f32 accuracy, half the cost of
     # 'highest'/bf16_6x on the MXU); parity impact ~1e-6 relative, verified
@@ -65,20 +90,21 @@ def correlate_matmul(images_a: jnp.ndarray, images_b: jnp.ndarray) -> jnp.ndarra
     def mm(a, b):
         return jnp.matmul(a, b, precision="high")
 
-    def dft2(x):
-        # Stage 1 on REAL input as two real matmuls — avoids materialising
-        # an explicitly-zero imaginary plane (the f32->c64 convert alone
-        # cost ~2.6 ms/pair at 4 MP) and its wasted MXU work.  Stage 2 stays
-        # complex64: XLA's complex dot lowering is the fastest variant
-        # measured on v5e.
-        y = jax.lax.complex(mm(Fr, x), mm(Fi, x))
-        return mm(y, F)
+    def dft2_half(x):
+        # Columns first, at half width (real input -> Hermitian spectrum;
+        # two real matmuls, no materialised zero-imag plane), then the row
+        # transform on the already-halved complex tensor.
+        t = jax.lax.complex(mm(x, Fhr), mm(x, Fhi))
+        return mm(F, t)
 
-    A = dft2(images_a.reshape(-1, n, n).astype(jnp.float32))
-    B = dft2(images_b.reshape(-1, n, n).astype(jnp.float32))
-    C = jnp.conj(A) * B
-    out = mm(mm(Fs, C), Fs.T)
-    return jnp.real(out).reshape(images_a.shape)
+    A = dft2_half(images_a.reshape(-1, n, n).astype(jnp.float32))
+    B = dft2_half(images_b.reshape(-1, n, n).astype(jnp.float32))
+    C = jnp.conj(A) * B  # inherits the half-spectrum symmetry
+    # inverse: rows at half width, then the Hermitian-doubled column
+    # transform recovers the (real) correlation map directly.
+    D = mm(Fs, C)
+    out = jnp.real(mm(D, Mh))
+    return out.reshape(images_a.shape)
 
 
 def mean_normalize(windows: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
