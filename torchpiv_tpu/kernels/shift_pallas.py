@@ -101,14 +101,17 @@ def _shift_kernel(
         # Mosaic needs provably aligned vector-load offsets: load an aligned
         # superset block, then rotate the sub-tile into place (dynamic
         # rotates are cheap VPU ops; unaligned loads are not expressible).
+        # Order matters: the lane rotate must run on the full 256-lane block,
+        # but cropping columns FIRST makes the row rotate operate on a
+        # (w+8, w+1)-lane sliver — a fraction of the register traffic.
         t8 = pl.multiple_of((ty // 8) * 8, 8)
         s_row = ty - t8
         a = pl.multiple_of(jnp.clip((tx // 128) * 128, 0, Wp - BLK_W), 128)
         s_col = tx - a
         block = band[slot, pl.ds(t8, BLK_H), pl.ds(a, BLK_W)]
+        block = pltpu.roll(block, BLK_W - s_col, 1)[:, : w + 1]
         block = pltpu.roll(block, BLK_H - s_row, 0)
-        block = pltpu.roll(block, BLK_W - s_col, 1)
-        tile = block[: w + 1, : w + 1]
+        tile = block[: w + 1, :]
 
         f11 = tile[:w, :w]
         f21 = tile[:w, 1:]
