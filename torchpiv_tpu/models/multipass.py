@@ -69,6 +69,9 @@ class PIVConfig:
     pallas_interpret: bool = False
     edge_exact: bool = True
     max_shift: Optional[int] = None
+    # shift-kernel variant: "rolls" (f32 band) | "bf16" (half-width band,
+    # two row phases, i32-bitcast rotates) | "phases" (16-phase bf16 table)
+    shift_variant: str = "rolls"
     # "matmul" computes the window DFTs as dense MXU matmuls (fastest on
     # TPU, ~1e-6 relative difference vs FFT); "fft" uses jnp.fft; "auto"
     # picks matmul on TPU backends.
@@ -209,6 +212,7 @@ class MultipassPIV:
             max_shift=cfg.max_shift,
             interpret=cfg.pallas_interpret,
             flat_wrap=cfg.edge_exact,
+            variant=cfg.shift_variant,
         )
 
     # -- public static info ------------------------------------------------
