@@ -258,3 +258,40 @@ def test_background_subtraction_improves_glare_case(tmp_path):
     assert bg is not None
     # glare survives the temporal minimum
     assert bg[128, 128] > 100
+
+
+def test_checkpoint_leaves_no_stray_tmp(tmp_path):
+    from torchpiv_tpu.stats import EnsembleAccumulator
+    from torchpiv_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    acc = EnsembleAccumulator()
+    u = np.ones((3, 4)); v = np.zeros((3, 4))
+    acc.add(u, v)
+    ckpt = str(tmp_path / "run.npz")
+    x = np.arange(4.0); y = np.arange(3.0)
+    save_checkpoint(ckpt, acc, 1, x, y)
+    save_checkpoint(ckpt, acc, 2, x, y)  # overwrite path too
+    leftovers = [p for p in os.listdir(tmp_path) if p != "run.npz"]
+    assert leftovers == []
+    restored = load_checkpoint(ckpt)
+    assert restored is not None and restored[1] == 2
+
+
+def test_imread_gray_rgb_luma_weights(tmp_path):
+    """Color fallback decode must weight R/G/B per BT.601 in RGB order."""
+    from torchpiv_tpu.io import decode
+
+    rgb = np.zeros((4, 6, 3), dtype=np.uint8)
+    rgb[..., 0] = 200  # pure red -> luma ~ 0.299*200 = 60
+    from PIL import Image
+
+    p = str(tmp_path / "red.png")
+    Image.fromarray(rgb, mode="RGB").save(p)
+    old_cv2 = decode.cv2
+    decode.cv2 = None  # force the imageio/PIL fallback path
+    try:
+        img = decode.imread_gray(p)
+    finally:
+        decode.cv2 = old_cv2
+    assert img is not None
+    assert abs(int(img[0, 0]) - round(0.299 * 200)) <= 1

@@ -162,3 +162,26 @@ def test_prefetcher_batches_and_skips(rng):
     for a, b, batch_ids in out:
         assert a.shape[0] == len(batch_ids)
         np.testing.assert_array_equal(b, a + 1)
+
+
+def test_streaming_source_pairs_across_polls_out_of_order(tmp_path):
+    """An ``_a`` frame must survive polls where its ``_b`` hasn't landed yet,
+    even when later pairs arrive in between (out-of-order writes)."""
+    src = StreamingPairSource(str(tmp_path), ".bmp", poll_interval=0.01)
+    (tmp_path / "img1_a.bmp").write_bytes(b"")
+    assert src._poll() == []  # lone _a: retained, not dropped
+    # img2 lands complete before img1_b does
+    (tmp_path / "img2_a.bmp").write_bytes(b"")
+    (tmp_path / "img2_b.bmp").write_bytes(b"")
+    pairs = src._poll()
+    assert [os.path.basename(a) for a, _ in pairs] == ["img2_a.bmp"]
+    # img1_b finally arrives -> the old img1_a still pairs
+    (tmp_path / "img1_b.bmp").write_bytes(b"")
+    pairs = src._poll()
+    assert [(os.path.basename(a), os.path.basename(b)) for a, b in pairs] == [
+        ("img1_a.bmp", "img1_b.bmp")
+    ]
+    # orphan _b frames are still dropped
+    (tmp_path / "img0_b.bmp").write_bytes(b"")
+    assert src._poll() == []
+    assert src._pending == []

@@ -92,9 +92,10 @@ def imread_gray(path: str) -> Optional[np.ndarray]:
             return None
     img = np.asarray(img)
     if img.ndim == 3:
-        # BT.601 luma, same weights cv2 uses for grayscale conversion
+        # BT.601 luma, same weights cv2 uses for grayscale conversion.
+        # imageio/PIL return RGB channel order (unlike cv2's BGR).
         img = (
-            0.114 * img[..., 0] + 0.587 * img[..., 1] + 0.299 * img[..., 2]
+            0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
             if img.shape[-1] == 3
             else img[..., 0]
         )

@@ -110,6 +110,7 @@ class StreamingPairSource:
         self._pending.extend(new)
         self._pending.sort(key=natural_keys)
         pairs = []
+        keep: List[str] = []
         i = 0
         fmt = self.file_fmt
         suf = len("_a" + fmt)
@@ -118,15 +119,17 @@ class StreamingPairSource:
             if not name.endswith("_a" + fmt):
                 i += 1  # orphan _b (or unsuffixed file): drop
                 continue
-            if i + 1 >= len(self._pending):
-                break  # trailing _a: wait for its _b to arrive
-            mate = self._pending[i + 1]
-            if mate.endswith("_b" + fmt) and mate[:-suf] == name[:-suf]:
-                pairs.append((name, mate))
-                i += 2
-            else:
-                i += 1  # _a whose _b never arrived: drop
-        self._pending = self._pending[i:]
+            if i + 1 < len(self._pending):
+                mate = self._pending[i + 1]
+                if mate.endswith("_b" + fmt) and mate[:-suf] == name[:-suf]:
+                    pairs.append((name, mate))
+                    i += 2
+                    continue
+            # ``_a`` whose ``_b`` hasn't landed yet: retain it across polls
+            # (writes may arrive out of order — img2_a/_b before img1_b)
+            keep.append(name)
+            i += 1
+        self._pending = keep
         return pairs
 
     def __iter__(self) -> Iterator[Tuple[str, str]]:

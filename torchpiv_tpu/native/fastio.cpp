@@ -41,7 +41,13 @@ int decode_bmp8_into(const uint8_t* buf, int64_t len, uint8_t* out, int64_t H,
   if (bpp != 8 || compression != 0 || width <= 0) return -3;
   const int64_t h = height > 0 ? height : -static_cast<int64_t>(height);
   if (width != W || h != H) return -4;
-  // palette: must be a gray ramp (identity not required; apply the ramp)
+  // palette: must be a gray ramp (identity not required; apply the ramp).
+  // Bounds-check against the actual file length first — dib and data_offset
+  // are both file-controlled, so comparing them only against each other
+  // would allow an out-of-bounds read on a corrupt header.
+  if (14 + static_cast<uint64_t>(dib) + 1024 > static_cast<uint64_t>(len) ||
+      data_offset > static_cast<uint64_t>(len))
+    return -5;
   const uint8_t* pal = buf + 14 + dib;
   if (pal + 1024 > buf + data_offset) return -5;
   uint8_t ramp[256];

@@ -7,6 +7,7 @@ degrades gracefully to the Python decoder when no compiler is available.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import logging
 import os
 import subprocess
@@ -39,8 +40,19 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         src = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fastio.cpp")
         so = os.path.join(_build_dir(), "libfastio.so")
+        tag = so + ".srchash"
         try:
-            if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+            # Only ever load a binary this process (or a prior run on this
+            # machine) built from the checked-out source: a sidecar hash of
+            # fastio.cpp gates the load, so a stale or foreign .so (e.g. from
+            # a copied checkout where mtimes are useless) is always rebuilt.
+            with open(src, "rb") as f:
+                src_hash = hashlib.sha256(f.read()).hexdigest()
+            built_from = None
+            if os.path.exists(tag):
+                with open(tag) as f:
+                    built_from = f.read().strip()
+            if not os.path.exists(so) or built_from != src_hash:
                 with tempfile.TemporaryDirectory() as td:
                     tmp_so = os.path.join(td, "libfastio.so")
                     subprocess.run(
@@ -49,6 +61,8 @@ def _load() -> Optional[ctypes.CDLL]:
                         check=True, capture_output=True,
                     )
                     os.replace(tmp_so, so)
+                with open(tag, "w") as f:
+                    f.write(src_hash)
             lib = ctypes.CDLL(so)
             lib.fastio_probe_bmp8.restype = ctypes.c_int
             lib.fastio_probe_bmp8.argtypes = [

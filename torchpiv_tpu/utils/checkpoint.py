@@ -25,21 +25,28 @@ def save_checkpoint(
     """Atomically persist the accumulator state, progress counter and grid."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(path)),
-                               suffix=".tmp")
-    os.close(fd)
-    np.savez(
-        tmp,
-        done=done,
-        n=acc.n,
-        x=x,
-        y=y,
-        mu=acc._mu if acc.n else np.zeros(0),
-        mv=acc._mv if acc.n else np.zeros(0),
-        muu=acc._muu if acc.n else np.zeros(0),
-        mvv=acc._mvv if acc.n else np.zeros(0),
-        muv=acc._muv if acc.n else np.zeros(0),
-    )
-    os.replace(tmp + ".npz", path)
+                               suffix=".npz")
+    try:
+        # write through the open handle so np.savez cannot append a second
+        # ".npz" suffix (which would leave the mkstemp file behind)
+        with os.fdopen(fd, "wb") as f:
+            np.savez(
+                f,
+                done=done,
+                n=acc.n,
+                x=x,
+                y=y,
+                mu=acc._mu if acc.n else np.zeros(0),
+                mv=acc._mv if acc.n else np.zeros(0),
+                muu=acc._muu if acc.n else np.zeros(0),
+                mvv=acc._mvv if acc.n else np.zeros(0),
+                muv=acc._muv if acc.n else np.zeros(0),
+            )
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise
 
 
 def load_checkpoint(
