@@ -89,6 +89,45 @@ def test_window_sharded_dws(batch):
     assert np.sqrt(np.mean(d**2)) < 0.01
 
 
+def test_window_sharded_def_mode(batch):
+    """Window-deformation (DEF) multipass over the windows axis matches the
+    single-device engine (gradients need cross-shard rows)."""
+    fa, fb = batch
+    eng = MultipassPIV(PIVConfig(frame_shape=(256, 256), wind_size=64,
+                                 overlap=32, multipass=2,
+                                 multipass_mode="DEF"))
+    mesh = make_mesh({"pairs": 2, "windows": 4})
+    sharded = ShardedPIV(eng, mesh)
+    u, v, inval = jax.jit(sharded)(fa[:2], fb[:2])
+    ru, rv, ri = jax.jit(jax.vmap(eng))(fa[:2], fb[:2])
+    agree = np.asarray(inval) == np.asarray(ri)
+    assert agree.mean() > 0.99
+    both = ~(np.asarray(inval) | np.asarray(ri)) & agree
+    for got, ref in ((u, ru), (v, rv)):
+        d = np.abs(np.asarray(got) - np.asarray(ref))[both]
+        assert np.sqrt(np.mean(d**2)) < 0.01
+
+
+def test_window_sharded_median_filter_and_fused_infill(batch):
+    """Median-filter validation and fused infill cross shard boundaries:
+    the sharded result must match the single-device engine."""
+    fa, fb = batch
+    eng = MultipassPIV(PIVConfig(frame_shape=(256, 256), wind_size=64,
+                                 overlap=32, multipass=2,
+                                 multipass_mode="CWS",
+                                 median_filter="normmedian",
+                                 infill="fused"))
+    mesh = make_mesh({"pairs": 2, "windows": 4})
+    sharded = ShardedPIV(eng, mesh)
+    u, v, inval = jax.jit(sharded)(fa[:2], fb[:2])
+    ru, rv, ri = jax.jit(jax.vmap(eng))(fa[:2], fb[:2])
+    agree = np.asarray(inval) == np.asarray(ri)
+    assert agree.mean() > 0.99
+    for got, ref in ((u, ru), (v, rv)):
+        d = np.abs(np.asarray(got) - np.asarray(ref))[agree]
+        assert np.sqrt(np.mean(d**2)) < 0.01
+
+
 def test_default_mesh_heuristic():
     mesh = default_piv_mesh()
     assert mesh.shape == {"pairs": 4, "windows": 2}
@@ -116,5 +155,8 @@ def test_offline_piv_over_mesh(tmp_path):
     for (x0, y0, u0, v0), (x1, y1, u1, v1) in zip(plain, sharded):
         np.testing.assert_array_equal(x0, x1)
         d = np.abs(u0 - u1)
+        # two-tier: almost all vectors agree to fit precision; a validation
+        # flip (f32 lowering difference) may re-route a rare vector through
+        # the host infill, so allow <1% of points to differ
         assert np.median(d) < 1e-3
-        assert np.quantile(d, 0.95) < 0.05 * 1000  # rare unstable-fit flips
+        assert (d > 0.05).mean() < 0.01

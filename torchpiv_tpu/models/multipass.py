@@ -31,12 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.correlate import (
-    correlate_fft,
-    correlate_matmul,
-    mean_normalize,
-    min_subtract,
-)
+from ..ops.correlate import correlate_fft, correlate_matmul
 from ..ops.geometry import get_coordinates, get_field_shape
 from ..ops.infill import fused_infill
 from ..ops.peakfit import correlation_to_displacement
@@ -146,13 +141,14 @@ class MultipassPIV:
             dt = jnp.dtype(config.dtype)
             self.upsamplers.append((jnp.asarray(Ay, dt), jnp.asarray(Ax, dt)))
 
-    def _correlate(self, aa, bb):
+    def _correlate(self, aa, bb, dc_normalize=False):
         """Raw circular cross-correlation (min subtraction happens in
-        ``_peakfit`` so the fused kernel can fold it in)."""
+        ``_peakfit`` so the fused kernel can fold it in; ``dc_normalize``
+        folds the first-pass mean normalisation into the spectrum product)."""
         c = self.config.correlator
         if c == "matmul" or (c == "auto" and jax.default_backend() == "tpu"):
-            return correlate_matmul(aa, bb)
-        return correlate_fft(aa, bb)
+            return correlate_matmul(aa, bb, dc_normalize)
+        return correlate_fft(aa, bb, dc_normalize)
 
     def _peakfit(self, corr, validate):
         """Min-subtraction + sub-pixel fit + validation on raw corr maps."""
@@ -233,9 +229,13 @@ class MultipassPIV:
         n_rows, n_cols = self.field_shapes[0]
         dt = jnp.dtype(cfg.dtype)
 
-        aa = mean_normalize(extract_windows(frame_a, w, o), dt)
-        bb = mean_normalize(extract_windows(frame_b, w, o), dt)
-        corr = self._correlate(aa, bb)
+        # Mean normalisation (reference batchNormalize, PIVbackend.py:513) is
+        # folded into the correlator's spectrum product (dc_normalize):
+        # bilinearity makes it one scalar per window there, instead of a
+        # full read+write pass over the window tensor here.
+        aa = extract_windows(frame_a, w, o).astype(dt)
+        bb = extract_windows(frame_b, w, o).astype(dt)
+        corr = self._correlate(aa, bb, dc_normalize=True)
         u, v, inval = self._peakfit(corr, cfg.validate)
         u = u.reshape(n_rows, n_cols)
         v = v.reshape(n_rows, n_cols)

@@ -16,15 +16,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def correlate_fft(images_a: jnp.ndarray, images_b: jnp.ndarray) -> jnp.ndarray:
+def correlate_fft(
+    images_a: jnp.ndarray, images_b: jnp.ndarray, dc_normalize: bool = False
+) -> jnp.ndarray:
     """Batched circular cross-correlation via rFFT over the last two dims.
 
     Peak at the (fftshifted) center means zero displacement.  Mirrors
     reference ``correalte_fft`` (PIVbackend.py:249-257).
+
+    ``dc_normalize`` folds the reference's per-window mean normalisation
+    (``batchNormalize``, PIVbackend.py:513-514) into the spectrum product:
+    correlation is bilinear, so ``corr(a/mean_a, b/mean_b) ==
+    corr(a, b) * w^4 / (A00 * B00)`` with ``A00 = sum(a)`` the DC
+    coefficient — one scalar multiply per window instead of materialising a
+    normalised copy of the whole window tensor.
     """
     fa = jnp.fft.rfft2(images_a)
     fb = jnp.fft.rfft2(images_b)
-    corr = jnp.fft.irfft2(jnp.conj(fa) * fb, s=images_a.shape[-2:])
+    prod = jnp.conj(fa) * fb
+    if dc_normalize:
+        n2 = float(images_a.shape[-2] * images_a.shape[-1])
+        dc = jnp.real(fa[..., :1, :1]) * jnp.real(fb[..., :1, :1])
+        prod = prod * (n2 * n2 / dc)
+    corr = jnp.fft.irfft2(prod, s=images_a.shape[-2:])
     return jnp.fft.fftshift(corr, axes=(-2, -1))
 
 
@@ -66,7 +80,9 @@ def _dft_matrices_half(n: int):
     return F[:, :h].copy(), Mh.astype(np.complex64)
 
 
-def correlate_matmul(images_a: jnp.ndarray, images_b: jnp.ndarray) -> jnp.ndarray:
+def correlate_matmul(
+    images_a: jnp.ndarray, images_b: jnp.ndarray, dc_normalize: bool = False
+) -> jnp.ndarray:
     """Cross-correlation with the DFTs computed as dense matmuls on the MXU.
 
     Mathematically identical to ``correlate_fft`` (up to f32 rounding): the
@@ -74,6 +90,11 @@ def correlate_matmul(images_a: jnp.ndarray, images_b: jnp.ndarray) -> jnp.ndarra
     runs far faster on the TPU's systolic array than XLA's FFT lowering
     (measured ~6x on the correlation stage).  fftshift is folded into the
     inverse transform matrix.
+
+    ``dc_normalize``: fold the per-window mean normalisation into the
+    spectrum product (see ``correlate_fft``) — the scalar multiply fuses
+    into the conj-product elementwise op, so the reference's
+    ``batchNormalize`` pass over the window tensor disappears entirely.
     """
     n = images_a.shape[-1]
     F_np, Fs_np = _dft_matrices(n)
@@ -100,6 +121,11 @@ def correlate_matmul(images_a: jnp.ndarray, images_b: jnp.ndarray) -> jnp.ndarra
     A = dft2_half(images_a.reshape(-1, n, n).astype(jnp.float32))
     B = dft2_half(images_b.reshape(-1, n, n).astype(jnp.float32))
     C = jnp.conj(A) * B  # inherits the half-spectrum symmetry
+    if dc_normalize:
+        # mean normalisation as one per-window scalar on the spectrum
+        # product: A00 = sum(a), mean_a = A00 / n^2.
+        dc = jnp.real(A[..., :1, :1]) * jnp.real(B[..., :1, :1])
+        C = C * (float(n * n) ** 2 / dc)
     # inverse: rows at half width, then the Hermitian-doubled column
     # transform recovers the (real) correlation map directly.
     D = mm(Fs, C)

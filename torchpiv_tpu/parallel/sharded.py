@@ -30,9 +30,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.multipass import MultipassPIV
-from ..ops.correlate import mean_normalize, min_subtract
-from ..ops.peakfit import correlation_to_displacement
+from ..ops.infill import fused_infill
 from ..ops.shifts import cws_shift, dws_shift
+from ..ops.validation import apply_median_filter
 from ..ops.windows import extract_windows
 
 
@@ -138,12 +138,10 @@ class ShardedPIV:
         slice_h = (rloc - 1) * step + w
         fa = jax.lax.dynamic_slice(frame_a, (org * step, 0), (slice_h, W))
         fb = jax.lax.dynamic_slice(frame_b, (org * step, 0), (slice_h, W))
-        aa = mean_normalize(extract_windows(fa, w, o), dt)
-        bb = mean_normalize(extract_windows(fb, w, o), dt)
-        corr = min_subtract(eng._correlate(aa, bb))
-        u, v, inval = correlation_to_displacement(
-            corr, cfg.validate, cfg.val_ratio, cfg.validation_window
-        )
+        aa = extract_windows(fa, w, o).astype(dt)
+        bb = extract_windows(fb, w, o).astype(dt)
+        corr = eng._correlate(aa, bb, dc_normalize=True)
+        u, v, inval = eng._peakfit(corr, cfg.validate)
         u = u.reshape(rloc, C)
         v = v.reshape(rloc, C)
         inval = (
@@ -155,6 +153,33 @@ class ShardedPIV:
         # ---- refinement passes ----
         for p in range(1, len(eng.schedule)):
             u, v, inval = self._refine_local(p, frame_a, frame_b, u, v, inval, wr)
+
+        # ---- post-pass field ops (median filter, fused infill) ----
+        # Both need cross-shard neighbourhoods, so run them on the gathered
+        # full field (tiny [R, C] tensors) and slice the local block back out.
+        if cfg.median_filter is not None or cfg.infill == "fused":
+            pl_ = len(eng.schedule) - 1
+            Rf, Cf = eng.field_shapes[pl_]
+            rloc, origins, _ = self.layouts[pl_]
+            org = jnp.asarray(origins)[wr]
+            u_full = self._gather_full(u, pl_)
+            v_full = self._gather_full(v, pl_)
+            inval_full = self._gather_full(inval, pl_) >= 0.5
+            if cfg.median_filter is not None:
+                inval_full = apply_median_filter(
+                    u_full, v_full,
+                    inval_full if cfg.validate else None,
+                    cfg.median_filter, cfg.median_threshold,
+                )
+            if cfg.infill == "fused":
+                u_full = fused_infill(
+                    jnp.where(inval_full, jnp.nan, u_full), inval_full)
+                v_full = fused_infill(
+                    jnp.where(inval_full, jnp.nan, v_full), inval_full)
+            u = jax.lax.dynamic_slice(u_full, (org, 0), (rloc, Cf))
+            v = jax.lax.dynamic_slice(v_full, (org, 0), (rloc, Cf))
+            inval = jax.lax.dynamic_slice(
+                inval_full.astype(dt), (org, 0), (rloc, Cf))
 
         return u, v, inval.astype(jnp.int8)
 
@@ -185,9 +210,10 @@ class ShardedPIV:
         Ay, Ax = eng.upsamplers[p - 1]
         Ay_loc = jax.lax.dynamic_slice(Ay, (org, 0), (rloc, Ay.shape[1]))
 
-        def up(full):
+        def up(full, A_rows=None):
             return jnp.matmul(
-                jnp.matmul(Ay_loc, full.astype(dt), precision="highest"),
+                jnp.matmul(Ay_loc if A_rows is None else A_rows,
+                           full.astype(dt), precision="highest"),
                 Ax.T,
                 precision="highest",
             )
@@ -212,7 +238,41 @@ class ShardedPIV:
                 v0 = jnp.where(val0, 0.0, v0)
             aa = cws_shift(frame_a, r0w, c0w, w, -u2.reshape(-1), -v2.reshape(-1), dt)
             bb = cws_shift(frame_b, r0w, c0w, w, u2.reshape(-1), v2.reshape(-1), dt)
-        else:
+        elif cfg.multipass_mode == "DEF":
+            # Window deformation (models/multipass.py:281): gradients need
+            # cross-shard neighbour rows, so upsample the FULL fine predictor
+            # (tiny [Rf, Cf] matmuls), differentiate, then slice the local
+            # block of centers and gradients.
+            u0f = up(u_full, Ay)
+            v0f = up(v_full, Ay)
+            u2f = u0f / 2.0
+            v2f = v0f / 2.0
+            if validate:
+                u0 = jnp.where(val0, 0.0, u0)
+                v0 = jnp.where(val0, 0.0, v0)
+            dudy_f, dudx_f = jnp.gradient(u2f, step, step)
+            dvdy_f, dvdx_f = jnp.gradient(v2f, step, step)
+
+            def loc(full):
+                return jax.lax.dynamic_slice(full, (org, 0), (rloc, Cf))
+
+            u2 = loc(u2f)
+            v2 = loc(v2f)
+            off = jnp.arange(w, dtype=dt) - (w - 1) / 2.0
+            n_w = rloc * Cf
+
+            def dense(center, gx_, gy_):
+                return (
+                    center.reshape(n_w, 1, 1)
+                    + gx_.reshape(n_w, 1, 1) * off[None, None, :]
+                    + gy_.reshape(n_w, 1, 1) * off[None, :, None]
+                )
+
+            du_d = dense(u2, loc(dudx_f), loc(dudy_f))
+            dv_d = dense(v2, loc(dvdx_f), loc(dvdy_f))
+            aa = cws_shift(frame_a, r0w, c0w, w, -du_d, -dv_d, dt)
+            bb = cws_shift(frame_b, r0w, c0w, w, du_d, dv_d, dt)
+        else:  # DWS
             if validate:
                 u0 = jnp.where(val0, 0.0, u0)
                 v0 = jnp.where(val0, 0.0, v0)
@@ -223,10 +283,8 @@ class ShardedPIV:
             aa = dws_shift(frame_a, r0w, c0w, w, -ui, -vi, dt)
             bb = dws_shift(frame_b, r0w, c0w, w, ui, vi, dt)
 
-        corr = min_subtract(eng._correlate(aa, bb))
-        du, dv, new_inval = correlation_to_displacement(
-            corr, validate, cfg.val_ratio, cfg.validation_window
-        )
+        corr = eng._correlate(aa, bb)
+        du, dv, new_inval = eng._peakfit(corr, validate)
         du = du.reshape(rloc, Cf)
         dv = dv.reshape(rloc, Cf)
         u_new = 2.0 * u2 + du
