@@ -145,12 +145,78 @@ def main():
     log(f"median of {REPEATS}: {pairs_per_sec:.1f} pairs/s "
         f"(spread {min(rates):.1f}-{max(rates):.1f})")
 
-    print(json.dumps({
+    out = {
         "metric": "4MP_pairs_per_sec",
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 2),
-    }))
+    }
+    if os.environ.get("BENCH_PIPELINE", "1") != "0":
+        try:
+            out["pipeline_pairs_per_sec"] = round(bench_pipeline(), 2)
+        except Exception as e:  # never lose the headline to a pipeline fault
+            log(f"pipeline bench failed: {e!r}")
+    print(json.dumps(out))
+
+
+def bench_pipeline() -> float:
+    """Production-path benchmark: OfflinePIV end-to-end from on-disk BMPs
+    (native C++ decode -> threaded prefetch + H2D -> scan dispatch ->
+    overlapped host tail), the loop a user actually runs.
+
+    In this dev environment the H2D leg rides the axon tunnel (~50 MB/s on
+    a bad day), so this number is tunnel-bound and far below the engine
+    headline; the native decode throughput is reported separately to show
+    the ingest side meets the SURVEY §7 ~0.5 GB/s requirement.
+    """
+    import glob
+    import shutil
+    import tempfile
+
+    from torchpiv_tpu.io.decode import imwrite_gray
+    from torchpiv_tpu.pipeline import OfflinePIV
+
+    n_pairs = int(os.environ.get("BENCH_PIPELINE_PAIRS", 32))
+    folder = os.path.join(tempfile.gettempdir(), "tpiv_bench_pairs")
+    if len(glob.glob(os.path.join(folder, "*_a.bmp"))) != n_pairs:
+        shutil.rmtree(folder, ignore_errors=True)
+        os.makedirs(folder)
+        from torchpiv_tpu.utils.synthetic import particle_pair
+
+        t0 = time.perf_counter()
+        for i in range(n_pairs):
+            fa, fb = particle_pair(
+                FRAME, displacement=(3.3, -2.1), density=0.01,
+                seed=i % UNIQUE_PAIRS)
+            imwrite_gray(os.path.join(folder, f"p{i:04d}_a.bmp"), fa)
+            imwrite_gray(os.path.join(folder, f"p{i:04d}_b.bmp"), fb)
+        log(f"pipeline dataset: {n_pairs} 4 MP pairs written in "
+            f"{time.perf_counter() - t0:.1f} s")
+
+    # native decode throughput (the ingest claim, independent of the tunnel)
+    from torchpiv_tpu.native import loader as fastio
+
+    files = sorted(glob.glob(os.path.join(folder, "*.bmp")))
+    if fastio.available():
+        dims = fastio.probe_gray(files[0])
+        t0 = time.perf_counter()
+        frames, status = fastio.read_batch_gray(files, dims, threads=8)
+        dt = time.perf_counter() - t0
+        mb = frames.nbytes / 2**20
+        log(f"native decode: {len(files)} files, {mb:.0f} MB in {dt:.2f} s "
+            f"= {mb / dt / 1024:.2f} GB/s (errors: {(status != 0).sum()})")
+
+    kwargs = dict(file_fmt=".bmp", wind_size=64, overlap=32, multipass=2,
+                  multipass_mode="CWS", batch_size=BATCH)
+    # first drain includes compile (cached across runs); time the second
+    list(OfflinePIV(folder, **kwargs)())
+    t0 = time.perf_counter()
+    done = sum(1 for _ in OfflinePIV(folder, **kwargs)())
+    wall = time.perf_counter() - t0
+    rate = done / wall
+    log(f"pipeline: {done} pairs end-to-end in {wall:.2f} s = "
+        f"{rate:.1f} pairs/s (disk->decode->H2D over tunnel->engine->tail)")
+    return rate
 
 
 if __name__ == "__main__":

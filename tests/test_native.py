@@ -69,3 +69,83 @@ def test_dataset_uses_native_batch(bmp_files, tmp_path, rng):
     assert ids == [0, 1]
     np.testing.assert_array_equal(a[0], imgs[0])
     np.testing.assert_array_equal(b[1], imgs[3])
+
+
+ 
+def test_native_tiff_8_and_16bit(tmp_path):
+    """Uncompressed grayscale TIFF decode: 8-bit exact; 16-bit scaled to
+    8 via the high byte (cv2.IMREAD_GRAYSCALE behaviour)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(5)
+    img8 = rng.integers(0, 255, (48, 64), dtype=np.uint8)
+    p8 = str(tmp_path / "t8.tif")
+    Image.fromarray(img8, mode="L").save(p8)
+
+    img16 = rng.integers(0, 65535, (48, 64), dtype=np.uint16)
+    p16 = str(tmp_path / "t16.tif")
+    Image.fromarray(img16, mode="I;16").save(p16)
+
+    assert native.probe_gray(p8) == (48, 64)
+    assert native.probe_gray(p16) == (48, 64)
+    frames, status = native.read_batch_gray([p8, p16], (48, 64), threads=2)
+    assert (status == 0).all(), status
+    np.testing.assert_array_equal(frames[0], img8)
+    np.testing.assert_array_equal(frames[1], (img16 >> 8).astype(np.uint8))
+
+
+ 
+def test_native_tiff_big_endian_and_strips(tmp_path):
+    """Hand-rolled big-endian multi-strip TIFF exercises the endian and
+    strip-walk paths."""
+    import struct
+
+    H, W = 6, 8
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 65535, (H, W), dtype=np.uint16)
+    rows_per_strip = 2
+    n_strips = H // rows_per_strip
+    strip_bytes = rows_per_strip * W * 2
+
+    def be(fmt, *v):
+        return struct.pack(">" + fmt, *v)
+
+    # layout: header(8) + pixel strips + IFD
+    strips_off = 8
+    ifd_off = strips_off + H * W * 2
+    entries = []
+
+    def entry(tag, typ, count, value):
+        entries.append(be("HHI", tag, typ, count) + value)
+
+    def short_val(v):
+        return be("H", v) + b"\x00\x00"
+
+    strip_offs = [strips_off + i * strip_bytes for i in range(n_strips)]
+    # offsets/counts arrays live after the IFD
+    n_entries = 9
+    after_ifd = ifd_off + 2 + n_entries * 12 + 4
+    entry(256, 3, 1, short_val(W))
+    entry(257, 3, 1, short_val(H))
+    entry(258, 3, 1, short_val(16))
+    entry(259, 3, 1, short_val(1))
+    entry(262, 3, 1, short_val(1))
+    entry(273, 4, n_strips, be("I", after_ifd))
+    entry(277, 3, 1, short_val(1))
+    entry(278, 3, 1, short_val(rows_per_strip))
+    entry(279, 4, n_strips, be("I", after_ifd + 4 * n_strips))
+    assert len(entries) == n_entries
+
+    buf = b"MM\x00\x2a" + be("I", ifd_off)
+    buf += img.astype(">u2").tobytes()
+    buf += be("H", n_entries) + b"".join(entries) + be("I", 0)
+    buf += b"".join(be("I", o) for o in strip_offs)
+    buf += b"".join(be("I", strip_bytes) for _ in range(n_strips))
+
+    p = str(tmp_path / "be.tif")
+    with open(p, "wb") as f:
+        f.write(buf)
+    assert native.probe_gray(p) == (H, W)
+    frames, status = native.read_batch_gray([p], (H, W))
+    assert status[0] == 0, status
+    np.testing.assert_array_equal(frames[0], (img >> 8).astype(np.uint8))

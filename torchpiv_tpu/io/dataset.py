@@ -66,7 +66,7 @@ class PIVDataset:
         if self.img_pairs:
             from ..native import loader as native
 
-            self._native_shape = native.probe_bmp8(self.img_pairs[0][0])
+            self._native_shape = native.probe_gray(self.img_pairs[0][0])
 
     def __len__(self) -> int:
         return len(self.img_pairs)
@@ -89,7 +89,7 @@ class PIVDataset:
             from ..native import loader as native
 
             paths = [p for i in indices for p in self.img_pairs[i]]
-            frames, status = native.read_batch_bmp8(
+            frames, status = native.read_batch_gray(
                 paths, self._native_shape, threads
             )
             ok = [

@@ -90,7 +90,7 @@ def _shift_kernel(
     slot = r % 2
     by0 = band_origin(r)
 
-    def body(c, _):
+    def body(c):
         dy = dy_ref[r, c]
         dx = dx_ref[r, c]
         fy = fy_ref[r, c]
@@ -126,9 +126,15 @@ def _shift_kernel(
         # Reference fallback: integer shift in EITHER axis -> floor corner.
         integer_cell = jnp.logical_or(fy == 0.0, fx == 0.0)
         out_ref[0, c] = jnp.where(integer_cell, f11, blend)
-        return 0
 
-    jax.lax.fori_loop(0, n_cols, body, 0)
+    # The window loop is UNROLLED (python range, static c): measured 35%
+    # faster than lax.fori_loop on v5e — static store/SMEM addresses and
+    # free cross-window instruction scheduling.  (Multi-window fori_loop
+    # bodies measured no better than single-window: it was never the loop
+    # bookkeeping, it is the address math + masked stores that static
+    # indices shrink.)
+    for c in range(n_cols):
+        body(c)
 
 
 def _shift_kernel_bf16(

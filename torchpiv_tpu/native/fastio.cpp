@@ -2,8 +2,13 @@
 //
 // The throughput target (4,000 x 4 MP pairs < 60 s) needs ~0.5 GB/s of
 // sustained read+decode; Python-side decoding holds the GIL and caps the
-// prefetcher's thread pool.  This library does batched file read + 8-bit
-// BMP decode in C++ threads into a caller-provided contiguous buffer.
+// prefetcher's thread pool.  This library does batched file read + decode
+// in C++ threads into a caller-provided contiguous buffer.  Formats:
+// 8-bit palette BMP (the reference's camera format) and uncompressed
+// grayscale TIFF at 8 or 16 bits/sample (the scientific-camera staple);
+// 16-bit samples are scaled to 8 bits (>> 8), matching what cv2's
+// IMREAD_GRAYSCALE — the reference's decoder (PIVbackend.py:136-137) —
+// produces for such files.
 // (The reference has no native layer at all — its GPU "native" path is
 // torch's kernels; this is the ingest half of the TPU rebuild's runtime.)
 //
@@ -73,6 +78,143 @@ int decode_bmp8_into(const uint8_t* buf, int64_t len, uint8_t* out, int64_t H,
   return 0;
 }
 
+// ---- TIFF (uncompressed grayscale, 8/16 bits per sample) -------------
+
+inline uint16_t rd_u16e(const uint8_t* p, bool be) {
+  return be ? static_cast<uint16_t>((p[0] << 8) | p[1]) : rd_u16(p);
+}
+inline uint32_t rd_u32e(const uint8_t* p, bool be) {
+  return be ? ((static_cast<uint32_t>(p[0]) << 24) |
+               (static_cast<uint32_t>(p[1]) << 16) |
+               (static_cast<uint32_t>(p[2]) << 8) | p[3])
+            : rd_u32(p);
+}
+
+struct TiffInfo {
+  int64_t width = 0, height = 0;
+  int bps = 8;           // bits per sample (8 or 16)
+  int photometric = 1;   // 0 = WhiteIsZero (inverted), 1 = BlackIsZero
+  int64_t rows_per_strip = 0;
+  std::vector<uint64_t> strip_offsets;
+  std::vector<uint64_t> strip_counts;
+  bool be = false;
+};
+
+// Parse the first IFD.  Returns 0 on success, negative error otherwise.
+int tiff_parse(const uint8_t* buf, int64_t len, TiffInfo* ti) {
+  if (len < 8) return -1;
+  if (buf[0] == 'I' && buf[1] == 'I' && buf[2] == 42 && buf[3] == 0) {
+    ti->be = false;
+  } else if (buf[0] == 'M' && buf[1] == 'M' && buf[2] == 0 && buf[3] == 42) {
+    ti->be = true;
+  } else {
+    return -1;
+  }
+  const bool be = ti->be;
+  const uint64_t ifd = rd_u32e(buf + 4, be);
+  if (ifd + 2 > static_cast<uint64_t>(len)) return -20;
+  const uint16_t n_entries = rd_u16e(buf + ifd, be);
+  if (ifd + 2 + 12ull * n_entries > static_cast<uint64_t>(len)) return -20;
+
+  int compression = 1, spp = 1;
+  auto read_values = [&](const uint8_t* e, std::vector<uint64_t>* vals) -> int {
+    const uint16_t type = rd_u16e(e + 2, be);
+    const uint32_t count = rd_u32e(e + 4, be);
+    const int sz = type == 3 ? 2 : (type == 4 ? 4 : 0);
+    if (sz == 0) return -21;  // only SHORT/LONG supported
+    const uint64_t total = static_cast<uint64_t>(sz) * count;
+    const uint8_t* src = e + 8;
+    if (total > 4) {
+      const uint64_t off = rd_u32e(e + 8, be);
+      if (off + total > static_cast<uint64_t>(len)) return -20;
+      src = buf + off;
+    }
+    vals->resize(count);
+    for (uint32_t i = 0; i < count; ++i)
+      (*vals)[i] = sz == 2 ? rd_u16e(src + 2 * i, be) : rd_u32e(src + 4 * i, be);
+    return 0;
+  };
+
+  for (uint16_t i = 0; i < n_entries; ++i) {
+    const uint8_t* e = buf + ifd + 2 + 12ull * i;
+    const uint16_t tag = rd_u16e(e, be);
+    std::vector<uint64_t> v;
+    switch (tag) {
+      case 256: if (read_values(e, &v) || v.empty()) return -22;
+                ti->width = static_cast<int64_t>(v[0]); break;
+      case 257: if (read_values(e, &v) || v.empty()) return -22;
+                ti->height = static_cast<int64_t>(v[0]); break;
+      case 258: if (read_values(e, &v) || v.empty()) return -22;
+                ti->bps = static_cast<int>(v[0]); break;
+      case 259: if (read_values(e, &v) || v.empty()) return -22;
+                compression = static_cast<int>(v[0]); break;
+      case 262: if (read_values(e, &v) || v.empty()) return -22;
+                ti->photometric = static_cast<int>(v[0]); break;
+      case 273: if (read_values(e, &ti->strip_offsets)) return -22; break;
+      case 277: if (read_values(e, &v) || v.empty()) return -22;
+                spp = static_cast<int>(v[0]); break;
+      case 278: if (read_values(e, &v) || v.empty()) return -22;
+                ti->rows_per_strip = static_cast<int64_t>(v[0]); break;
+      case 279: if (read_values(e, &ti->strip_counts)) return -22; break;
+      default: break;
+    }
+  }
+  if (ti->width <= 0 || ti->height <= 0) return -23;
+  if (compression != 1 || spp != 1) return -24;  // uncompressed gray only
+  if (ti->bps != 8 && ti->bps != 16) return -25;
+  if (ti->photometric != 0 && ti->photometric != 1) return -25;
+  if (ti->strip_offsets.empty()) return -26;
+  if (ti->rows_per_strip <= 0) ti->rows_per_strip = ti->height;
+  return 0;
+}
+
+int decode_tiff_into(const uint8_t* buf, int64_t len, uint8_t* out, int64_t H,
+                     int64_t W) {
+  TiffInfo ti;
+  const int rc = tiff_parse(buf, len, &ti);
+  if (rc != 0) return rc;
+  if (ti.width != W || ti.height != H) return -4;
+  const int64_t bytes_pp = ti.bps / 8;
+  const int64_t row_bytes = W * bytes_pp;
+  const bool invert = ti.photometric == 0;
+  int64_t row = 0;
+  for (size_t s = 0; s < ti.strip_offsets.size() && row < H; ++s) {
+    const uint64_t off = ti.strip_offsets[s];
+    const int64_t rows = std::min<int64_t>(ti.rows_per_strip, H - row);
+    if (off + static_cast<uint64_t>(rows) * row_bytes >
+        static_cast<uint64_t>(len))
+      return -7;
+    const uint8_t* src = buf + off;
+    for (int64_t r = 0; r < rows; ++r, ++row) {
+      uint8_t* dst = out + row * W;
+      if (ti.bps == 8) {
+        std::memcpy(dst, src + r * row_bytes, static_cast<size_t>(W));
+      } else {
+        const uint8_t* sp = src + r * row_bytes;
+        if (ti.be) {
+          for (int64_t c = 0; c < W; ++c) dst[c] = sp[2 * c];      // MSB
+        } else {
+          for (int64_t c = 0; c < W; ++c) dst[c] = sp[2 * c + 1];  // MSB
+        }
+      }
+      if (invert) {
+        for (int64_t c = 0; c < W; ++c) dst[c] = static_cast<uint8_t>(255 - dst[c]);
+      }
+    }
+  }
+  return row == H ? 0 : -7;
+}
+
+int decode_any_into(const uint8_t* buf, int64_t len, uint8_t* out, int64_t H,
+                    int64_t W) {
+  if (len >= 2 && buf[0] == 'B' && buf[1] == 'M')
+    return decode_bmp8_into(buf, len, out, H, W);
+  if (len >= 4 && ((buf[0] == 'I' && buf[1] == 'I') ||
+                   (buf[0] == 'M' && buf[1] == 'M')))
+    return decode_tiff_into(buf, len, out, H, W);
+  return -1;
+}
+
 int read_decode_one(const char* path, uint8_t* out, int64_t H, int64_t W,
                     std::vector<uint8_t>& scratch) {
   FILE* f = std::fopen(path, "rb");
@@ -88,7 +230,7 @@ int read_decode_one(const char* path, uint8_t* out, int64_t H, int64_t W,
   const size_t got = std::fread(scratch.data(), 1, scratch.size(), f);
   std::fclose(f);
   if (got != scratch.size()) return -12;
-  return decode_bmp8_into(scratch.data(), static_cast<int64_t>(got), out, H, W);
+  return decode_any_into(scratch.data(), static_cast<int64_t>(got), out, H, W);
 }
 
 }  // namespace
@@ -102,6 +244,23 @@ int fastio_probe_bmp8(const char* path, int64_t* dims) {
   if (!f) return -10;
   uint8_t hdr[54];
   const size_t got = std::fread(hdr, 1, sizeof(hdr), f);
+  if (got >= 4 && ((hdr[0] == 'I' && hdr[1] == 'I') ||
+                   (hdr[0] == 'M' && hdr[1] == 'M'))) {
+    // TIFF: the IFD can live anywhere, so read the whole file to parse it.
+    std::fseek(f, 0, SEEK_END);
+    const long size = std::ftell(f);
+    std::fseek(f, 0, SEEK_SET);
+    std::vector<uint8_t> buf(static_cast<size_t>(size > 0 ? size : 0));
+    const size_t rd = std::fread(buf.data(), 1, buf.size(), f);
+    std::fclose(f);
+    if (rd != buf.size()) return -12;
+    TiffInfo ti;
+    const int rc = tiff_parse(buf.data(), static_cast<int64_t>(rd), &ti);
+    if (rc != 0) return rc;
+    dims[0] = ti.height;
+    dims[1] = ti.width;
+    return 0;
+  }
   std::fclose(f);
   if (got != sizeof(hdr) || hdr[0] != 'B' || hdr[1] != 'M') return -1;
   const uint16_t bpp = rd_u16(hdr + 28);

@@ -84,8 +84,11 @@ def available() -> bool:
     return _load() is not None
 
 
-def probe_bmp8(path: str) -> Optional[Tuple[int, int]]:
-    """(H, W) if the native decoder can handle this file, else None."""
+def probe_gray(path: str) -> Optional[Tuple[int, int]]:
+    """(H, W) if the native decoder can handle this file, else None.
+
+    Handles 8-bit palette BMP and uncompressed grayscale TIFF (8/16-bit).
+    """
     lib = _load()
     if lib is None:
         return None
@@ -95,10 +98,14 @@ def probe_bmp8(path: str) -> Optional[Tuple[int, int]]:
     return int(dims[0]), int(dims[1])
 
 
-def read_batch_bmp8(
+def read_batch_gray(
     paths: List[str], shape: Tuple[int, int], threads: int = 8
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Read+decode a batch of same-shape 8-bit BMPs on C++ threads.
+    """Read+decode a batch of same-shape gray frames on C++ threads.
+
+    Formats: 8-bit palette BMP and uncompressed grayscale TIFF at 8 or
+    16 bits/sample (16-bit scaled to 8 via the high byte, matching the
+    reference's cv2.IMREAD_GRAYSCALE output for such files).
 
     Returns ``(frames [n, H, W] uint8, status [n] int32)``; status != 0 means
     that file failed (caller falls back / skips, preserving the reference's
@@ -119,3 +126,8 @@ def read_batch_bmp8(
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return out, status
+
+
+# Backwards-compatible aliases (the batch decoder now handles TIFF too).
+probe_bmp8 = probe_gray
+read_batch_bmp8 = read_batch_gray

@@ -243,7 +243,36 @@ class OfflinePIV:
             # pre-committing them to one device would conflict
             device_put=self._mesh is None,
         )
+        # With in-graph ("fused") infill the engine already filled the
+        # invalid vectors on device — no host infill tail.
+        tail_validates = (
+            self._engine.config.validate
+            and self._engine.config.infill != "fused"
+        )
+
+        def drain(pending):
+            # np.asarray blocks on batch k's results while batch k+1 is
+            # already computing on device (jax dispatch is asynchronous):
+            # the host tail (D2H + validation infill + unit conversion)
+            # overlaps device compute instead of serialising after it.
+            ids, u_b, v_b, inval_b = pending
+            t0 = time.perf_counter()
+            u_b, v_b, inval_b = map(np.asarray, (u_b, v_b, inval_b))
+            for i in range(len(ids)):
+                inval = inval_b[i] if tail_validates else None
+                res = finalize_fields(
+                    u_b[i], v_b[i], inval, x, y, self._scale, self._dt
+                )
+                if res is None:
+                    log.warning(
+                        "pair %d skipped: too many invalid vectors", ids[i])
+                    continue
+                yield res
+            log.info("batch of %d drained in %.3f s",
+                     len(ids), time.perf_counter() - t0)
+
         with jax.default_device(self._device):
+            pending = None
             load_t = time.perf_counter()
             for batch_a, batch_b, ids in prefetch:
                 start = time.perf_counter()
@@ -257,25 +286,13 @@ class OfflinePIV:
                     batch_b = jnp.concatenate(
                         [jnp.asarray(batch_b), jnp.tile(jnp.asarray(batch_b[-1:]), (pad, 1, 1))]
                     )
-                u_b, v_b, inval_b = self._batched_fn(batch_a, batch_b)
-                u_b, v_b, inval_b = map(np.asarray, (u_b, v_b, inval_b))
-                # With in-graph ("fused") infill the engine already filled
-                # the invalid vectors on device — no host infill tail.
-                tail_validates = (
-                    self._engine.config.validate
-                    and self._engine.config.infill != "fused"
-                )
-                for i in range(B):
-                    inval = inval_b[i] if tail_validates else None
-                    res = finalize_fields(
-                        u_b[i], v_b[i], inval, x, y, self._scale, self._dt
-                    )
-                    if res is None:
-                        log.warning("pair %d skipped: too many invalid vectors", ids[i])
-                        continue
-                    yield res
-                log.info("batch of %d finished in %.3f s", B, time.perf_counter() - start)
+                out = self._batched_fn(batch_a, batch_b)
+                if pending is not None:
+                    yield from drain(pending)
+                pending = (ids, *out)
                 load_t = time.perf_counter()
+            if pending is not None:
+                yield from drain(pending)
 
 
 class OnlinePIV:
