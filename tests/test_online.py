@@ -4,6 +4,7 @@ import threading
 import time
 
 import numpy as np
+import pytest
 
 from torchpiv_tpu.io.decode import imwrite_gray
 from torchpiv_tpu.pipeline import OnlinePIV
@@ -35,3 +36,76 @@ def test_online_piv_processes_streamed_pairs(tmp_path):
     for x, y, u, v in results:
         assert np.isfinite(u).all()
         assert abs(np.median(u) - 2000.0) < 200  # 2 px * 1000 (scale/dt=1)
+
+
+def _write_video(path, frames, fps=10):
+    import cv2
+
+    H, W = frames[0].shape
+    wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), fps, (W, H),
+                         False)
+    assert wr.isOpened()
+    for f in frames:
+        wr.write(f)
+    wr.release()
+
+
+def test_video_pair_source(tmp_path):
+    cv2 = pytest.importorskip("cv2")  # noqa: F841
+    from torchpiv_tpu.io.video import VideoPairSource
+
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 255, (48, 64), dtype=np.uint8) for _ in range(5)]
+    p = str(tmp_path / "v.avi")
+    _write_video(p, frames)
+
+    seq = VideoPairSource(p, "sequential")
+    assert seq.frame_shape == (48, 64)
+    pairs = list(seq)
+    assert len(pairs) == len(seq) == 4
+    # MJPG is lossy: frames must still correlate strongly with the originals
+    for (a, b), fa, fb in zip(pairs, frames[:-1], frames[1:]):
+        assert a.shape == (48, 64) and a.dtype == np.uint8
+        assert np.corrcoef(a.ravel(), fa.ravel())[0, 1] > 0.9
+
+    dbl = VideoPairSource(p, "pairs", max_pairs=1)
+    assert len(list(dbl)) == 1
+    with pytest.raises(OSError):
+        VideoPairSource(str(tmp_path / "missing.avi"))
+
+
+def test_video_piv_recovers_displacement(tmp_path):
+    pytest.importorskip("cv2")
+    from torchpiv_tpu.pipeline import VideoPIV
+    from torchpiv_tpu.utils.synthetic import particle_pair
+
+    disp = (3.0, -2.0)
+    fa, fb = particle_pair((256, 256), displacement=disp, seed=11)
+    p = str(tmp_path / "piv.avi")
+    _write_video(p, [fa, fb, fa, fb])
+
+    piv = VideoPIV(p, wind_size=64, overlap=32, multipass=2, batch_size=2,
+                   folder_mode="pairs")
+    outs = list(piv())
+    assert len(outs) == len(piv) == 2
+    for x, y, u, v in outs:
+        sel = np.s_[1:-1, 1:-1]
+        mu, mv = u[sel].mean() / 1000, -v[sel].mean() / 1000
+        # MJPG compression noise costs a little accuracy
+        assert abs(mu - disp[0]) < 0.2 and abs(mv - disp[1]) < 0.2
+
+
+def test_video_cli(tmp_path):
+    pytest.importorskip("cv2")
+    from torchpiv_tpu.cli import main as cli_main
+    from torchpiv_tpu.utils.synthetic import particle_pair
+
+    fa, fb = particle_pair((128, 128), displacement=(2.0, 1.0), seed=12)
+    p = str(tmp_path / "c.avi")
+    _write_video(p, [fa, fb])
+    rc = cli_main(["video", p, "--pairing", "pairs", "--wind-size", "32",
+                   "--overlap", "16", "--save-dir", str(tmp_path / "out")])
+    assert rc == 0
+    import os
+    assert any(f.endswith("_statistics.txt")
+               for f in os.listdir(tmp_path / "out"))

@@ -128,6 +128,49 @@ def cmd_online(args) -> int:
     return 0
 
 
+def cmd_video(args) -> int:
+    """PIV over a video file (the reference's "PIV Video File" menu intent,
+    mainWindow.py:79-86 — nonfunctional there)."""
+    import numpy as np
+
+    from .pipeline import VideoPIV
+    from .stats import EnsembleAccumulator
+    from .utils.persistence import save_table
+
+    piv = VideoPIV(
+        args.video,
+        device=args.device,
+        wind_size=args.wind_size,
+        overlap=args.overlap,
+        multipass=args.multipass,
+        multipass_mode=args.multipass_mode,
+        dt=args.dt,
+        scale=args.scale,
+        multipass_scale=args.multipass_scale,
+        folder_mode=args.pairing,
+        batch_size=args.batch_size,
+        validate=not args.no_validate,
+        max_pairs=args.max_pairs,
+    )
+    total = len(piv)
+    acc = EnsembleAccumulator()
+    x = y = None
+    for i, (x, y, u, v) in enumerate(piv()):
+        acc.add(u, v)
+        print(f"pair {i + 1}/{total}: |V| median "
+              f"{float(np.median(np.hypot(u, v))):.3f} m/s", file=sys.stderr)
+    if acc.n == 0:
+        print("no pairs decoded", file=sys.stderr)
+        return 1
+    if args.save_opt != "Dont save":
+        import os
+
+        name = os.path.splitext(os.path.basename(args.video))[0]
+        save_table(f"{name}_statistics.txt", args.save_dir,
+                   dict(acc.finalize(x, y)))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import subprocess
     import os
@@ -228,6 +271,29 @@ def main(argv=None) -> int:
     p_set = sub.add_parser("settings", help="print current settings.json")
     p_set.add_argument("--path", default=None)
     p_set.set_defaults(fn=cmd_settings)
+
+    p_vid = sub.add_parser("video", help="PIV over a video file's frames")
+    p_vid.add_argument("video", help="video file (any OpenCV-readable codec)")
+    p_vid.add_argument("--pairing", choices=["pairs", "sequential"],
+                       default="sequential",
+                       help="frame pairing: (0,1),(2,3).. or (0,1),(1,2)..")
+    p_vid.add_argument("--wind-size", type=int, default=64)
+    p_vid.add_argument("--overlap", type=int, default=32)
+    p_vid.add_argument("--multipass", type=int, default=1)
+    p_vid.add_argument("--multipass-mode", choices=["CWS", "DWS", "DEF"],
+                       default="CWS")
+    p_vid.add_argument("--multipass-scale", type=float, default=2.0)
+    p_vid.add_argument("--scale", type=float, default=1.0)
+    p_vid.add_argument("--dt", type=float, default=1.0)
+    p_vid.add_argument("--device", default="auto")
+    p_vid.add_argument("--batch-size", type=int, default=4)
+    p_vid.add_argument("--max-pairs", type=int, default=None)
+    p_vid.add_argument("--no-validate", action="store_true")
+    p_vid.add_argument("--save", choices=["Dont save", "Save statistics"],
+                       default="Save statistics", dest="save_opt")
+    p_vid.add_argument("--save-dir", default="./Out")
+    p_vid.add_argument("-v", "--verbose", action="store_true")
+    p_vid.set_defaults(fn=cmd_video)
 
     p_bench = sub.add_parser("bench", help="run the headline benchmark")
     p_bench.set_defaults(fn=cmd_bench)

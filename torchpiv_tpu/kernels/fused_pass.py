@@ -1,0 +1,453 @@
+"""Fully-fused PIV pass kernel: window shift -> DFT correlation -> sub-pixel
+peak fit, one Pallas kernel, correlation maps never touch HBM.
+
+This is the TPU-native replacement for the whole per-pass chain the
+reference runs as separate GPU kernels with host glue
+(/root/reference/src/torchPIV/PIVbackend.py:690-740: shift gathers, rfft2 /
+irfft2, argmax + fit + validation).  The XLA composition of that chain
+(ops.shifts -> ops.correlate -> ops.peakfit) is correct but pays ~6 HBM
+round-trips over 60+ MB window/spectra/correlation tensors per frame pair,
+plus layout copies into the batch-in-lanes form XLA's batched-matmul
+emitter wants.  Here one grid step processes one window row end-to-end in
+VMEM and writes only the three tiny per-window result fields.
+
+Structure per grid step (window row r):
+
+* two double-buffered band DMAs stream the (flat-wrap padded) frames;
+* windows are extracted with the aligned-block + dynamic-roll trick of
+  ``shift_pallas`` and packed G = 128/w windows side-by-side along lanes;
+* the DFT sandwich ``corr = real(Fs @ (conj(F a Fh) * (F b Fh)) @ Mh)``
+  runs on the MXU with NO transposes and NO batch layout copies:
+  - right transforms are ONE matmul with a block-diagonal operator
+    (``[a0|a1|a2|a3] @ blockdiag(Fh)``),
+  - left transforms share the operator across the lane-packed windows
+    (``F @ [t0|t1|t2|t3]``),
+  - complex arithmetic uses lane-concatenated [re | im] blocks with the
+    "multiply by i" shuffle sigma([re|im]) = [-im|re] built from static
+    lane slices;
+* the peak fit runs on a free rank-3 (w, G, w) view of the lane-packed
+  correlation maps — same masked-reduction semantics as
+  ``kernels.peakfit_pallas`` (itself bit-exact vs ops.peakfit and the
+  reference's flat-index edge quirks), at full lane utilisation.
+
+Zero shifts make the kernel compute a plain first pass (set
+``dc_normalize=True`` for the reference's per-window mean normalisation,
+folded into the spectrum product); integer shifts give DWS semantics
+(the fractional blend degenerates to the floor corner, reference
+PIVbackend.py:170,193).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.correlate import _dft_matrices, _dft_matrices_half
+from .shift_pallas import flat_wrap_pad
+
+EPS = 1e-7
+
+
+@functools.lru_cache(maxsize=8)
+def _operators(w: int):
+    """Constant operator matrices for window size w (numpy, f32).
+
+    Returns (FH_bd, Fr, Fi, Fsr, Fsi, MH_bd, G, PW):
+      FH_bd  [G*w, G*PW]  block-diagonal stage-1 right operator [Fhr | Fhi]
+      Fr, Fi [w, w]       stage-2 left DFT operator (complex parts)
+      Fsr, Fsi [w, w]     inverse left operator (fftshift folded in)
+      MH_bd  [G*PW, G*w]  block-diagonal final right operator [Mhr; -Mhi]
+    """
+    h = w // 2 + 1
+    G = 128 // w
+    PW = 2 * w  # per-window spectra lane budget (>= 2h = w + 2)
+    F, Fs = _dft_matrices(w)
+    Fh, Mh = _dft_matrices_half(w)
+    Fh_cat = np.zeros((w, PW), np.float32)
+    Fh_cat[:, :h] = np.real(Fh)
+    Fh_cat[:, h:2 * h] = np.imag(Fh)
+    Mh_cat = np.zeros((PW, w), np.float32)
+    Mh_cat[:h] = np.real(Mh)
+    Mh_cat[h:2 * h] = -np.imag(Mh)
+
+    FH_bd = np.zeros((G * w, G * PW), np.float32)
+    MH_bd = np.zeros((G * PW, G * w), np.float32)
+    for g in range(G):
+        FH_bd[g * w:(g + 1) * w, g * PW:(g + 1) * PW] = Fh_cat
+        MH_bd[g * PW:(g + 1) * PW, g * w:(g + 1) * w] = Mh_cat
+    return (
+        FH_bd,
+        np.real(F).astype(np.float32).copy(),
+        np.imag(F).astype(np.float32).copy(),
+        np.real(Fs).astype(np.float32).copy(),
+        np.imag(Fs).astype(np.float32).copy(),
+        MH_bd,
+        G,
+        PW,
+    )
+
+
+def _fused_kernel(
+    # scalar prefetch (SMEM) — raw per-window shifts; floor/frac split on
+    # the scalar unit per window (4 arrays instead of 8 keeps SMEM small):
+    vya, vxa, vyb, vxb,
+    # inputs:
+    frame_a_hbm, frame_b_hbm, FH_bd, Fr, Fi, Fsr, Fsi, MH_bd,
+    # outputs:
+    u_ref, v_ref, inval_ref,
+    # scratch:
+    band_a, band_b, sem_a, sem_b,
+    *,
+    H: int, W: int, Wp: int, w: int, step: int, S: int, n_cols: int,
+    OFF: int, G: int, PW: int, validate: bool, val_ratio: float, vw: int,
+    dc_normalize: bool,
+):
+    r = pl.program_id(0)
+    n_rows = pl.num_programs(0)
+    h = w // 2 + 1
+    BH = -(-(w + 2 * S + 1) // 8) * 8
+    Hp = -(-H // 8) * 8
+    BLK_H = w + 8
+    BLK_W = 256
+
+    def band_origin(row):
+        o = jnp.clip(row * step + OFF - S, 0, Hp - BH)
+        return pl.multiple_of((o // 8) * 8, 8)
+
+    def band_dma(frame_hbm, band, sem, slot, row):
+        return pltpu.make_async_copy(
+            frame_hbm.at[pl.ds(band_origin(row), BH), :],
+            band.at[slot, pl.ds(0, BH), :],
+            sem.at[slot],
+        )
+
+    @pl.when(r == 0)
+    def _():
+        band_dma(frame_a_hbm, band_a, sem_a, 0, 0).start()
+        band_dma(frame_b_hbm, band_b, sem_b, 0, 0).start()
+
+    @pl.when(r + 1 < n_rows)
+    def _():
+        band_dma(frame_a_hbm, band_a, sem_a, (r + 1) % 2, r + 1).start()
+        band_dma(frame_b_hbm, band_b, sem_b, (r + 1) % 2, r + 1).start()
+
+    band_dma(frame_a_hbm, band_a, sem_a, r % 2, r).wait()
+    band_dma(frame_b_hbm, band_b, sem_b, r % 2, r).wait()
+    slot = r % 2
+    by0 = band_origin(r)
+
+    def extract(band, vy_ref, vx_ref, c):
+        """One shifted (w, w) window via aligned block + dynamic rolls —
+        identical math to shift_pallas._shift_kernel."""
+        vy = vy_ref[r, c]
+        vx = vx_ref[r, c]
+        fdy = jnp.floor(vy)
+        fdx = jnp.floor(vx)
+        dy = fdy.astype(jnp.int32)
+        dx = fdx.astype(jnp.int32)
+        fy = vy - fdy
+        fx = vx - fdx
+        ty = jnp.clip(r * step + OFF + dy, 0, H - (w + 1)) - by0
+        tx = jnp.clip(c * step + OFF + dx, 0, W - (w + 1))
+        t8 = pl.multiple_of((ty // 8) * 8, 8)
+        s_row = ty - t8
+        a = pl.multiple_of(jnp.clip((tx // 128) * 128, 0, Wp - BLK_W), 128)
+        s_col = tx - a
+        block = band[slot, pl.ds(t8, BLK_H), pl.ds(a, BLK_W)]
+        block = pltpu.roll(block, BLK_W - s_col, 1)[:, : w + 1]
+        block = pltpu.roll(block, BLK_H - s_row, 0)
+        tile = block[: w + 1, :]
+        f11 = tile[:w, :w]
+        f21 = tile[:w, 1:]
+        f12 = tile[1:, :w]
+        f22 = tile[1:, 1:]
+        blend = (
+            f11 * ((1.0 - fx) * (1.0 - fy))
+            + f21 * (fx * (1.0 - fy))
+            + f12 * ((1.0 - fx) * fy)
+            + f22 * (fx * fy)
+        )
+        integer_cell = jnp.logical_or(fy == 0.0, fx == 0.0)
+        return jnp.where(integer_cell, f11, blend)
+
+    def sigma(X):
+        """Per-window-block multiply-by-i on [re | im | 0pad] lane blocks:
+        [re(h) | im(h) | pad] -> [-im(h) | re(h) | pad]."""
+        parts = []
+        for g in range(G):
+            b = g * PW
+            parts.append(-X[:, b + h:b + 2 * h])
+            parts.append(X[:, b:b + h])
+            parts.append(X[:, b + 2 * h:b + PW])
+        return jnp.concatenate(parts, axis=1)
+
+    def swap(X):
+        """[re | im | pad] -> [im | re | pad] (no negation)."""
+        parts = []
+        for g in range(G):
+            b = g * PW
+            parts.append(X[:, b + h:b + 2 * h])
+            parts.append(X[:, b:b + h])
+            parts.append(X[:, b + 2 * h:b + PW])
+        return jnp.concatenate(parts, axis=1)
+
+    def halves_sum(X):
+        """Per block: left-half + right-half of the [.. | ..] products,
+        keeping the [val(h) | 0] layout (pad stays zero)."""
+        parts = []
+        zero = jnp.zeros((w, PW - h), jnp.float32)
+        for g in range(G):
+            b = g * PW
+            parts.append(X[:, b:b + h] + X[:, b + h:b + 2 * h])
+            parts.append(zero)
+        return jnp.concatenate(parts, axis=1)
+
+    def halves_diff(X):
+        parts = []
+        zero = jnp.zeros((w, PW - h), jnp.float32)
+        for g in range(G):
+            b = g * PW
+            parts.append(X[:, b:b + h] - X[:, b + h:b + 2 * h])
+            parts.append(zero)
+        return jnp.concatenate(parts, axis=1)
+
+    def interleave(re, im):
+        """Rebuild [re | im | pad] blocks from two [val | 0] block tensors."""
+        parts = []
+        zero = jnp.zeros((w, PW - 2 * h), jnp.float32)
+        for g in range(G):
+            b = g * PW
+            parts.append(re[:, b:b + h])
+            parts.append(im[:, b:b + h])
+            parts.append(zero)
+        return jnp.concatenate(parts, axis=1)
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    fh = FH_bd[...]
+    fr = Fr[...]
+    fi = Fi[...]
+    fsr = Fsr[...]
+    fsi = Fsi[...]
+    mh = MH_bd[...]
+
+    n_groups = -(-n_cols // G)
+    kd = w * w
+
+    # 2-D iotas for the per-window peak fit (row-major flat index — the
+    # reference's argmax/neighbour space)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+    flat = row_iota * w + col_iota
+
+    def max2(t):
+        return jnp.max(jnp.max(t, axis=1, keepdims=True), axis=0, keepdims=True)
+
+    def min2(t):
+        return jnp.min(jnp.min(t, axis=1, keepdims=True), axis=0, keepdims=True)
+
+    def sum2(t):
+        return jnp.sum(jnp.sum(t, axis=1, keepdims=True), axis=0, keepdims=True)
+
+    for g in range(n_groups):
+        tiles_a = []
+        tiles_b = []
+        for kk in range(G):
+            c = min(g * G + kk, n_cols - 1)  # clamp: duplicate tail window
+            tiles_a.append(extract(band_a, vya, vxa, c))
+            tiles_b.append(extract(band_b, vyb, vxb, c))
+        WA = jnp.concatenate(tiles_a, axis=1)  # (w, G*w) lane-packed
+        WB = jnp.concatenate(tiles_b, axis=1)
+
+        # ---- correlation: corr = real(Fs (conj(F a Fh) * (F b Fh)) Mh) ----
+        A1 = mm(WA, fh)  # (w, G*PW) [re|im|0] blocks
+        B1 = mm(WB, fh)
+        A = mm(fr, A1) + mm(fi, sigma(A1))  # stage-2 left transform
+        B = mm(fr, B1) + mm(fi, sigma(B1))
+        P = A * B
+        Q = A * swap(B)
+        C = interleave(halves_sum(P), halves_diff(Q))  # conj(A) * B
+        D = mm(fsr, C) + mm(fsi, sigma(C))  # inverse left (fftshift folded)
+        corr = mm(D, mh)  # (w, G*w) real correlation maps
+
+        # ---- peak fit per window (static lane slice, peakfit_pallas
+        # semantics; Mosaic cannot split the lane dim into a rank-3 view) --
+        us, vs, invs = [], [], []
+        for kk in range(G):
+            c = g * G + kk
+            if c >= n_cols:
+                break
+            x = corr[:, kk * w:(kk + 1) * w]  # (w, w)
+            if dc_normalize:
+                wa2 = WA[:, kk * w:(kk + 1) * w]
+                wb2 = WB[:, kk * w:(kk + 1) * w]
+                norm = (float(w * w) ** 2) / (sum2(wa2) * sum2(wb2))
+                x = x * norm
+            x = x - min2(x) + EPS
+            cm = max2(x)
+            m = min2(jnp.where(x >= cm, flat, jnp.int32(kd)))
+
+            def value_at(idx, x=x):
+                return max2(jnp.where(flat == idx, x, 0.0))
+
+            left = jnp.where(m + 1 >= kd - 1, m, m + 1)
+            right = jnp.where(m - 1 <= 0, m, m - 1)
+            top = jnp.where(m + w >= kd - 1, m, m + w)
+            bot = jnp.where(m - w <= 0, m, m - w)
+            cl = value_at(left)
+            cr = value_at(right)
+            ct = value_at(top)
+            cb = value_at(bot)
+
+            lcm, lcl, lcr, lct, lcb = (
+                jnp.log(c_) for c_ in (cm, cl, cr, ct, cb))
+            du = (lcr - lcl) / (2.0 * (lcl + lcr) - 4.0 * lcm)
+            dv = (lcb - lct) / (2.0 * (lcb + lct) - 4.0 * lcm)
+            row = (m // w).astype(jnp.float32)
+            col = (m % w).astype(jnp.float32)
+            u = jnp.nan_to_num(col + du - (w // 2))  # (1, 1)
+            v = jnp.nan_to_num(row + dv - (w // 2))
+
+            if validate:
+                dd = flat - m
+                j = jnp.round(dd.astype(jnp.float32) / w).astype(jnp.int32)
+                excl = (jnp.abs(j) <= vw) & (jnp.abs(dd - w * j) <= vw)
+                lo = (m - (vw + w * vw)) < 0
+                hi = (m + (vw + w * vw)) > kd - 1
+                excl = excl | ((flat == 0) & lo) | ((flat == kd - 1) & hi)
+                c2 = max2(jnp.where(excl, 0.0, x))
+                invalid = (cm / c2) < val_ratio
+                degenerate = (
+                    (left >= kd - 1) & (right <= 0)
+                    & (top >= kd - 1) & (bot <= 0)
+                )
+                invalid = (invalid | degenerate).astype(jnp.float32)
+            else:
+                invalid = jnp.zeros((1, 1), jnp.float32)
+
+            us.append(u)
+            vs.append(v)
+            invs.append(invalid)
+
+        # vector store of the group's scalars (Mosaic forbids scalar
+        # stores to VMEM)
+        n_keep = len(us)
+        base = g * G
+        u_ref[0, 0:1, base:base + n_keep] = jnp.concatenate(us, axis=1)
+        v_ref[0, 0:1, base:base + n_keep] = jnp.concatenate(vs, axis=1)
+        inval_ref[0, 0:1, base:base + n_keep] = jnp.concatenate(invs, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "frame_shape", "wind_size", "overlap", "validate", "val_ratio",
+        "validation_window", "max_shift", "dc_normalize", "interpret",
+    ),
+)
+def fused_piv_pass(
+    frame_a: jnp.ndarray,
+    frame_b: jnp.ndarray,
+    vxa: jnp.ndarray,
+    vya: jnp.ndarray,
+    vxb: jnp.ndarray,
+    vyb: jnp.ndarray,
+    *,
+    frame_shape: Tuple[int, int],
+    wind_size: int,
+    overlap: int,
+    validate: bool = True,
+    val_ratio: float = 1.2,
+    validation_window: int = 3,
+    max_shift: Optional[int] = None,
+    dc_normalize: bool = False,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+    """One full PIV pass (shifted windows -> correlation -> peak fit).
+
+    Args:
+      frame_a, frame_b: [H, W] frames (any real dtype; cast to f32).
+      vxa, vya / vxb, vyb: [N] per-window shifts for each frame (CWS passes
+        pass -u/2 / +u/2; pass 1 passes zeros; DWS passes integers).
+
+    Returns flat ``(u, v, invalid)`` of length n_rows*n_cols (invalid None
+    when ``validate`` is False).
+    """
+    H0, W0 = frame_shape
+    w = wind_size
+    step = wind_size - overlap
+    n_rows = (H0 - w) // step + 1
+    n_cols = (W0 - w) // step + 1
+    S = max_shift if max_shift is not None else max(w // 2, 1)
+    FH_bd, Fr, Fi, Fsr, Fsi, MH_bd, G, PW = _operators(w)
+
+    def prep(frame):
+        f = flat_wrap_pad(frame.astype(jnp.float32), S)
+        H, W = H0 + 2 * S, W0 + 2 * S
+        Hp = -(-H // 8) * 8
+        Wp = -(-max(W, 256) // 128) * 128
+        if (Hp, Wp) != (H, W):
+            f = jnp.pad(f, ((0, Hp - H), (0, Wp - W)))
+        return f, H, W, Wp
+
+    fa, H, W, Wp = prep(frame_a)
+    fb, _, _, _ = prep(frame_b)
+
+    def prep_v(v):
+        return jnp.clip(v.astype(jnp.float32), -S, S).reshape(n_rows, n_cols)
+
+    BH = -(-(w + 2 * S + 1) // 8) * 8
+    kernel = functools.partial(
+        _fused_kernel,
+        H=H, W=W, Wp=Wp, w=w, step=step, S=S, n_cols=n_cols, OFF=S,
+        G=G, PW=PW, validate=validate, val_ratio=val_ratio,
+        vw=validation_window, dc_normalize=dc_normalize,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_rows,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=[
+            # rank-3 (n_rows, 1, n_cols): Mosaic requires the trailing two
+            # block dims to be tile-divisible or full — (1, n_cols) as the
+            # trailing dims of a rank-3 block satisfies that for any n_cols
+            pl.BlockSpec((1, 1, n_cols), lambda r, *_: (r, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((2, BH + 8, Wp), jnp.float32),
+            pltpu.VMEM((2, BH + 8, Wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out_sds = jax.ShapeDtypeStruct((n_rows, 1, n_cols), jnp.float32)
+    u, v, inval = pl.pallas_call(
+        kernel,
+        out_shape=[out_sds] * 3,
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=int(n_rows * n_cols * (10 * w * w * 2 * w + 8 * w * w)),
+            bytes_accessed=int(2 * n_rows * BH * Wp * 4),
+            transcendentals=int(5 * n_rows * n_cols),
+        ),
+    )(
+        prep_v(vya), prep_v(vxa), prep_v(vyb), prep_v(vxb),
+        fa, fb,
+        jnp.asarray(FH_bd), jnp.asarray(Fr), jnp.asarray(Fi),
+        jnp.asarray(Fsr), jnp.asarray(Fsi), jnp.asarray(MH_bd),
+    )
+    u = u.reshape(-1)
+    v = v.reshape(-1)
+    return u, v, (inval.reshape(-1) > 0.5) if validate else None

@@ -367,6 +367,105 @@ class OnlinePIV:
                     yield res
 
 
+class VideoPIV:
+    """PIV over a video file's frame stream (the reference's "PIV Video
+    File" menu intent, mainWindow.py:79-86 — nonfunctional there, real
+    here).  Same generator contract as ``OfflinePIV``: yields
+    ``(x, y, u, v)`` per frame pair, batched through the fused engine.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        device: str = "auto",
+        wind_size: int = 64,
+        overlap: int = 32,
+        multipass: int = 1,
+        multipass_mode: str = "CWS",
+        dt: float = 1,
+        scale: float = 1.0,
+        multipass_scale: float = 2.0,
+        folder_mode: str = "sequential",
+        *,
+        batch_size: int = 4,
+        validate: bool = True,
+        max_pairs: Optional[int] = None,
+        engine_options: Optional[dict] = None,
+    ) -> None:
+        from .io.video import VideoPairSource
+
+        self._dt = dt
+        self._scale = scale
+        self._batch = max(1, batch_size)
+        self._device = DeviceMap.resolve(device)
+        self._source = VideoPairSource(path, folder_mode, max_pairs)
+        cfg = PIVConfig(
+            frame_shape=self._source.frame_shape,
+            wind_size=wind_size,
+            overlap=overlap,
+            multipass=multipass,
+            multipass_mode=multipass_mode,
+            multipass_scale=multipass_scale,
+            validate=validate,
+            **(engine_options or {}),
+        )
+        self._engine = MultipassPIV(cfg)
+
+        def batched(fa, fb):
+            def step(carry, ab):
+                u, v, inval = self._engine(ab[0], ab[1])
+                if inval is None:
+                    inval = jnp.zeros(u.shape, dtype=bool)
+                return carry, (u, v, inval)
+
+            _, out = jax.lax.scan(step, 0, (fa, fb))
+            return out
+
+        self._fn = jax.jit(batched)
+
+    @property
+    def engine(self) -> MultipassPIV:
+        return self._engine
+
+    def __len__(self) -> int:
+        return len(self._source)
+
+    def __call__(self) -> Generator:
+        x, y = self._engine.final_coordinates
+        tail_validates = (
+            self._engine.config.validate
+            and self._engine.config.infill != "fused"
+        )
+
+        def flush(batch):
+            if not batch:
+                return
+            B = len(batch)
+            fa = np.stack([a for a, _ in batch])
+            fb = np.stack([b for _, b in batch])
+            if B < self._batch:  # pad to jit shape, drop the padding after
+                pad = self._batch - B
+                fa = np.concatenate([fa, np.tile(fa[-1:], (pad, 1, 1))])
+                fb = np.concatenate([fb, np.tile(fb[-1:], (pad, 1, 1))])
+            u_b, v_b, inval_b = map(
+                np.asarray, self._fn(jnp.asarray(fa), jnp.asarray(fb)))
+            for i in range(B):
+                inval = inval_b[i] if tail_validates else None
+                res = finalize_fields(
+                    u_b[i], v_b[i], inval, x, y, self._scale, self._dt)
+                if res is not None:
+                    yield res
+
+        with jax.default_device(self._device):
+            batch = []
+            for pair in self._source:
+                batch.append(pair)
+                if len(batch) == self._batch:
+                    yield from flush(batch)
+                    batch = []
+            yield from flush(batch)
+
+
 class PIVRunner:
     """Headless equivalent of the reference's Qt ``PIVWorker``
     (workers.py:18-124): drives OfflinePIV, reports progress through plain
