@@ -48,10 +48,11 @@ def test_parity_with_golden(multipass, mode):
     gu, gv, gval = golden_multipass(fa, fb, cfg)
 
     inval = np.asarray(inval)
-    # Validation masks must agree almost everywhere (f32-vs-f64 peak-ratio
-    # boundary cases may flip a rare window).
+    # Validation masks agree exactly on these inputs (measured 0 flips for
+    # every configuration); the 0.5% headroom only covers a future
+    # f32-vs-f64 peak-ratio boundary flip, not systematic drift.
     disagree = np.mean(inval != gval)
-    assert disagree < 0.02, f"validation masks disagree on {disagree:.1%}"
+    assert disagree <= 0.005, f"validation masks disagree on {disagree:.1%}"
 
     both_valid = ~(inval | gval)
     assert both_valid.mean() > 0.5
@@ -273,3 +274,27 @@ def test_validate_false_engine_and_sharded():
     assert not np.asarray(invs).any()
     d = np.abs(np.asarray(us[0]) - np.asarray(u))
     assert np.median(d) < 1e-3
+
+
+def test_gaussian_window_weighting():
+    """window_weight="gaussian" (beyond the reference): runs through CWS
+    multipass and stays accurate on uniform flow."""
+    true_u, true_v = 2.6, -1.4
+    fa, fb = particle_pair((256, 256), displacement=(true_u, true_v), seed=21)
+    cfg = PIVConfig(frame_shape=(256, 256), wind_size=64, overlap=32,
+                    multipass=2, multipass_mode="CWS",
+                    window_weight="gaussian")
+    u, v, inval = jax.jit(MultipassPIV(cfg))(jnp.asarray(fa), jnp.asarray(fb))
+    u, v, inval = map(np.asarray, (u, v, inval))
+    sel = ~inval
+    sel[:1] = sel[-1:] = False
+    sel[:, :1] = sel[:, -1:] = False
+    assert sel.mean() > 0.6
+    assert abs(u[sel].mean() - true_u) < 0.07
+    assert abs(v[sel].mean() - true_v) < 0.07
+    with pytest.raises(ValueError):
+        PIVConfig(frame_shape=(256, 256), wind_size=64, overlap=32,
+                  window_weight="hann")
+    with pytest.raises(ValueError):
+        PIVConfig(frame_shape=(256, 256), wind_size=64, overlap=32,
+                  window_weight="gaussian", fused="on")

@@ -160,3 +160,24 @@ def test_offline_piv_over_mesh(tmp_path):
         # the host infill, so allow <1% of points to differ
         assert np.median(d) < 1e-3
         assert (d > 0.05).mean() < 0.01
+
+
+@pytest.mark.parametrize("mode", ["CWS", "DWS"])
+def test_window_sharded_pallas_shift(batch, mode):
+    """The Pallas band-DMA shift runs per shard over its window-row block
+    (row_start/n_rows_local) and matches the XLA-shift sharded path."""
+    fa, fb = batch
+    base = dict(frame_shape=(256, 256), wind_size=64, overlap=32,
+                multipass=2, multipass_mode=mode)
+    mesh = make_mesh({"pairs": 2, "windows": 4})
+    ref = ShardedPIV(MultipassPIV(PIVConfig(**base, use_pallas="off")), mesh)
+    pal = ShardedPIV(
+        MultipassPIV(PIVConfig(**base, use_pallas="on", pallas_interpret=True)),
+        mesh)
+    ru, rv, ri = jax.jit(ref)(fa[:2], fb[:2])
+    pu, pv, pi = jax.jit(pal)(fa[:2], fb[:2])
+    ru, ri, pu, pi = map(np.asarray, (ru, ri, pu, pi))
+    agree = pi == ri
+    assert agree.mean() > 0.99
+    both = ~(pi | ri) & agree
+    assert np.sqrt(np.mean((pu[both] - ru[both]) ** 2)) < 0.01

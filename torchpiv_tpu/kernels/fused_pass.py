@@ -80,6 +80,7 @@ def _operators(w: int):
     for g in range(G):
         FH_bd[g * w:(g + 1) * w, g * PW:(g + 1) * PW] = Fh_cat
         MH_bd[g * PW:(g + 1) * PW, g * w:(g + 1) * w] = Mh_cat
+
     return (
         FH_bd,
         np.real(F).astype(np.float32).copy(),
@@ -93,9 +94,10 @@ def _operators(w: int):
 
 
 def _fused_kernel(
-    # scalar prefetch (SMEM) — raw per-window shifts; floor/frac split on
-    # the scalar unit per window (4 arrays instead of 8 keeps SMEM small):
-    vya, vxa, vyb, vxb,
+    # scalar prefetch (SMEM) — precomputed per-window floor/frac shift
+    # parts for each frame (host-side floor keeps the per-window scalar
+    # chain in the kernel short):
+    dya, dxa, fya, fxa, dyb, dxb, fyb, fxb,
     # inputs:
     frame_a_hbm, frame_b_hbm, FH_bd, Fr, Fi, Fsr, Fsi, MH_bd,
     # outputs:
@@ -105,7 +107,7 @@ def _fused_kernel(
     *,
     H: int, W: int, Wp: int, w: int, step: int, S: int, n_cols: int,
     OFF: int, G: int, PW: int, validate: bool, val_ratio: float, vw: int,
-    dc_normalize: bool,
+    dc_normalize: bool, stub: str = "none",
 ):
     r = pl.program_id(0)
     n_rows = pl.num_programs(0)
@@ -141,17 +143,13 @@ def _fused_kernel(
     slot = r % 2
     by0 = band_origin(r)
 
-    def extract(band, vy_ref, vx_ref, c):
+    def extract(band, dy_ref, dx_ref, fy_ref, fx_ref, c):
         """One shifted (w, w) window via aligned block + dynamic rolls —
         identical math to shift_pallas._shift_kernel."""
-        vy = vy_ref[r, c]
-        vx = vx_ref[r, c]
-        fdy = jnp.floor(vy)
-        fdx = jnp.floor(vx)
-        dy = fdy.astype(jnp.int32)
-        dx = fdx.astype(jnp.int32)
-        fy = vy - fdy
-        fx = vx - fdx
+        dy = dy_ref[r, c]
+        dx = dx_ref[r, c]
+        fy = fy_ref[r, c]
+        fx = fx_ref[r, c]
         ty = jnp.clip(r * step + OFF + dy, 0, H - (w + 1)) - by0
         tx = jnp.clip(c * step + OFF + dx, 0, W - (w + 1))
         t8 = pl.multiple_of((ty // 8) * 8, 8)
@@ -242,31 +240,113 @@ def _fused_kernel(
 
     n_groups = -(-n_cols // G)
     kd = w * w
+    GW = G * w
 
-    # 2-D iotas for the per-window peak fit (row-major flat index — the
-    # reference's argmax/neighbour space)
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
-    flat = row_iota * w + col_iota
+    # Lane-packed peak fit on (w, GW) groups, pure VPU: per-window
+    # reductions are a sublane reduce followed by a log2(w)-step masked
+    # suffix roll-tree within each window's w-lane block (block LEADER lane
+    # g*w holds the result), and broadcasts back to the block are a
+    # log2(w)-step leader propagation.  No gathers, no M=1 matmuls.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, GW), 1)
+    lane_in_blk = lane % w
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (w, GW), 0)
+    col_in_blk = jax.lax.broadcasted_iota(jnp.int32, (w, GW), 1) % w
+    flat2f = (row_iota * w + col_in_blk).astype(jnp.float32)  # per-block flat
 
-    def max2(t):
-        return jnp.max(jnp.max(t, axis=1, keepdims=True), axis=0, keepdims=True)
+    def _suffix(y, combine, fill):
+        s = w // 2
+        while s >= 1:
+            cand = jnp.where(lane_in_blk + s < w, pltpu.roll(y, GW - s, 1),
+                             fill)
+            y = combine(y, cand)
+            s //= 2
+        return y
 
-    def min2(t):
-        return jnp.min(jnp.min(t, axis=1, keepdims=True), axis=0, keepdims=True)
+    def _propagate(y):
+        # leader lane g*w -> whole block, log2(w) doubling steps
+        s = 1
+        while s < w:
+            y = jnp.where(lane_in_blk >= s, pltpu.roll(y, s, 1), y)
+            s *= 2
+        return y
 
-    def sum2(t):
-        return jnp.sum(jnp.sum(t, axis=1, keepdims=True), axis=0, keepdims=True)
+    def segmax_b(x):
+        """(w, GW) -> (1, GW) per-window max broadcast across each block."""
+        y = _suffix(jnp.max(x, axis=0, keepdims=True), jnp.maximum,
+                    jnp.float32(-jnp.inf))
+        return _propagate(y)
+
+    def segmin_b(x):
+        y = _suffix(jnp.min(x, axis=0, keepdims=True), jnp.minimum,
+                    jnp.float32(jnp.inf))
+        return _propagate(y)
+
+    def segmax_lead(x):
+        return _suffix(jnp.max(x, axis=0, keepdims=True), jnp.maximum,
+                       jnp.float32(-jnp.inf))
+
+    def segsum_lead(x):
+        return _suffix(jnp.sum(x, axis=0, keepdims=True), jnp.add,
+                       jnp.float32(0.0))
+
+    def pack_leaders(y):
+        """(1, GW) leader-resident -> (1, G) packed lanes."""
+        return jnp.concatenate(
+            [y[:, kk * w:kk * w + 1] for kk in range(G)], axis=1)
+
+    if stub == "extracta":  # attribution: ONE frame's extraction only
+        for g in range(n_groups):
+            acc = None
+            for kk in range(G):
+                c = min(g * G + kk, n_cols - 1)
+                t = extract(band_a, dya, dxa, fya, fxa, c)
+                acc = t if acc is None else acc + t
+            u_ref[0, 0:1, g * G:g * G + 1] = acc[0:1, 0:1]
+            v_ref[0, 0:1, g * G:g * G + 1] = acc[0:1, 1:2]
+            inval_ref[0, 0:1, g * G:g * G + 1] = acc[0:1, 2:3]
+        return
 
     for g in range(n_groups):
-        tiles_a = []
-        tiles_b = []
-        for kk in range(G):
-            c = min(g * G + kk, n_cols - 1)  # clamp: duplicate tail window
-            tiles_a.append(extract(band_a, vya, vxa, c))
-            tiles_b.append(extract(band_b, vyb, vxb, c))
+        if stub == "extractsep":
+            # frame-a loop fully before frame-b loop (no interleaving)
+            tiles_a = [extract(band_a, dya, dxa, fya, fxa,
+                               min(g * G + kk, n_cols - 1))
+                       for kk in range(G)]
+            tiles_b = [extract(band_b, dyb, dxb, fyb, fxb,
+                               min(g * G + kk, n_cols - 1))
+                       for kk in range(G)]
+            acc = sum(ta * tb for ta, tb in zip(tiles_a, tiles_b))
+            u_ref[0, 0:1, g * G:g * G + 1] = acc[0:1, 0:1]
+            v_ref[0, 0:1, g * G:g * G + 1] = acc[0:1, 1:2]
+            inval_ref[0, 0:1, g * G:g * G + 1] = acc[0:1, 2:3]
+            continue
+        # per-frame loops (not interleaved): measured 0.6 ms/call faster —
+        # Mosaic schedules a single band's extraction chain better
+        tiles_a = [extract(band_a, dya, dxa, fya, fxa,
+                           min(g * G + kk, n_cols - 1))
+                   for kk in range(G)]
+        tiles_b = [extract(band_b, dyb, dxb, fyb, fxb,
+                           min(g * G + kk, n_cols - 1))
+                   for kk in range(G)]
+
+        if stub == "extractnc":  # attribution: extraction without concat
+            acc = tiles_a[0] * tiles_b[0]
+            for kk in range(1, G):
+                acc = acc + tiles_a[kk] * tiles_b[kk]
+            u_ref[0, 0:1, g * G:g * G + 1] = acc[0:1, 0:1]
+            v_ref[0, 0:1, g * G:g * G + 1] = acc[0:1, 1:2]
+            inval_ref[0, 0:1, g * G:g * G + 1] = acc[0:1, 2:3]
+            continue
+
         WA = jnp.concatenate(tiles_a, axis=1)  # (w, G*w) lane-packed
         WB = jnp.concatenate(tiles_b, axis=1)
+
+        if stub == "extract":  # attribution: extraction cost only
+            s_ = jnp.sum(WA * WB, axis=0, keepdims=True)
+            u_ref[0, 0:1, g * G:g * G + 1] = s_[:, :1]
+            v_ref[0, 0:1, g * G:g * G + 1] = s_[:, 1:2]
+            inval_ref[0, 0:1, g * G:g * G + 1] = s_[:, 2:3]
+            continue
 
         # ---- correlation: corr = real(Fs (conj(F a Fh) * (F b Fh)) Mh) ----
         A1 = mm(WA, fh)  # (w, G*PW) [re|im|0] blocks
@@ -279,72 +359,77 @@ def _fused_kernel(
         D = mm(fsr, C) + mm(fsi, sigma(C))  # inverse left (fftshift folded)
         corr = mm(D, mh)  # (w, G*w) real correlation maps
 
-        # ---- peak fit per window (static lane slice, peakfit_pallas
-        # semantics; Mosaic cannot split the lane dim into a rank-3 view) --
-        us, vs, invs = [], [], []
-        for kk in range(G):
-            c = g * G + kk
-            if c >= n_cols:
-                break
-            x = corr[:, kk * w:(kk + 1) * w]  # (w, w)
-            if dc_normalize:
-                wa2 = WA[:, kk * w:(kk + 1) * w]
-                wb2 = WB[:, kk * w:(kk + 1) * w]
-                norm = (float(w * w) ** 2) / (sum2(wa2) * sum2(wb2))
-                x = x * norm
-            x = x - min2(x) + EPS
-            cm = max2(x)
-            m = min2(jnp.where(x >= cm, flat, jnp.int32(kd)))
+        if stub == "corr":  # attribution: extraction + matmul chain
+            s_ = jnp.sum(corr, axis=0, keepdims=True)
+            u_ref[0, 0:1, g * G:g * G + 1] = s_[:, :1]
+            v_ref[0, 0:1, g * G:g * G + 1] = s_[:, 1:2]
+            inval_ref[0, 0:1, g * G:g * G + 1] = s_[:, 2:3]
+            continue
 
-            def value_at(idx, x=x):
-                return max2(jnp.where(flat == idx, x, 0.0))
+        # ---- lane-packed peak fit over the G windows at once ----
+        # Broadcast (suffix _b) rows are valid on every lane of a window's
+        # block; leader (_lead) rows only at lane g*w — the fit arithmetic
+        # runs lane-wise, so mixing them keeps leaders correct, and the
+        # results are packed from the leader lanes at the end.  Flat-index
+        # semantics identical to ops.peakfit / the reference.
+        x = corr
+        if dc_normalize:
+            # reference batchNormalize folded in: corr /= mean_a * mean_b
+            norm = (float(w * w) ** 2) / (
+                _propagate(segsum_lead(WA)) * _propagate(segsum_lead(WB)))
+            x = x * norm
+        x = x - segmin_b(x) + EPS
+        cm = segmax_b(x)
+        m = _propagate(_suffix(
+            jnp.min(jnp.where(x >= cm, flat2f, jnp.float32(kd)),
+                    axis=0, keepdims=True),
+            jnp.minimum, jnp.float32(kd)))  # first-occurrence flat argmax
 
-            left = jnp.where(m + 1 >= kd - 1, m, m + 1)
-            right = jnp.where(m - 1 <= 0, m, m - 1)
-            top = jnp.where(m + w >= kd - 1, m, m + w)
-            bot = jnp.where(m - w <= 0, m, m - w)
-            cl = value_at(left)
-            cr = value_at(right)
-            ct = value_at(top)
-            cb = value_at(bot)
+        def value_at(idx_b):
+            # one-hot mask -> sum-extract (flat2f values exact in f32);
+            # leader-resident result
+            return segsum_lead(jnp.where(flat2f == idx_b, x, 0.0))
 
-            lcm, lcl, lcr, lct, lcb = (
-                jnp.log(c_) for c_ in (cm, cl, cr, ct, cb))
-            du = (lcr - lcl) / (2.0 * (lcl + lcr) - 4.0 * lcm)
-            dv = (lcb - lct) / (2.0 * (lcb + lct) - 4.0 * lcm)
-            row = (m // w).astype(jnp.float32)
-            col = (m % w).astype(jnp.float32)
-            u = jnp.nan_to_num(col + du - (w // 2))  # (1, 1)
-            v = jnp.nan_to_num(row + dv - (w // 2))
+        left = jnp.where(m + 1 >= kd - 1, m, m + 1)     # broadcast rows
+        right = jnp.where(m - 1 <= 0, m, m - 1)
+        top = jnp.where(m + w >= kd - 1, m, m + w)
+        bot = jnp.where(m - w <= 0, m, m - w)
+        cl = value_at(left)
+        cr = value_at(right)
+        ct = value_at(top)
+        cb = value_at(bot)
 
-            if validate:
-                dd = flat - m
-                j = jnp.round(dd.astype(jnp.float32) / w).astype(jnp.int32)
-                excl = (jnp.abs(j) <= vw) & (jnp.abs(dd - w * j) <= vw)
-                lo = (m - (vw + w * vw)) < 0
-                hi = (m + (vw + w * vw)) > kd - 1
-                excl = excl | ((flat == 0) & lo) | ((flat == kd - 1) & hi)
-                c2 = max2(jnp.where(excl, 0.0, x))
-                invalid = (cm / c2) < val_ratio
-                degenerate = (
-                    (left >= kd - 1) & (right <= 0)
-                    & (top >= kd - 1) & (bot <= 0)
-                )
-                invalid = (invalid | degenerate).astype(jnp.float32)
-            else:
-                invalid = jnp.zeros((1, 1), jnp.float32)
+        lcm, lcl, lcr, lct, lcb = (
+            jnp.log(c_) for c_ in (cm, cl, cr, ct, cb))
+        du = (lcr - lcl) / (2.0 * (lcl + lcr) - 4.0 * lcm)
+        dv = (lcb - lct) / (2.0 * (lcb + lct) - 4.0 * lcm)
+        row = jnp.floor(m / w)
+        col = m - row * w
+        u = jnp.nan_to_num(col + du - (w // 2))  # leader lanes valid
+        v = jnp.nan_to_num(row + dv - (w // 2))
 
-            us.append(u)
-            vs.append(v)
-            invs.append(invalid)
+        if validate:
+            dd = flat2f - m
+            j = jnp.round(dd / w)
+            excl = (jnp.abs(j) <= vw) & (jnp.abs(dd - w * j) <= vw)
+            lo_b = (m - (vw + w * vw)) < 0
+            hi_b = (m + (vw + w * vw)) > kd - 1
+            excl = excl | ((flat2f == 0) & lo_b) | ((flat2f == kd - 1) & hi_b)
+            c2 = segmax_lead(jnp.where(excl, 0.0, x))
+            invalid = (cm / c2) < val_ratio
+            degenerate = (
+                (left >= kd - 1) & (right <= 0) & (top >= kd - 1) & (bot <= 0)
+            )
+            invalid = (invalid | degenerate).astype(jnp.float32)
+        else:
+            invalid = jnp.zeros((1, GW), jnp.float32)
 
-        # vector store of the group's scalars (Mosaic forbids scalar
-        # stores to VMEM)
-        n_keep = len(us)
+        n_keep = min(G, n_cols - g * G)
         base = g * G
-        u_ref[0, 0:1, base:base + n_keep] = jnp.concatenate(us, axis=1)
-        v_ref[0, 0:1, base:base + n_keep] = jnp.concatenate(vs, axis=1)
-        inval_ref[0, 0:1, base:base + n_keep] = jnp.concatenate(invs, axis=1)
+        u_ref[0, 0:1, base:base + n_keep] = pack_leaders(u)[:, :n_keep]
+        v_ref[0, 0:1, base:base + n_keep] = pack_leaders(v)[:, :n_keep]
+        inval_ref[0, 0:1, base:base + n_keep] = (
+            pack_leaders(invalid)[:, :n_keep])
 
 
 @functools.partial(
@@ -352,6 +437,7 @@ def _fused_kernel(
     static_argnames=(
         "frame_shape", "wind_size", "overlap", "validate", "val_ratio",
         "validation_window", "max_shift", "dc_normalize", "interpret",
+        "stub",
     ),
 )
 def fused_piv_pass(
@@ -371,6 +457,7 @@ def fused_piv_pass(
     max_shift: Optional[int] = None,
     dc_normalize: bool = False,
     interpret: bool = False,
+    stub: str = "none",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
     """One full PIV pass (shifted windows -> correlation -> peak fit).
 
@@ -402,18 +489,22 @@ def fused_piv_pass(
     fa, H, W, Wp = prep(frame_a)
     fb, _, _, _ = prep(frame_b)
 
-    def prep_v(v):
-        return jnp.clip(v.astype(jnp.float32), -S, S).reshape(n_rows, n_cols)
+    def prep_v(vx, vy):
+        vx = jnp.clip(vx.astype(jnp.float32), -S, S).reshape(n_rows, n_cols)
+        vy = jnp.clip(vy.astype(jnp.float32), -S, S).reshape(n_rows, n_cols)
+        dy = jnp.floor(vy)
+        dx = jnp.floor(vx)
+        return (dy.astype(jnp.int32), dx.astype(jnp.int32), vy - dy, vx - dx)
 
     BH = -(-(w + 2 * S + 1) // 8) * 8
     kernel = functools.partial(
         _fused_kernel,
         H=H, W=W, Wp=Wp, w=w, step=step, S=S, n_cols=n_cols, OFF=S,
         G=G, PW=PW, validate=validate, val_ratio=val_ratio,
-        vw=validation_window, dc_normalize=dc_normalize,
+        vw=validation_window, dc_normalize=dc_normalize, stub=stub,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=8,
         grid=(n_rows,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
@@ -443,7 +534,7 @@ def fused_piv_pass(
             transcendentals=int(5 * n_rows * n_cols),
         ),
     )(
-        prep_v(vya), prep_v(vxa), prep_v(vyb), prep_v(vxb),
+        *prep_v(vxa, vya), *prep_v(vxb, vyb),
         fa, fb,
         jnp.asarray(FH_bd), jnp.asarray(Fr), jnp.asarray(Fi),
         jnp.asarray(Fsr), jnp.asarray(Fsi), jnp.asarray(MH_bd),

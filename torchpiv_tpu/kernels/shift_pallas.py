@@ -43,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _shift_kernel(
     # scalar prefetch (SMEM):
-    dy_ref, dx_ref, fy_ref, fx_ref,
+    row0_ref, dy_ref, dx_ref, fy_ref, fx_ref,
     # inputs:
     frame_hbm,
     # outputs:
@@ -58,6 +58,7 @@ def _shift_kernel(
     # OFF is the window-origin offset into that view.
     r = pl.program_id(0)
     n_rows = pl.num_programs(0)
+    rg0 = row0_ref[0]  # global window-row offset (sharded row blocks)
     # Band height rounded to the sublane tile (8) — DMA slices must be
     # tile-aligned in both offset and size.
     BH = -(-(w + 2 * S + 1) // 8) * 8
@@ -66,7 +67,7 @@ def _shift_kernel(
     BLK_W = 256  # aligned col-block width (covers any tx mod 128 + w + 1)
 
     def band_origin(row):
-        o = jnp.clip(row * step + OFF - S, 0, Hp - BH)
+        o = jnp.clip((rg0 + row) * step + OFF - S, 0, Hp - BH)
         return pl.multiple_of((o // 8) * 8, 8)
 
     def start_band_dma(slot, row):
@@ -95,7 +96,7 @@ def _shift_kernel(
         dx = dx_ref[r, c]
         fy = fy_ref[r, c]
         fx = fx_ref[r, c]
-        ty = jnp.clip(r * step + OFF + dy, 0, H - (w + 1)) - by0
+        ty = jnp.clip((rg0 + r) * step + OFF + dy, 0, H - (w + 1)) - by0
         tx = jnp.clip(c * step + OFF + dx, 0, W - (w + 1))
 
         # Mosaic needs provably aligned vector-load offsets: load an aligned
@@ -139,7 +140,7 @@ def _shift_kernel(
 
 def _shift_kernel_bf16(
     # scalar prefetch (SMEM):
-    dy_ref, dx_ref, fy_ref, fx_ref,
+    row0_ref, dy_ref, dx_ref, fy_ref, fx_ref,
     # inputs:
     frame_hbm,  # bf16 [Hp, Wp]
     # outputs:
@@ -157,13 +158,14 @@ def _shift_kernel_bf16(
     pre-shifted phase.  Per-window register traffic is ~4x below the f32
     two-rotate kernel."""
     r = pl.program_id(0)
+    rg0 = row0_ref[0]
     BH = -(-(w + 2 * S + 1) // 16) * 16  # bf16 sublane tile is 16
     BHp = BH + 16
     Hp = -(-H // 16) * 16
     BLK_H = w + 16  # covers ty..ty+w from any 16-aligned start (even offs)
     BLK_W = 256
 
-    o = jnp.clip(r * step + OFF - S, 0, Hp - BH)
+    o = jnp.clip((rg0 + r) * step + OFF - S, 0, Hp - BH)
     by0 = pl.multiple_of((o // 16) * 16, 16)
 
     dma = pltpu.make_async_copy(
@@ -185,7 +187,7 @@ def _shift_kernel_bf16(
         dx = dx_ref[r, c]
         fy = fy_ref[r, c]
         fx = fx_ref[r, c]
-        ty = jnp.clip(r * step + OFF + dy, 0, H - (w + 1)) - by0
+        ty = jnp.clip((rg0 + r) * step + OFF + dy, 0, H - (w + 1)) - by0
         tx = jnp.clip(c * step + OFF + dx, 0, W - (w + 1))
 
         p2 = jax.lax.rem(ty, 2)
@@ -220,7 +222,7 @@ def _shift_kernel_bf16(
 
 def _shift_kernel_phases(
     # scalar prefetch (SMEM):
-    dy_ref, dx_ref, fy_ref, fx_ref,
+    row0_ref, dy_ref, dx_ref, fy_ref, fx_ref,
     # inputs:
     frame_hbm,  # bf16 [Hp, Wp]
     # outputs:
@@ -237,13 +239,14 @@ def _shift_kernel_phases(
     phase plus one lane rotate.  ~4x less per-window register traffic than
     the f32 two-rotate kernel."""
     r = pl.program_id(0)
+    rg0 = row0_ref[0]
     BH = -(-(w + 2 * S + 1) // 16) * 16  # bf16 sublane tile is 16
     BHp = BH + 16
     Hp = -(-H // 16) * 16
     BLK_H = -(-(w + 1) // 16) * 16 + 16  # covers ty..ty+w from any t16
     BLK_W = 256
 
-    o = jnp.clip(r * step + OFF - S, 0, Hp - BH)
+    o = jnp.clip((rg0 + r) * step + OFF - S, 0, Hp - BH)
     by0 = pl.multiple_of((o // 16) * 16, 16)
 
     dma = pltpu.make_async_copy(
@@ -267,7 +270,7 @@ def _shift_kernel_phases(
         dx = dx_ref[r, c]
         fy = fy_ref[r, c]
         fx = fx_ref[r, c]
-        ty = jnp.clip(r * step + OFF + dy, 0, H - (w + 1)) - by0
+        ty = jnp.clip((rg0 + r) * step + OFF + dy, 0, H - (w + 1)) - by0
         tx = jnp.clip(c * step + OFF + dx, 0, W - (w + 1))
 
         p = jax.lax.rem(ty, 16)
@@ -330,7 +333,7 @@ def flat_wrap_pad(frame: jnp.ndarray, P: int) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "wind_size", "overlap", "frame_shape", "max_shift", "interpret",
-        "flat_wrap", "variant",
+        "flat_wrap", "variant", "n_rows_local",
     ),
 )
 def shift_windows_pallas(
@@ -345,6 +348,8 @@ def shift_windows_pallas(
     interpret: bool = False,
     flat_wrap: bool = True,
     variant: str = "rolls",
+    row_start=0,
+    n_rows_local: int | None = None,
 ) -> jnp.ndarray:
     """Bilinear (CWS) per-window shift of all interrogation windows.
 
@@ -360,14 +365,21 @@ def shift_windows_pallas(
         or "phases" (bf16 sublane phase-table band + i32-bitcast lane
         rotates — bit-identical output, similar measured speed, half the
         band bandwidth but 16x the band VMEM).
+      row_start, n_rows_local: process only window rows
+        ``[row_start, row_start + n_rows_local)`` of the full grid
+        (``vel_*`` then cover just that block) — the window-sharded path's
+        per-shard row block.  ``row_start`` may be a traced value.
 
-    Returns ``[N, w, w]`` float32 shifted windows in row-major window order.
+    Returns ``[N, w, w]`` float32 shifted windows in row-major window order
+    (``N = n_rows_local * n_cols`` when a row block is given).
     """
     H0, W0 = frame_shape
     w = wind_size
     step = wind_size - overlap
     n_rows = (H0 - w) // step + 1
     n_cols = (W0 - w) // step + 1
+    if n_rows_local is not None:
+        n_rows = n_rows_local
     S = max_shift if max_shift is not None else max(w // 2, 1)
     phases = variant == "phases"
     bf16 = variant == "bf16"
@@ -421,7 +433,7 @@ def shift_windows_pallas(
             pltpu.SemaphoreType.DMA((2,)),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(n_rows,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
@@ -442,6 +454,7 @@ def shift_windows_pallas(
             transcendentals=0,
         ),
     )(
+        jnp.asarray(row_start, jnp.int32).reshape(1),
         dy.astype(jnp.int32),
         dx.astype(jnp.int32),
         fy,

@@ -74,11 +74,26 @@ class PIVConfig:
     # "xla" (default) lowers the peak fit with XLA; "pallas" uses the fused
     # kernel (bit-exact, currently slower in-graph on v5e — see _peakfit).
     peakfit: str = "xla"  # "xla" | "pallas"
+    # Fully-fused pass kernel (kernels/fused_pass.py): window extraction /
+    # shift, MXU DFT correlation and peak fit in ONE Pallas kernel —
+    # correlation maps never touch HBM.  Measured on v5e (docs/ROADMAP.md):
+    # 8.1 ms standalone for a full 4 MP refinement pass, but 0.7 ms/pair
+    # SLOWER than the unrolled-shift + XLA chain inside the production
+    # scan, so "auto" currently resolves to OFF; "on" forces it (CWS/DWS
+    # with reference edge semantics only).
+    fused: str = "auto"  # "auto" (currently = off) | "on" | "off"
     # Optional vector-field outlier test on top of the reference's
     # peak-ratio validation (applied after the final pass, in-graph):
     # None (reference parity) | "median" | "normmedian" (Westerweel-Scarano).
     median_filter: Optional[str] = None
     median_threshold: float = 2.0
+    # Optional sub-window weighting before correlation (beyond the
+    # reference): "gaussian" multiplies each window by a separable Gaussian
+    # (sigma = wind/4), the standard anti-leakage taper — reduces the bias
+    # from particles entering/leaving the window.  Weighted windows use the
+    # explicit mean normalisation (the DC-fold shortcut assumes unweighted
+    # windows) and the XLA chain (fused kernel rejects the combination).
+    window_weight: Optional[str] = None
 
     def pass_schedule(self) -> List[Tuple[int, int]]:
         """Per-pass (wind_size, overlap), shrunk by int floor-division per
@@ -101,6 +116,13 @@ class PIVConfig:
             raise ValueError(f"unknown multipass_mode {self.multipass_mode!r}")
         if self.use_pallas not in ("auto", "on", "off"):
             raise ValueError(f"unknown use_pallas {self.use_pallas!r}")
+        if self.fused not in ("auto", "on", "off"):
+            raise ValueError(f"unknown fused {self.fused!r}")
+        if self.window_weight not in (None, "gaussian"):
+            raise ValueError(f"unknown window_weight {self.window_weight!r}")
+        if self.window_weight is not None and self.fused == "on":
+            raise ValueError("window_weight is not supported by the fused "
+                             "pass kernel; use fused='off'")
         if self.correlator not in ("auto", "fft", "matmul"):
             raise ValueError(f"unknown correlator {self.correlator!r}")
         for p, (w, o) in enumerate(self.pass_schedule()):
@@ -177,6 +199,46 @@ class MultipassPIV:
             return False
         return jax.default_backend() == "tpu"
 
+    def _use_fused(self) -> bool:
+        """Whole-pass fused kernel applicability (CWS/DWS shifts with the
+        reference's flat-index edge semantics).  "auto" resolves to off:
+        the fused kernel measures slower in-graph than the XLA chain on
+        v5e (see PIVConfig.fused)."""
+        cfg = self.config
+        if cfg.fused != "on" or not cfg.edge_exact:
+            return False
+        return cfg.window_weight is None
+
+    def _window_weight(self, p):
+        """Static separable Gaussian taper for pass p (None when off)."""
+        cfg = self.config
+        if cfg.window_weight is None:
+            return None
+        w = self.schedule[p][0]
+        x = (np.arange(w) - (w - 1) / 2.0) / (w / 4.0)
+        g = np.exp(-0.5 * x * x).astype(np.float32)
+        return jnp.asarray(np.outer(g, g))
+
+    def _fused_pass(self, p, frame_a, frame_b, vxa, vya, vxb, vyb,
+                    dc_normalize):
+        """Run pass p through the fused kernel; returns flat (u, v, inval)."""
+        from ..kernels.fused_pass import fused_piv_pass
+
+        cfg = self.config
+        w, o = self.schedule[p]
+        return fused_piv_pass(
+            frame_a, frame_b, vxa, vya, vxb, vyb,
+            frame_shape=cfg.frame_shape,
+            wind_size=w,
+            overlap=o,
+            validate=cfg.validate,
+            val_ratio=cfg.val_ratio,
+            validation_window=cfg.validation_window,
+            max_shift=cfg.max_shift,
+            dc_normalize=dc_normalize,
+            interpret=cfg.pallas_interpret,
+        )
+
     def _shift(self, p, frame, vel_x, vel_y, dt, mode):
         """Shifted window extraction for pass p: Pallas fast path (with
         flat-wrap padding for exact reference edge semantics) or pure XLA
@@ -229,14 +291,35 @@ class MultipassPIV:
         n_rows, n_cols = self.field_shapes[0]
         dt = jnp.dtype(cfg.dtype)
 
-        # Mean normalisation (reference batchNormalize, PIVbackend.py:513) is
-        # folded into the correlator's spectrum product (dc_normalize):
-        # bilinearity makes it one scalar per window there, instead of a
-        # full read+write pass over the window tensor here.
-        aa = extract_windows(frame_a, w, o).astype(dt)
-        bb = extract_windows(frame_b, w, o).astype(dt)
-        corr = self._correlate(aa, bb, dc_normalize=True)
-        u, v, inval = self._peakfit(corr, cfg.validate)
+        # Pass 1 through the fused kernel only when forced: at w=64 the
+        # XLA chain (reshape-assembled windows + DC-normalised matmul DFTs)
+        # measures faster than the fused kernel's per-window extraction.
+        if self._use_fused() and cfg.fused == "on":
+            # whole pass in one Pallas kernel (zero shifts = plain
+            # extraction; dc_normalize = reference batchNormalize)
+            z = jnp.zeros(n_rows * n_cols, jnp.float32)
+            u, v, inval = self._fused_pass(
+                0, frame_a, frame_b, z, z, z, z, dc_normalize=True)
+        else:
+            # Mean normalisation (reference batchNormalize,
+            # PIVbackend.py:513) is folded into the correlator's spectrum
+            # product (dc_normalize): bilinearity makes it one scalar per
+            # window there, instead of a full read+write pass over the
+            # window tensor here.
+            aa = extract_windows(frame_a, w, o).astype(dt)
+            bb = extract_windows(frame_b, w, o).astype(dt)
+            wgt = self._window_weight(0)
+            if wgt is None:
+                corr = self._correlate(aa, bb, dc_normalize=True)
+            else:
+                # weighting needs the explicit normalisation (the DC fold
+                # assumes unweighted windows)
+                from ..ops.correlate import mean_normalize
+
+                aa = mean_normalize(aa, dt) * wgt
+                bb = mean_normalize(bb, dt) * wgt
+                corr = self._correlate(aa, bb)
+            u, v, inval = self._peakfit(corr, cfg.validate)
         u = u.reshape(n_rows, n_cols)
         v = v.reshape(n_rows, n_cols)
         if inval is not None:
@@ -269,6 +352,7 @@ class MultipassPIV:
         if validate:
             val0 = up(inval) >= 0.5
 
+        fused_result = None
         if cfg.multipass_mode == "CWS":
             # Half-shift from the PRE-zeroed predictor (reference :705-713).
             u2 = u0 / 2.0
@@ -276,8 +360,14 @@ class MultipassPIV:
             if validate:
                 u0 = jnp.where(val0, 0.0, u0)
                 v0 = jnp.where(val0, 0.0, v0)
-            aa = self._shift(p, frame_a, -u2.reshape(-1), -v2.reshape(-1), dt, "CWS")
-            bb = self._shift(p, frame_b, u2.reshape(-1), v2.reshape(-1), dt, "CWS")
+            if self._use_fused():
+                fused_result = self._fused_pass(
+                    p, frame_a, frame_b,
+                    -u2.reshape(-1), -v2.reshape(-1),
+                    u2.reshape(-1), v2.reshape(-1), dc_normalize=False)
+            else:
+                aa = self._shift(p, frame_a, -u2.reshape(-1), -v2.reshape(-1), dt, "CWS")
+                bb = self._shift(p, frame_b, u2.reshape(-1), v2.reshape(-1), dt, "CWS")
         elif cfg.multipass_mode == "DEF":
             # Window deformation (Scarano 2002, beyond the reference): each
             # window is resampled with a locally-linearised displacement
@@ -315,13 +405,28 @@ class MultipassPIV:
                 v0 = jnp.where(val0, 0.0, v0)
             u2 = jnp.rint(u0 / 2.0)
             v2 = jnp.rint(v0 / 2.0)
-            ui = u2.reshape(-1).astype(jnp.int32)
-            vi = v2.reshape(-1).astype(jnp.int32)
-            aa = self._shift(p, frame_a, -ui, -vi, dt, "DWS")
-            bb = self._shift(p, frame_b, ui, vi, dt, "DWS")
+            if self._use_fused():
+                # integer-valued floats: the kernel's fractional blend
+                # degenerates to the pure integer tile copy (DWS semantics)
+                fused_result = self._fused_pass(
+                    p, frame_a, frame_b,
+                    -u2.reshape(-1), -v2.reshape(-1),
+                    u2.reshape(-1), v2.reshape(-1), dc_normalize=False)
+            else:
+                ui = u2.reshape(-1).astype(jnp.int32)
+                vi = v2.reshape(-1).astype(jnp.int32)
+                aa = self._shift(p, frame_a, -ui, -vi, dt, "DWS")
+                bb = self._shift(p, frame_b, ui, vi, dt, "DWS")
 
-        corr = self._correlate(aa, bb)
-        du, dv, new_inval = self._peakfit(corr, validate)
+        if fused_result is not None:
+            du, dv, new_inval = fused_result
+        else:
+            wgt = self._window_weight(p)
+            if wgt is not None:
+                aa = aa * wgt
+                bb = bb * wgt
+            corr = self._correlate(aa, bb)
+            du, dv, new_inval = self._peakfit(corr, validate)
         du = du.reshape(n_rows, n_cols)
         dv = dv.reshape(n_rows, n_cols)
         if new_inval is not None:

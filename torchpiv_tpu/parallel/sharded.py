@@ -18,6 +18,12 @@ Any window-row count works for any axis size: each shard computes a clamped
 contiguous block (standard dynamic-slice clamping), and a static permutation
 rebuilds the exact field after the gather — duplicated tail rows are
 recomputed, never wrong.
+
+Feature parity with the single-device engine: CWS / DWS / DEF multipass
+modes, median-filter validation and fused infill (cross-shard field ops run
+on the gathered full field), the engine's configured peak fit, and the
+Pallas band-DMA shift kernel per shard (each shard's kernel streams bands
+for its own window-row block via ``row_start``/``n_rows_local``).
 """
 from __future__ import annotations
 
@@ -230,14 +236,38 @@ class ShardedPIV:
         r0w = jnp.repeat(r0, Cf)
         c0w = jnp.tile(c0, rloc)
 
+        def shift(frame, vx, vy):
+            """Per-shard window shift: the Pallas band-DMA kernel over this
+            shard's window-row block when enabled (frames are replicated,
+            so the kernel just starts its bands at the shard's rows), the
+            XLA flat-gather path otherwise."""
+            if eng._use_pallas() or cfg.pallas_interpret:
+                from ..kernels.shift_pallas import shift_windows_pallas
+
+                return shift_windows_pallas(
+                    frame.astype(dt), vx, vy,
+                    frame_shape=cfg.frame_shape,
+                    wind_size=w, overlap=o,
+                    max_shift=cfg.max_shift,
+                    interpret=cfg.pallas_interpret,
+                    flat_wrap=cfg.edge_exact,
+                    variant=cfg.shift_variant,
+                    row_start=org, n_rows_local=rloc,
+                )
+            if cfg.multipass_mode == "DWS":
+                return dws_shift(frame, r0w, c0w, w,
+                                 vx.astype(jnp.int32), vy.astype(jnp.int32),
+                                 dt)
+            return cws_shift(frame, r0w, c0w, w, vx, vy, dt)
+
         if cfg.multipass_mode == "CWS":
             u2 = u0 / 2.0
             v2 = v0 / 2.0
             if validate:
                 u0 = jnp.where(val0, 0.0, u0)
                 v0 = jnp.where(val0, 0.0, v0)
-            aa = cws_shift(frame_a, r0w, c0w, w, -u2.reshape(-1), -v2.reshape(-1), dt)
-            bb = cws_shift(frame_b, r0w, c0w, w, u2.reshape(-1), v2.reshape(-1), dt)
+            aa = shift(frame_a, -u2.reshape(-1), -v2.reshape(-1))
+            bb = shift(frame_b, u2.reshape(-1), v2.reshape(-1))
         elif cfg.multipass_mode == "DEF":
             # Window deformation (models/multipass.py:281): gradients need
             # cross-shard neighbour rows, so upsample the FULL fine predictor
@@ -278,10 +308,8 @@ class ShardedPIV:
                 v0 = jnp.where(val0, 0.0, v0)
             u2 = jnp.rint(u0 / 2.0)
             v2 = jnp.rint(v0 / 2.0)
-            ui = u2.reshape(-1).astype(jnp.int32)
-            vi = v2.reshape(-1).astype(jnp.int32)
-            aa = dws_shift(frame_a, r0w, c0w, w, -ui, -vi, dt)
-            bb = dws_shift(frame_b, r0w, c0w, w, ui, vi, dt)
+            aa = shift(frame_a, -u2.reshape(-1), -v2.reshape(-1))
+            bb = shift(frame_b, u2.reshape(-1), v2.reshape(-1))
 
         corr = eng._correlate(aa, bb)
         du, dv, new_inval = eng._peakfit(corr, validate)
