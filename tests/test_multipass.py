@@ -298,3 +298,39 @@ def test_gaussian_window_weighting():
     with pytest.raises(ValueError):
         PIVConfig(frame_shape=(256, 256), wind_size=64, overlap=32,
                   window_weight="gaussian", fused="on")
+
+
+def test_bicubic_cws_interp():
+    """cws_interp="bicubic" (the reference's dead piv_iteration_CWS_Fast
+    capability, live here): accurate on uniform flow, not identical to
+    bilinear, integer shifts degenerate to exact samples."""
+    import jax.numpy as jnp
+
+    from torchpiv_tpu.ops.shifts import (
+        bicubic_cws_shift, cws_shift, per_window_origins)
+
+    true_u, true_v = 2.7, -1.3
+    fa, fb = particle_pair((256, 256), displacement=(true_u, true_v), seed=23)
+    base = dict(frame_shape=(256, 256), wind_size=64, overlap=32,
+                multipass=2, multipass_mode="CWS")
+    eng = MultipassPIV(PIVConfig(**base, cws_interp="bicubic",
+                                 use_pallas="off"))
+    u, v, inval = map(np.asarray, jax.jit(eng)(jnp.asarray(fa),
+                                               jnp.asarray(fb)))
+    sel = ~inval
+    sel[:1] = sel[-1:] = False
+    sel[:, :1] = sel[:, -1:] = False
+    assert abs(u[sel].mean() - true_u) < 0.05
+    assert abs(v[sel].mean() + 1.3) < 0.05
+
+    # integer shift: bicubic == bilinear == exact integer sample
+    r0, c0 = per_window_origins((256, 256), 64, 32)
+    n = len(r0)
+    vi = jnp.full(n, 2.0)
+    frame = jnp.asarray(fa, jnp.float32)
+    bc = bicubic_cws_shift(frame, jnp.asarray(r0), jnp.asarray(c0), 64, vi, vi)
+    bl = cws_shift(frame, jnp.asarray(r0), jnp.asarray(c0), 64, vi, vi)
+    np.testing.assert_allclose(np.asarray(bc), np.asarray(bl), atol=1e-4)
+
+    with pytest.raises(ValueError):
+        PIVConfig(**base, cws_interp="lanczos")

@@ -35,7 +35,12 @@ from ..ops.correlate import correlate_fft, correlate_matmul
 from ..ops.geometry import get_coordinates, get_field_shape
 from ..ops.infill import fused_infill
 from ..ops.peakfit import correlation_to_displacement
-from ..ops.shifts import cws_shift, dws_shift, per_window_origins
+from ..ops.shifts import (
+    bicubic_cws_shift,
+    cws_shift,
+    dws_shift,
+    per_window_origins,
+)
 from ..ops.spline import upsample_matrices
 from ..ops.windows import extract_windows
 
@@ -87,6 +92,11 @@ class PIVConfig:
     # None (reference parity) | "median" | "normmedian" (Westerweel-Scarano).
     median_filter: Optional[str] = None
     median_threshold: float = 2.0
+    # CWS/DEF resampling kernel: "bilinear" (reference parity) or
+    # "bicubic" (cubic convolution a=-0.5 — the capability of the
+    # reference's dead piv_iteration_CWS_Fast, PIVbackend.py:599-675;
+    # XLA gather path, quality mode).
+    cws_interp: str = "bilinear"  # "bilinear" | "bicubic"
     # Optional sub-window weighting before correlation (beyond the
     # reference): "gaussian" multiplies each window by a separable Gaussian
     # (sigma = wind/4), the standard anti-leakage taper — reduces the bias
@@ -120,6 +130,8 @@ class PIVConfig:
             raise ValueError(f"unknown fused {self.fused!r}")
         if self.window_weight not in (None, "gaussian"):
             raise ValueError(f"unknown window_weight {self.window_weight!r}")
+        if self.cws_interp not in ("bilinear", "bicubic"):
+            raise ValueError(f"unknown cws_interp {self.cws_interp!r}")
         if self.window_weight is not None and self.fused == "on":
             raise ValueError("window_weight is not supported by the fused "
                              "pass kernel; use fused='off'")
@@ -207,7 +219,7 @@ class MultipassPIV:
         cfg = self.config
         if cfg.fused != "on" or not cfg.edge_exact:
             return False
-        return cfg.window_weight is None
+        return cfg.window_weight is None and cfg.cws_interp == "bilinear"
 
     def _window_weight(self, p):
         """Static separable Gaussian taper for pass p (None when off)."""
@@ -249,8 +261,14 @@ class MultipassPIV:
 
         def xla_shift(r0, c0, vx, vy):
             if mode == "CWS":
+                if cfg.cws_interp == "bicubic":
+                    return bicubic_cws_shift(frame, r0, c0, w, vx, vy, dt)
                 return cws_shift(frame, r0, c0, w, vx, vy, dt)
             return dws_shift(frame, r0, c0, w, vx, vy, dt)
+
+        # the Pallas kernel is bilinear-only; bicubic takes the XLA path
+        if mode == "CWS" and cfg.cws_interp == "bicubic":
+            return xla_shift(jnp.asarray(row0w), jnp.asarray(col0w), vel_x, vel_y)
 
         if not (self._use_pallas() or cfg.pallas_interpret):
             return xla_shift(jnp.asarray(row0w), jnp.asarray(col0w), vel_x, vel_y)
@@ -395,10 +413,12 @@ class MultipassPIV:
             du_d = dense(u2, dudx, dudy)
             dv_d = dense(v2, dvdx, dvdy)
             row0w, col0w = self.origins[p]
-            aa = cws_shift(frame_a, jnp.asarray(row0w), jnp.asarray(col0w),
-                           w, -du_d, -dv_d, dt)
-            bb = cws_shift(frame_b, jnp.asarray(row0w), jnp.asarray(col0w),
-                           w, du_d, dv_d, dt)
+            resample = (bicubic_cws_shift if cfg.cws_interp == "bicubic"
+                        else cws_shift)
+            aa = resample(frame_a, jnp.asarray(row0w), jnp.asarray(col0w),
+                          w, -du_d, -dv_d, dt)
+            bb = resample(frame_b, jnp.asarray(row0w), jnp.asarray(col0w),
+                          w, du_d, dv_d, dt)
         else:  # DWS: predictor zeroed BEFORE rounding (reference :779-786)
             if validate:
                 u0 = jnp.where(val0, 0.0, u0)

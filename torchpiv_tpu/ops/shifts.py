@@ -102,6 +102,70 @@ def cws_shift(
     return jnp.where(integer_cell, f11, f)
 
 
+def bicubic_cws_shift(
+    frame: jnp.ndarray,
+    row0w: jnp.ndarray,
+    col0w: jnp.ndarray,
+    wind_size: int,
+    vel_x: jnp.ndarray,
+    vel_y: jnp.ndarray,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Continuous window shift with bicubic (cubic-convolution, a = -0.5)
+    resampling — the algorithmic capability of the reference's dead
+    ``piv_iteration_CWS_Fast`` (PIVbackend.py:599-675, bicubic
+    ``grid_sample``), provided here as a live option
+    (``PIVConfig.cws_interp="bicubic"``).
+
+    Same flat-index clamped addressing as ``cws_shift`` at the frame edges;
+    integer shifts reduce exactly to the integer sample (the cubic weights
+    collapse to (0, 1, 0, 0)).  16 structured gathers — quality mode, not
+    the fast path.
+    """
+    H, W = frame.shape[-2], frame.shape[-1]
+    numel = H * W
+    flat = frame.reshape(-1)
+
+    gy, gx = _window_pixel_grids(row0w, col0w, wind_size)
+    if vel_x.ndim == 1:
+        vel_x = vel_x[:, None, None]
+        vel_y = vel_y[:, None, None]
+    new_y = gy.astype(dtype) + vel_y.astype(dtype)
+    new_x = gx.astype(dtype) + vel_x.astype(dtype)
+    fy = jnp.floor(new_y)
+    fx = jnp.floor(new_x)
+    ty = new_y - fy
+    tx = new_x - fx
+    iy = fy.astype(jnp.int32)
+    ix = fx.astype(jnp.int32)
+
+    def cubic_weights(t):
+        # cubic convolution kernel, a = -0.5 (Keys / torch grid_sample)
+        a = -0.5
+        d0 = t + 1.0  # |d| in (1, 2)
+        d1 = t        # |d| in [0, 1)
+        d2 = 1.0 - t
+        d3 = 2.0 - t
+        w0 = a * d0**3 - 5 * a * d0**2 + 8 * a * d0 - 4 * a
+        w1 = (a + 2) * d1**3 - (a + 3) * d1**2 + 1.0
+        w2 = (a + 2) * d2**3 - (a + 3) * d2**2 + 1.0
+        w3 = a * d3**3 - 5 * a * d3**2 + 8 * a * d3 - 4 * a
+        return (w0, w1, w2, w3)
+
+    wy = cubic_weights(ty)
+    wx = cubic_weights(tx)
+
+    out = jnp.zeros(new_x.shape, dtype)
+    for j, wyj in enumerate(wy):
+        idx_row = (iy + (j - 1)) * W
+        acc = jnp.zeros(new_x.shape, dtype)
+        for i, wxi in enumerate(wx):
+            idx = jnp.clip(idx_row + ix + (i - 1), 0, numel - 1)
+            acc = acc + wxi * jnp.take(flat, idx).astype(dtype)
+        out = out + wyj * acc
+    return out
+
+
 def dws_shift(
     frame: jnp.ndarray,
     row0w: jnp.ndarray,
