@@ -62,21 +62,21 @@ class QThread(QObject):
     started = pyqtSignal()
 
     def start(self):
-        # a real thread, like Qt: the started-slot runs off the caller so
-        # the GUI's start/stop button ordering behaves as in production;
-        # tests call wait() to join deterministically
-        import threading
-
-        self._t = threading.Thread(target=self.started.emit)
-        self._t.start()
+        # Deferred, deterministic model of Qt's thread start: start()
+        # returns immediately (so the caller finishes its wiring, e.g. the
+        # Start button flips to "Stop" before the worker runs), and wait()
+        # executes the started-slot inline on the calling thread.  A real
+        # thread here is racy for tests: the worker mutates widgets while
+        # the test asserts.
+        self._pending = True
 
     def quit(self):
         pass
 
     def wait(self):
-        t = getattr(self, "_t", None)
-        if t is not None:
-            t.join()
+        if getattr(self, "_pending", False):
+            self._pending = False
+            self.started.emit()
 
 
 class QTimer(QObject):
