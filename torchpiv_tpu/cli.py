@@ -44,6 +44,14 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         "--background", choices=["none", "auto"], default="none",
         help="temporal-minimum background subtraction before analysis",
     )
+    p.add_argument(
+        "--window-weight", choices=["none", "gaussian"], default="none",
+        help="sub-window anti-leakage taper before correlation",
+    )
+    p.add_argument(
+        "--cws-interp", choices=["bilinear", "bicubic"], default="bilinear",
+        help="CWS/DEF window resampling kernel (bicubic = quality mode)",
+    )
     p.add_argument("-v", "--verbose", action="store_true")
 
 
@@ -82,6 +90,10 @@ def cmd_run(args) -> int:
     engine_options = {}
     if args.median_filter != "none":
         engine_options["median_filter"] = args.median_filter
+    if args.window_weight != "none":
+        engine_options["window_weight"] = args.window_weight
+    if args.cws_interp != "bilinear":
+        engine_options["cws_interp"] = args.cws_interp
     runner = PIVRunner(
         params,
         on_progress=on_progress,
@@ -103,6 +115,13 @@ def cmd_run(args) -> int:
 def cmd_online(args) -> int:
     from .pipeline import OnlinePIV
 
+    engine_options = {}
+    if args.median_filter != "none":
+        engine_options["median_filter"] = args.median_filter
+    if args.window_weight != "none":
+        engine_options["window_weight"] = args.window_weight
+    if args.cws_interp != "bilinear":
+        engine_options["cws_interp"] = args.cws_interp
     piv = OnlinePIV(
         folder=args.folder,
         device=args.device,
@@ -116,6 +135,7 @@ def cmd_online(args) -> int:
         multipass_scale=args.multipass_scale,
         validate=not args.no_validate,
         idle_timeout=args.idle_timeout,
+        engine_options=engine_options or None,
     )
     import numpy as np
 

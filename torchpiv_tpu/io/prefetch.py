@@ -10,10 +10,8 @@ story: the 4 MP x 4,000-pair target needs ~0.5 GB/s of sustained ingest.
 from __future__ import annotations
 
 import collections
-import queue
-import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Iterator, Optional, Sequence, Tuple
+from typing import Iterator, Sequence, Tuple
 
 import jax
 import numpy as np

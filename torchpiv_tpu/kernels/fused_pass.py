@@ -25,10 +25,16 @@ Structure per grid step (window row r):
   - complex arithmetic uses lane-concatenated [re | im] blocks with the
     "multiply by i" shuffle sigma([re|im]) = [-im|re] built from static
     lane slices;
-* the peak fit runs on a free rank-3 (w, G, w) view of the lane-packed
-  correlation maps — same masked-reduction semantics as
-  ``kernels.peakfit_pallas`` (itself bit-exact vs ops.peakfit and the
-  reference's flat-index edge quirks), at full lane utilisation.
+* the peak fit runs lane-packed over the G windows at once: per-window
+  reductions are sublane reduces + masked suffix roll-trees within each
+  window's lane block, broadcasts are leader propagations, and neighbour
+  values come from one-hot sum-extraction — no gathers, no M=1 matmuls
+  (which serialize the MXU and miscompiled here), same flat-index edge
+  semantics as ``ops.peakfit`` / the reference.
+
+The ``stub`` argument compiles attribution variants ("extract",
+"extracta", "extractsep", "corr") used to produce the section cost table
+in docs/ROADMAP.md — measurement instrumentation, not a production path.
 
 Zero shifts make the kernel compute a plain first pass (set
 ``dc_normalize=True`` for the reference's per-window mean normalisation,

@@ -8,8 +8,6 @@ particles for reliable peaks; the standard remedy is averaging the
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -27,8 +27,7 @@ for its own window-row block via ``row_start``/``n_rows_local``).
 """
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
