@@ -149,3 +149,63 @@ def test_native_tiff_big_endian_and_strips(tmp_path):
     frames, status = native.read_batch_gray([p], (H, W))
     assert status[0] == 0, status
     np.testing.assert_array_equal(frames[0], (img >> 8).astype(np.uint8))
+
+
+def test_native_corrupt_files_rejected(tmp_path):
+    """Malformed headers must fail with a status code, never crash or
+    over-read (the palette/strip bounds checks)."""
+    from PIL import Image
+
+    ok = rng_img = np.full((16, 24), 7, np.uint8)
+    good = str(tmp_path / "good.bmp")
+    imwrite_gray(good, ok)
+    dims = native.probe_gray(good)
+    assert dims == (16, 24)
+
+    bad_files = []
+    # truncated BMP: header promises more row data than the file has
+    data = open(good, "rb").read()
+    p = str(tmp_path / "trunc.bmp")
+    open(p, "wb").write(data[: len(data) // 2])
+    bad_files.append(p)
+    # BMP with absurd DIB size -> palette would read out of bounds
+    hacked = bytearray(data)
+    hacked[14:18] = (2**31 - 1).to_bytes(4, "little")
+    p = str(tmp_path / "dib.bmp")
+    open(p, "wb").write(bytes(hacked))
+    bad_files.append(p)
+    # BMP with data_offset beyond the file
+    hacked = bytearray(data)
+    hacked[10:14] = (2**30).to_bytes(4, "little")
+    p = str(tmp_path / "off.bmp")
+    open(p, "wb").write(bytes(hacked))
+    bad_files.append(p)
+    # TIFF with strip offsets beyond the file
+    t = str(tmp_path / "t.tif")
+    Image.fromarray(rng_img, mode="L").save(t)
+    tdata = bytearray(open(t, "rb").read())
+    # clobber the second half (strip data) off
+    p = str(tmp_path / "trunc.tif")
+    open(p, "wb").write(bytes(tdata[: len(tdata) // 3]))
+    bad_files.append(p)
+    # garbage file
+    p = str(tmp_path / "junk.bmp")
+    open(p, "wb").write(b"\x42\x4d" + b"\x01" * 40)
+    bad_files.append(p)
+
+    frames, status = native.read_batch_gray([good] + bad_files, (16, 24))
+    assert status[0] == 0
+    assert (status[1:] != 0).all(), status
+    np.testing.assert_array_equal(frames[0], ok)
+
+
+def test_python_decoder_corrupt_bmp_fallback(tmp_path):
+    """decode_bmp_gray8 returns None on malformed input (falls back), and
+    imread_gray returns None for undecodable bytes."""
+    from torchpiv_tpu.io.decode import decode_bmp_gray8, imread_gray
+
+    assert decode_bmp_gray8(np.frombuffer(b"BM" + b"\x00" * 20,
+                                          dtype=np.uint8)) is None
+    p = str(tmp_path / "junk.bmp")
+    open(p, "wb").write(b"not an image at all")
+    assert imread_gray(p) is None
