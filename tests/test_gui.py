@@ -181,3 +181,41 @@ def test_settings_confirm_roundtrip(gui, tmp_path):
         ".tif", 48, 24, "DWS")
     assert (p.scale, p.dt, p.multipass, p.multipass_scale) == (0.5, 2.0, 3, 1.5)
     assert p.folder_mode == "sequential"
+
+
+def test_video_menu_runs_videopiv(gui, tmp_path):
+    """The 'PIV Video File…' action (the reference's nonfunctional menu,
+    mainWindow.py:79-86) actually runs VideoPIV and streams results into
+    the Database."""
+    pytest.importorskip("cv2")
+    import cv2
+
+    from torchpiv_tpu.utils.database import Database
+    from torchpiv_tpu.utils.synthetic import particle_pair
+
+    fa, fb = particle_pair((128, 128), displacement=(2.0, -1.0), seed=50)
+    p = str(tmp_path / "gui.avi")
+    wr = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"MJPG"), 10, (128, 128),
+                         False)
+    for f in (fa, fb):
+        wr.write(f)
+    wr.release()
+
+    win = gui.MainWindow()
+    win.params.wind_size = 32
+    win.params.overlap = 16
+    win.params.multipass = 1
+    win.settings.wind.setValue(32)
+    win.settings.ovl.setValue(16)
+    win.settings.mp.setValue(1)
+    qt_shim.QFileDialog.open_file = (p, "")
+    win.run_video()
+    assert win.start_btn.text() == "Stop PIV"
+    win.thread.wait()
+    assert win.pbar.value() == 100
+    data = Database().get()
+    assert data and "Vy[m/s]" in data
+    # the video bridge has no PIVRunner; stop/pause must not crash
+    win.toggle_pause(True)
+    win.stop_piv()
+    assert win.start_btn.text() == "Start PIV"

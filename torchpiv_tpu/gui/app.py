@@ -48,27 +48,38 @@ def require_qt():
 if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
 
     class WorkerBridge(QtCore.QObject):
-        """Runs PIVRunner on a thread, bridging callbacks to Qt signals."""
+        """Runs a PIVRunner (or any callable) on a thread, bridging
+        callbacks to Qt signals."""
 
         finished = QtCore.pyqtSignal(dict)
         progress = QtCore.pyqtSignal(int)
         output = QtCore.pyqtSignal(dict)
         failed = QtCore.pyqtSignal()
 
-        def __init__(self, params: PIVParams):
+        def __init__(self, params: PIVParams = None, target=None):
             super().__init__()
-            self.runner = PIVRunner(
-                params,
-                on_progress=self.progress.emit,
-                on_output=self.output.emit,
-                on_finished=self.finished.emit,
-                on_failed=self.failed.emit,
-            )
+            self.runner = None
+            self._target = target
+            if params is not None:
+                self.runner = PIVRunner(
+                    params,
+                    on_progress=self.progress.emit,
+                    on_output=self.output.emit,
+                    on_finished=self.finished.emit,
+                    on_failed=self.failed.emit,
+                )
+
+        def stop(self):
+            if self.runner is not None:
+                self.runner.stop()
 
         @QtCore.pyqtSlot()
         def run(self):
             try:
-                self.runner.run()
+                if self._target is not None:
+                    self._target(self)
+                else:
+                    self.runner.run()
             except Exception:
                 traceback.print_exc()
                 self.failed.emit()
@@ -281,6 +292,9 @@ if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
             open_btn = QtWidgets.QPushButton("Open saved PIV file…")
             open_btn.clicked.connect(self.open_saved)
             controls.addWidget(open_btn)
+            video_btn = QtWidgets.QPushButton("PIV Video File…")
+            video_btn.clicked.connect(self.run_video)
+            controls.addWidget(video_btn)
             controls.addStretch(1)
             layout.addLayout(controls, stretch=1)
 
@@ -354,11 +368,11 @@ if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
 
         def stop_piv(self):
             if self.bridge:
-                self.bridge.runner.stop()
+                self.bridge.stop()
             self.start_btn.setText("Start PIV")
 
         def toggle_pause(self, paused):
-            if self.bridge:
+            if self.bridge and self.bridge.runner is not None:
                 self.bridge.runner.pause(paused)
 
         def report_output(self, output):
@@ -379,6 +393,62 @@ if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
                 self, "PIV failed",
                 "No image pairs were processed — check folder and file format.",
             )
+
+        def run_video(self):
+            """PIV over a video file's frame stream — the reference's
+            'PIV Video File' menu (mainWindow.py:79-86) merely stored the
+            filename as the folder; here it actually runs ``VideoPIV``
+            with the current settings and streams results into the views.
+            """
+            path, _ = QtWidgets.QFileDialog.getOpenFileName(
+                self, "PIV Video File",
+                filter="Videos (*.avi *.mp4 *.mov *.mkv);;All files (*)",
+            )
+            if not path:
+                return
+            self.settings.confirm_changes()
+            from ..pipeline import VideoPIV
+            from ..stats import EnsembleAccumulator
+
+            p = self.params
+
+            def worker(bridge):
+                piv = VideoPIV(
+                    path,
+                    device=p.device,
+                    wind_size=p.wind_size,
+                    overlap=p.overlap,
+                    multipass=p.multipass,
+                    multipass_mode=p.multipass_mode,
+                    dt=p.dt,
+                    scale=p.scale,
+                    multipass_scale=p.multipass_scale,
+                    folder_mode="sequential",
+                )
+                total = max(len(piv), 1)
+                acc = EnsembleAccumulator()
+                x = y = None
+                for i, (x, y, u, v) in enumerate(piv()):
+                    acc.add(u, v)
+                    bridge.progress.emit(int((i + 1) / total * 100))
+                    bridge.output.emit(
+                        {"x[mm]": x, "y[mm]": y, "Vx[m/s]": u, "Vy[m/s]": v})
+                if acc.n:
+                    bridge.finished.emit(dict(acc.finalize(x, y)))
+                else:
+                    bridge.failed.emit()
+
+            self.thread = QtCore.QThread()
+            self.bridge = WorkerBridge(target=worker)
+            self.bridge.moveToThread(self.thread)
+            self.thread.started.connect(self.bridge.run)
+            self.bridge.progress.connect(self.pbar.setValue)
+            self.bridge.output.connect(self.report_output)
+            self.bridge.finished.connect(self.report_finish)
+            self.bridge.failed.connect(self.report_failed)
+            self.thread.start()
+            self.timer.start()
+            self.start_btn.setText("Stop PIV")
 
         def open_saved(self):
             path, _ = QtWidgets.QFileDialog.getOpenFileName(
