@@ -13,7 +13,7 @@ on the image stream (the hot path stays in the jitted engine).
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
