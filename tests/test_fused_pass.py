@@ -105,3 +105,69 @@ def test_engine_fused_matches_unfused(mode):
     both = ~(fi | ri) & agree
     assert np.sqrt(np.mean((fu[both] - ru[both]) ** 2)) < 1e-3
     assert np.sqrt(np.mean((fv[both] - rv[both]) ** 2)) < 1e-3
+
+
+def test_corrfit_kernel_matches_xla_chain(frames, shifts):
+    """Split-mode pieces: packed shift output + corrfit kernel == XLA chain."""
+    from torchpiv_tpu.kernels.fused_pass import (correlate_peakfit_pallas,
+                                                 pack_windows)
+
+    fa, fb = frames
+    vx, vy = shifts
+    n_cols = (FS[1] - W) // (W - O) + 1
+    kw = dict(frame_shape=FS, wind_size=W, overlap=O, interpret=True)
+    wa = shift_windows_pallas(fa.astype(jnp.float32), -vx, -vy,
+                              packed=True, **kw)
+    wb = shift_windows_pallas(fb.astype(jnp.float32), vx, vy,
+                              packed=True, **kw)
+    # the packed layout equals the standard layout repacked
+    std = shift_windows_pallas(fa.astype(jnp.float32), -vx, -vy, **kw)
+    n_rows = (FS[0] - W) // (W - O) + 1
+    assert np.array_equal(np.asarray(wa),
+                          np.asarray(pack_windows(std, n_rows, n_cols, W)))
+    u, v, inval = correlate_peakfit_pallas(
+        wa, wb, wind_size=W, n_cols=n_cols, interpret=True)
+    ru, rv, ri = _xla_chain(fa, fb, vx, vy)
+    u, v, inval, ru, rv, ri = map(np.asarray, (u, v, inval, ru, rv, ri))
+    assert (inval == ri).all()
+    both = ~inval
+    assert np.sqrt(np.mean((u[both] - ru[both]) ** 2)) < 1e-4
+    assert np.sqrt(np.mean((v[both] - rv[both]) ** 2)) < 1e-4
+
+
+@pytest.mark.parametrize("mode", ["CWS", "DWS", "DEF"])
+def test_engine_split_matches_unfused(mode):
+    """Full 2-pass engine in split mode (packed Pallas shift + fused
+    correlate/peakfit kernel) == the XLA-chain engine, all modes."""
+    fa, fb = particle_pair((256, 256), displacement=(3.3, -2.1), seed=7)
+    base = dict(frame_shape=(256, 256), wind_size=64, overlap=32,
+                multipass=2, multipass_mode=mode)
+    ref = MultipassPIV(PIVConfig(**base, fused="off", use_pallas="off"))
+    spl = MultipassPIV(PIVConfig(**base, fused="split",
+                                 pallas_interpret=True, use_pallas="off"))
+    ru, rv, ri = map(np.asarray, ref(jnp.asarray(fa), jnp.asarray(fb)))
+    su, sv, si = map(np.asarray, spl(jnp.asarray(fa), jnp.asarray(fb)))
+    assert (si == ri).all()
+    both = ~ri
+    assert np.abs(su[both] - ru[both]).max() < 1e-4
+    assert np.abs(sv[both] - rv[both]).max() < 1e-4
+
+
+def test_engine_split_validate_false_and_odd_window_fallback():
+    """validate=False works in split mode; non-power-of-two windows fall
+    back to the XLA chain rather than tracing the packed kernel."""
+    fa, fb = particle_pair((200, 200), displacement=(2.0, -1.0), seed=9)
+    eng = MultipassPIV(PIVConfig(
+        frame_shape=(200, 200), wind_size=64, overlap=32, multipass=2,
+        validate=False, fused="split", pallas_interpret=True,
+        use_pallas="off"))
+    u, v, inval = eng(jnp.asarray(fa), jnp.asarray(fb))
+    assert inval is None
+    assert np.isfinite(np.asarray(u)).all()
+    # w=40 is not a power of two: split must not apply
+    eng2 = MultipassPIV(PIVConfig(
+        frame_shape=(200, 200), wind_size=40, overlap=20,
+        fused="split", pallas_interpret=True, use_pallas="off"))
+    assert not eng2._use_split()
+    u2, _, _ = eng2(jnp.asarray(fa), jnp.asarray(fb))
+    assert np.isfinite(np.asarray(u2)).all()

@@ -52,10 +52,13 @@ def _shift_kernel(
     band, band_sem,
     *,
     H: int, W: int, Wp: int, w: int, step: int, S: int, n_cols: int,
-    OFF: int,
+    OFF: int, packed: bool = False, n_cols_pad: int = 0,
 ):
     # H/W are the *kernel-view* frame dims (includes any flat-wrap padding);
-    # OFF is the window-origin offset into that view.
+    # OFF is the window-origin offset into that view.  packed=True stores
+    # window c at lanes [c*w, (c+1)*w) of a (1, w, Lp) block (the layout
+    # fused_pass.correlate_peakfit_pallas consumes); pad columns beyond
+    # n_cols duplicate the last window.
     r = pl.program_id(0)
     n_rows = pl.num_programs(0)
     rg0 = row0_ref[0]  # global window-row offset (sharded row blocks)
@@ -92,12 +95,13 @@ def _shift_kernel(
     by0 = band_origin(r)
 
     def body(c):
-        dy = dy_ref[r, c]
-        dx = dx_ref[r, c]
-        fy = fy_ref[r, c]
-        fx = fx_ref[r, c]
+        cc = min(c, n_cols - 1)  # packed pad columns duplicate the last
+        dy = dy_ref[r, cc]
+        dx = dx_ref[r, cc]
+        fy = fy_ref[r, cc]
+        fx = fx_ref[r, cc]
         ty = jnp.clip((rg0 + r) * step + OFF + dy, 0, H - (w + 1)) - by0
-        tx = jnp.clip(c * step + OFF + dx, 0, W - (w + 1))
+        tx = jnp.clip(cc * step + OFF + dx, 0, W - (w + 1))
 
         # Mosaic needs provably aligned vector-load offsets: load an aligned
         # superset block, then rotate the sub-tile into place (dynamic
@@ -126,7 +130,11 @@ def _shift_kernel(
         )
         # Reference fallback: integer shift in EITHER axis -> floor corner.
         integer_cell = jnp.logical_or(fy == 0.0, fx == 0.0)
-        out_ref[0, c] = jnp.where(integer_cell, f11, blend)
+        res = jnp.where(integer_cell, f11, blend)
+        if packed:
+            out_ref[0, :, c * w:(c + 1) * w] = res
+        else:
+            out_ref[0, c] = res
 
     # The window loop is UNROLLED (python range, static c): measured 35%
     # faster than lax.fori_loop on v5e — static store/SMEM addresses and
@@ -134,7 +142,7 @@ def _shift_kernel(
     # bodies measured no better than single-window: it was never the loop
     # bookkeeping, it is the address math + masked stores that static
     # indices shrink.)
-    for c in range(n_cols):
+    for c in range(n_cols_pad if packed else n_cols):
         body(c)
 
 
@@ -218,6 +226,105 @@ def _shift_kernel_bf16(
         return 0
 
     jax.lax.fori_loop(0, n_cols, body, 0)
+
+
+def _shift_kernel_mxu(
+    # scalar prefetch (SMEM):
+    row0_ref, dy_ref, dx_ref, fy_ref, fx_ref,
+    # inputs:
+    frame_hbm,  # bf16 [Hp, Wp]
+    # outputs:
+    out_ref,  # f32 (1, n_cols, w, w)
+    # scratch:
+    band, band_sem,
+    *,
+    H: int, W: int, Wp: int, w: int, step: int, S: int, n_cols: int,
+    OFF: int,
+):
+    """MXU-extraction variant: the dynamic 2-D tile placement is two
+    one-hot selection matmuls instead of two dynamic rolls.
+
+    ``tile = Wy @ block @ Wx`` with ``Wx[s_col + j, j] = 1`` and
+    ``Wy[i, ty + i] = 1`` — built per window from iota compares (VPU-cheap)
+    and contracted on the MXU.  The band is stored bf16: 8-bit grey levels
+    are exact in bf16 and one-hot operands are exact, so the f32-accumulated
+    result is BIT-EXACT vs the f32 roll path while the per-window work moves
+    to the otherwise-idle MXU.  Row alignment games disappear entirely (Wy
+    absorbs any sublane offset); only the 128-lane block slice remains.
+    """
+    r = pl.program_id(0)
+    n_rows = pl.num_programs(0)
+    rg0 = row0_ref[0]
+    BH = -(-(w + 2 * S + 16) // 16) * 16  # covers any 16-aligned origin
+    Hp = -(-H // 16) * 16
+    BLK_W = 256
+
+    def band_origin(row):
+        o = jnp.clip((rg0 + row) * step + OFF - S, 0, Hp - BH)
+        return pl.multiple_of((o // 16) * 16, 16)
+
+    def start_band_dma(slot, row):
+        return pltpu.make_async_copy(
+            frame_hbm.at[pl.ds(band_origin(row), BH), :],
+            band.at[slot],
+            band_sem.at[slot],
+        )
+
+    @pl.when(r == 0)
+    def _():
+        start_band_dma(0, 0).start()
+
+    @pl.when(r + 1 < n_rows)
+    def _():
+        start_band_dma((r + 1) % 2, r + 1).start()
+
+    start_band_dma(r % 2, r).wait()
+    slot = r % 2
+    by0 = band_origin(r)
+
+    # iotas are loop-invariant: build once
+    rio_x = jax.lax.broadcasted_iota(jnp.int32, (BLK_W, w + 1), 0)
+    cio_x = jax.lax.broadcasted_iota(jnp.int32, (BLK_W, w + 1), 1)
+    rio_y = jax.lax.broadcasted_iota(jnp.int32, (w + 1, BH), 0)
+    cio_y = jax.lax.broadcasted_iota(jnp.int32, (w + 1, BH), 1)
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def body(c):
+        dy = dy_ref[r, c]
+        dx = dx_ref[r, c]
+        fy = fy_ref[r, c]
+        fx = fx_ref[r, c]
+        ty = jnp.clip((rg0 + r) * step + OFF + dy, 0, H - (w + 1)) - by0
+        tx = jnp.clip(c * step + OFF + dx, 0, W - (w + 1))
+        a = pl.multiple_of(jnp.clip((tx // 128) * 128, 0, Wp - BLK_W), 128)
+        s_col = tx - a
+
+        block = band[slot, :, pl.ds(a, BLK_W)]  # (BH, 256) bf16
+        Wx = (rio_x == cio_x + s_col).astype(jnp.bfloat16)
+        t1 = mm(block, Wx)  # (BH, w+1) f32, exact grey levels
+        Wy = (cio_y == rio_y + ty).astype(jnp.bfloat16)
+        tile = mm(Wy, t1.astype(jnp.bfloat16))  # (w+1, w+1) exact
+
+        f11 = tile[:w, :w]
+        f21 = tile[:w, 1:]
+        f12 = tile[1:, :w]
+        f22 = tile[1:, 1:]
+        blend = (
+            f11 * ((1.0 - fx) * (1.0 - fy))
+            + f21 * (fx * (1.0 - fy))
+            + f12 * ((1.0 - fx) * fy)
+            + f22 * (fx * fy)
+        )
+        integer_cell = jnp.logical_or(fy == 0.0, fx == 0.0)
+        out_ref[0, c] = jnp.where(integer_cell, f11, blend)
+
+    for c in range(n_cols):
+        body(c)
 
 
 def _shift_kernel_phases(
@@ -333,7 +440,7 @@ def flat_wrap_pad(frame: jnp.ndarray, P: int) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "wind_size", "overlap", "frame_shape", "max_shift", "interpret",
-        "flat_wrap", "variant", "n_rows_local",
+        "flat_wrap", "variant", "n_rows_local", "packed",
     ),
 )
 def shift_windows_pallas(
@@ -350,6 +457,7 @@ def shift_windows_pallas(
     variant: str = "rolls",
     row_start=0,
     n_rows_local: int | None = None,
+    packed: bool = False,
 ) -> jnp.ndarray:
     """Bilinear (CWS) per-window shift of all interrogation windows.
 
@@ -369,9 +477,15 @@ def shift_windows_pallas(
         ``[row_start, row_start + n_rows_local)`` of the full grid
         (``vel_*`` then cover just that block) — the window-sharded path's
         per-shard row block.  ``row_start`` may be a traced value.
+      packed: emit the lane-packed ``(n_rows, w, Lp)`` layout consumed by
+        ``fused_pass.correlate_peakfit_pallas`` (window ``c`` at lanes
+        ``[c*w, (c+1)*w)``, tail lanes duplicating the last window) instead
+        of ``[N, w, w]`` — avoids every XLA layout copy between the shift
+        and the correlator.  "rolls" variant only.
 
     Returns ``[N, w, w]`` float32 shifted windows in row-major window order
-    (``N = n_rows_local * n_cols`` when a row block is given).
+    (``N = n_rows_local * n_cols`` when a row block is given), or
+    ``(n_rows, w, Lp)`` when ``packed``.
     """
     H0, W0 = frame_shape
     w = wind_size
@@ -383,6 +497,7 @@ def shift_windows_pallas(
     S = max_shift if max_shift is not None else max(w // 2, 1)
     phases = variant == "phases"
     bf16 = variant == "bf16"
+    mxu = variant == "mxu"
 
     frame = frame.astype(jnp.float32)
     if flat_wrap:
@@ -393,8 +508,8 @@ def shift_windows_pallas(
         OFF = 0
         H, W = H0, W0
 
-    grain = 16 if (phases or bf16) else 8  # sublane tile: bf16 is (16, 128)
-    BH = -(-(w + 2 * S + 1) // grain) * grain
+    grain = 16 if (phases or bf16 or mxu) else 8  # bf16 sublane tile is 16
+    BH = -(-(w + 2 * S + (16 if mxu else 1)) // grain) * grain
     Hp = -(-H // grain) * grain  # row pad so aligned band DMAs stay in bounds
     Wp = -(-max(W, 256) // 128) * 128  # col pad for aligned 256-wide blocks
 
@@ -407,16 +522,28 @@ def shift_windows_pallas(
 
     if (Hp, Wp) != (H, W):
         frame = jnp.pad(frame, ((0, Hp - H), (0, Wp - W)))
-    if phases or bf16:
+    if phases or bf16 or mxu:
         frame = frame.astype(jnp.bfloat16)  # exact for 8-bit grey levels
 
+    if packed and (phases or bf16 or mxu):
+        raise ValueError("packed output requires the 'rolls' variant")
+    G = 128 // w
+    n_groups = -(-n_cols // G)
+    Lp = n_groups * G * w
     kernel = functools.partial(
         _shift_kernel_phases
         if phases
-        else (_shift_kernel_bf16 if bf16 else _shift_kernel),
+        else (_shift_kernel_bf16 if bf16
+              else (_shift_kernel_mxu if mxu else _shift_kernel)),
         H=H, W=W, Wp=Wp, w=w, step=step, S=S, n_cols=n_cols, OFF=OFF,
+        **({"packed": True, "n_cols_pad": n_groups * G} if packed else {}),
     )
-    if phases:
+    if mxu:
+        scratch = [
+            pltpu.VMEM((2, BH, Wp), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    elif phases:
         scratch = [
             pltpu.VMEM((16, BH + 16, Wp), jnp.bfloat16),
             pltpu.SemaphoreType.DMA(()),
@@ -432,20 +559,24 @@ def shift_windows_pallas(
             pltpu.VMEM((2, BH + 8, Wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ]
+    if packed:
+        out_spec = pl.BlockSpec((1, w, Lp), lambda r, *_: (r, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_sds = jax.ShapeDtypeStruct((n_rows, w, Lp), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((1, n_cols, w, w), lambda r, *_: (r, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_sds = jax.ShapeDtypeStruct((n_rows, n_cols, w, w), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(n_rows,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(
-            (1, n_cols, w, w),
-            lambda r, *_: (r, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=out_spec,
         scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_rows, n_cols, w, w), jnp.float32),
+        out_shape=out_sds,
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -461,4 +592,6 @@ def shift_windows_pallas(
         fx,
         frame,
     )
+    if packed:
+        return out
     return out.reshape(n_rows * n_cols, w, w)

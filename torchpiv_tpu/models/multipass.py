@@ -79,14 +79,16 @@ class PIVConfig:
     # "xla" (default) lowers the peak fit with XLA; "pallas" uses the fused
     # kernel (bit-exact, currently slower in-graph on v5e — see _peakfit).
     peakfit: str = "xla"  # "xla" | "pallas"
-    # Fully-fused pass kernel (kernels/fused_pass.py): window extraction /
-    # shift, MXU DFT correlation and peak fit in ONE Pallas kernel —
-    # correlation maps never touch HBM.  Measured on v5e (docs/ROADMAP.md):
-    # 8.1 ms standalone for a full 4 MP refinement pass, but 0.7 ms/pair
-    # SLOWER than the unrolled-shift + XLA chain inside the production
-    # scan, so "auto" currently resolves to OFF; "on" forces it (CWS/DWS
-    # with reference edge semantics only).
-    fused: str = "auto"  # "auto" (currently = off) | "on" | "off"
+    # Pass-fusion strategy (kernels/fused_pass.py).  Both fusion modes are
+    # measured reference points that LOSE to the XLA chain on v5e ("auto"
+    # resolves to off; see docs/ROADMAP.md "pass fusion attempts"):
+    #   "split" — packed-layout Pallas shift + fused correlate+peakfit
+    #     kernel (no HBM correlation maps, no XLA layout copies), but the
+    #     per-group matmul/fit chains are latency-bound in one kernel while
+    #     XLA batches the DFT matmuls over all 16k windows at once.
+    #   "on" — the whole pass (extraction included) in ONE Pallas kernel;
+    #     extraction is dynamic-roll-bound with no big stores to hide under.
+    fused: str = "auto"  # "auto" (= off) | "split" | "on" | "off"
     # Optional vector-field outlier test on top of the reference's
     # peak-ratio validation (applied after the final pass, in-graph):
     # None (reference parity) | "median" | "normmedian" (Westerweel-Scarano).
@@ -126,7 +128,7 @@ class PIVConfig:
             raise ValueError(f"unknown multipass_mode {self.multipass_mode!r}")
         if self.use_pallas not in ("auto", "on", "off"):
             raise ValueError(f"unknown use_pallas {self.use_pallas!r}")
-        if self.fused not in ("auto", "on", "off"):
+        if self.fused not in ("auto", "split", "on", "off"):
             raise ValueError(f"unknown fused {self.fused!r}")
         if self.window_weight not in (None, "gaussian"):
             raise ValueError(f"unknown window_weight {self.window_weight!r}")
@@ -213,13 +215,84 @@ class MultipassPIV:
 
     def _use_fused(self) -> bool:
         """Whole-pass fused kernel applicability (CWS/DWS shifts with the
-        reference's flat-index edge semantics).  "auto" resolves to off:
-        the fused kernel measures slower in-graph than the XLA chain on
-        v5e (see PIVConfig.fused)."""
+        reference's flat-index edge semantics).  Only "on" forces it: the
+        monolithic kernel measures slower than the split pipeline on v5e
+        (extraction-bound; see PIVConfig.fused / docs/ROADMAP.md)."""
         cfg = self.config
         if cfg.fused != "on" or not cfg.edge_exact:
             return False
         return cfg.window_weight is None and cfg.cws_interp == "bilinear"
+
+    def _use_split(self) -> bool:
+        """Split pass-fusion applicability: packed Pallas shift + fused
+        correlate/peak-fit kernel (``fused_pass.correlate_peakfit_pallas``).
+        Opt-in only ("split"): measured SLOWER than the XLA chain on v5e —
+        the per-group matmul/fit chains are latency-bound in one kernel,
+        while XLA batches the DFT matmuls over all windows at once (see
+        docs/ROADMAP.md "pass fusion attempts")."""
+        cfg = self.config
+        if cfg.window_weight is not None:
+            return False  # weights apply after the shift; XLA chain handles
+        # the lane-packed group layout needs power-of-two windows <= 128
+        # (G = 128//w whole windows per vreg; the fit's suffix/propagate
+        # trees assume power-of-two block widths)
+        if not all(4 <= w <= 128 and (w & (w - 1)) == 0
+                   for w, _ in self.schedule):
+            return False
+        return cfg.fused == "split"
+
+    def _corrfit(self, p, wa, wb, validate, dc_normalize=False):
+        """Fused correlate+peakfit over lane-packed windows (split mode)."""
+        from ..kernels.fused_pass import correlate_peakfit_pallas
+
+        cfg = self.config
+        w, o = self.schedule[p]
+        n_rows, n_cols = self.field_shapes[p]
+        return correlate_peakfit_pallas(
+            wa, wb,
+            wind_size=w,
+            n_cols=n_cols,
+            validate=validate,
+            val_ratio=cfg.val_ratio,
+            validation_window=cfg.validation_window,
+            dc_normalize=dc_normalize,
+            interpret=cfg.pallas_interpret,
+        )
+
+    def _pack(self, windows, p):
+        """[N, w, w] windows -> the lane-packed corrfit layout (XLA)."""
+        from ..kernels.fused_pass import pack_windows
+
+        w, o = self.schedule[p]
+        n_rows, n_cols = self.field_shapes[p]
+        return pack_windows(windows, n_rows, n_cols, w)
+
+    def _shift_packed(self, p, frame, vel_x, vel_y, dt, mode):
+        """Shifted windows in the lane-packed layout: straight from the
+        Pallas shift kernel when available (zero layout copies), otherwise
+        via the XLA shift + repack."""
+        cfg = self.config
+        w, o = self.schedule[p]
+        if (self._use_pallas() or cfg.pallas_interpret) and \
+                cfg.shift_variant == "rolls" and cfg.cws_interp == "bilinear":
+            from ..kernels.shift_pallas import shift_windows_pallas
+
+            return shift_windows_pallas(
+                frame.astype(dt),
+                vel_x.astype(dt),
+                vel_y.astype(dt),
+                frame_shape=cfg.frame_shape,
+                wind_size=w,
+                overlap=o,
+                max_shift=cfg.max_shift,
+                interpret=cfg.pallas_interpret,
+                flat_wrap=cfg.edge_exact,
+                packed=True,
+            )
+        if mode == "DWS":
+            vel_x = vel_x.astype(jnp.int32)
+            vel_y = vel_y.astype(jnp.int32)
+        return self._pack(self._shift(p, frame, vel_x, vel_y, dt, mode), p)
 
     def _window_weight(self, p):
         """Static separable Gaussian taper for pass p (None when off)."""
@@ -318,6 +391,13 @@ class MultipassPIV:
             z = jnp.zeros(n_rows * n_cols, jnp.float32)
             u, v, inval = self._fused_pass(
                 0, frame_a, frame_b, z, z, z, z, dc_normalize=True)
+        elif self._use_split():
+            # reshape-assembled windows -> lane-packed -> fused
+            # correlate+peakfit kernel (mean normalisation via the DC fold)
+            aa = self._pack(extract_windows(frame_a, w, o).astype(dt), 0)
+            bb = self._pack(extract_windows(frame_b, w, o).astype(dt), 0)
+            u, v, inval = self._corrfit(
+                0, aa, bb, cfg.validate, dc_normalize=True)
         else:
             # Mean normalisation (reference batchNormalize,
             # PIVbackend.py:513) is folded into the correlator's spectrum
@@ -383,6 +463,12 @@ class MultipassPIV:
                     p, frame_a, frame_b,
                     -u2.reshape(-1), -v2.reshape(-1),
                     u2.reshape(-1), v2.reshape(-1), dc_normalize=False)
+            elif self._use_split() and cfg.cws_interp == "bilinear":
+                wa = self._shift_packed(
+                    p, frame_a, -u2.reshape(-1), -v2.reshape(-1), dt, "CWS")
+                wb = self._shift_packed(
+                    p, frame_b, u2.reshape(-1), v2.reshape(-1), dt, "CWS")
+                fused_result = self._corrfit(p, wa, wb, validate)
             else:
                 aa = self._shift(p, frame_a, -u2.reshape(-1), -v2.reshape(-1), dt, "CWS")
                 bb = self._shift(p, frame_b, u2.reshape(-1), v2.reshape(-1), dt, "CWS")
@@ -432,6 +518,12 @@ class MultipassPIV:
                     p, frame_a, frame_b,
                     -u2.reshape(-1), -v2.reshape(-1),
                     u2.reshape(-1), v2.reshape(-1), dc_normalize=False)
+            elif self._use_split():
+                wa = self._shift_packed(
+                    p, frame_a, -u2.reshape(-1), -v2.reshape(-1), dt, "DWS")
+                wb = self._shift_packed(
+                    p, frame_b, u2.reshape(-1), v2.reshape(-1), dt, "DWS")
+                fused_result = self._corrfit(p, wa, wb, validate)
             else:
                 ui = u2.reshape(-1).astype(jnp.int32)
                 vi = v2.reshape(-1).astype(jnp.int32)
@@ -445,8 +537,14 @@ class MultipassPIV:
             if wgt is not None:
                 aa = aa * wgt
                 bb = bb * wgt
-            corr = self._correlate(aa, bb)
-            du, dv, new_inval = self._peakfit(corr, validate)
+            if self._use_split() and wgt is None:
+                # DEF / bicubic windows: repack and use the fused
+                # correlate+peakfit kernel for the rest of the pass
+                du, dv, new_inval = self._corrfit(
+                    p, self._pack(aa, p), self._pack(bb, p), validate)
+            else:
+                corr = self._correlate(aa, bb)
+                du, dv, new_inval = self._peakfit(corr, validate)
         du = du.reshape(n_rows, n_cols)
         dv = dv.reshape(n_rows, n_cols)
         if new_inval is not None:
