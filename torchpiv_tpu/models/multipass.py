@@ -79,6 +79,14 @@ class PIVConfig:
     # "xla" (default) lowers the peak fit with XLA; "pallas" uses the fused
     # kernel (bit-exact, currently slower in-graph on v5e — see _peakfit).
     peakfit: str = "xla"  # "xla" | "pallas"
+    # MXU pass count for the DFT matmuls (ops.correlate.correlate_matmul).
+    # "default" = single bf16 pass: window grey levels are bf16-exact, only
+    # the DFT operator rounds, and the log-Gaussian fit cancels common
+    # per-window scale factors exactly — measured 6.5e-4 px RMS (1.2e-2 px
+    # worst vector) vs the 3-pass chain at the headline config with ZERO
+    # validation-mask flips, for -1.2 ms/pair.  "high" (bf16_3x,
+    # ~f32-accurate) is the parity-reference setting; "highest" = bf16_6x.
+    dft_precision: str = "default"  # "default" | "high" | "highest"
     # Pass-fusion strategy (kernels/fused_pass.py).  Both fusion modes are
     # measured reference points that LOSE to the XLA chain on v5e ("auto"
     # resolves to off; see docs/ROADMAP.md "pass fusion attempts"):
@@ -139,6 +147,8 @@ class PIVConfig:
                              "pass kernel; use fused='off'")
         if self.correlator not in ("auto", "fft", "matmul"):
             raise ValueError(f"unknown correlator {self.correlator!r}")
+        if self.dft_precision not in ("default", "high", "highest"):
+            raise ValueError(f"unknown dft_precision {self.dft_precision!r}")
         for p, (w, o) in enumerate(self.pass_schedule()):
             # the reference would crash obscurely when the //scale schedule
             # shrinks a window to nothing (PIVbackend.py:855-857)
@@ -183,7 +193,8 @@ class MultipassPIV:
         folds the first-pass mean normalisation into the spectrum product)."""
         c = self.config.correlator
         if c == "matmul" or (c == "auto" and jax.default_backend() == "tpu"):
-            return correlate_matmul(aa, bb, dc_normalize)
+            return correlate_matmul(aa, bb, dc_normalize,
+                                    precision=self.config.dft_precision)
         return correlate_fft(aa, bb, dc_normalize)
 
     def _peakfit(self, corr, validate):

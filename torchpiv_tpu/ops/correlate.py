@@ -81,7 +81,8 @@ def _dft_matrices_half(n: int):
 
 
 def correlate_matmul(
-    images_a: jnp.ndarray, images_b: jnp.ndarray, dc_normalize: bool = False
+    images_a: jnp.ndarray, images_b: jnp.ndarray, dc_normalize: bool = False,
+    precision: str = "high",
 ) -> jnp.ndarray:
     """Cross-correlation with the DFTs computed as dense matmuls on the MXU.
 
@@ -107,9 +108,13 @@ def correlate_matmul(
 
     # precision='high' = bf16_3x passes (~f32 accuracy, half the cost of
     # 'highest'/bf16_6x on the MXU); parity impact ~1e-6 relative, verified
-    # against the FFT path in tests.
+    # against the FFT path in tests.  'default' = single bf16 pass: window
+    # grey levels (<= 255) are bf16-EXACT, only the DFT operator rounds —
+    # measured 4.4e-4 px RMS / ~1e-2 px max vs the f32 chain at the
+    # headline config (20x inside the 0.01 px parity budget), for ~2/3
+    # less MXU work (see PIVConfig.dft_precision).
     def mm(a, b):
-        return jnp.matmul(a, b, precision="high")
+        return jnp.matmul(a, b, precision=precision)
 
     def dft2_half(x):
         # Columns first, at half width (real input -> Hermitian spectrum;
