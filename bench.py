@@ -49,7 +49,10 @@ FRAME = (2048, 2048)  # 4 MP
 BATCH = int(os.environ.get("BENCH_BATCH", 16))
 UNIQUE_PAIRS = int(os.environ.get("BENCH_UNIQUE", 4))
 BENCH_PAIRS = int(os.environ.get("BENCH_PAIRS", 96))
-REPEATS = int(os.environ.get("BENCH_REPEATS", 3))  # median-of-N steady state
+# median-of-N steady state; 5 reps because the shared axon chip/tunnel
+# drifts run to run (observed 62-91 pairs/s for the same binary across a
+# congested hour) — a wider median keeps the captured number representative
+REPEATS = int(os.environ.get("BENCH_REPEATS", 5))
 
 
 def log(msg):

@@ -334,3 +334,42 @@ def test_bicubic_cws_interp():
 
     with pytest.raises(ValueError):
         PIVConfig(**base, cws_interp="lanczos")
+
+
+@pytest.mark.parametrize(
+    "shape,w,o,multipass,mode,validate,correlator",
+    [
+        # non-power-of-two windows (no reshape fast path, no 128-lane groups)
+        ((192, 288), 48, 24, 2, "CWS", True, "matmul"),
+        ((192, 192), 48, 12, 1, "CWS", True, "matmul"),
+        # small windows, deep schedule (16 -> 8)
+        ((128, 128), 16, 8, 2, "CWS", True, "matmul"),
+        # non-square frame, DWS, FFT correlator
+        ((160, 256), 32, 16, 2, "DWS", True, "fft"),
+        # validation off
+        ((192, 192), 64, 48, 2, "CWS", False, "matmul"),
+    ],
+)
+def test_parity_config_matrix(shape, w, o, multipass, mode, validate,
+                              correlator):
+    """Long-tail configuration sweep vs golden: odd window sizes,
+    non-square frames, deep schedules, both correlators, validate off —
+    guards paths outside the headline configuration."""
+    fa, fb = particle_pair(shape, displacement=(2.6, -1.4), seed=13)
+    cfg = PIVConfig(
+        frame_shape=shape, wind_size=w, overlap=o, multipass=multipass,
+        multipass_mode=mode, validate=validate, correlator=correlator,
+    )
+    engine = MultipassPIV(cfg)
+    u, v, inval = jax.jit(engine)(jnp.asarray(fa), jnp.asarray(fb))
+    gu, gv, gval = golden_multipass(fa, fb, cfg)
+    if validate:
+        inval = np.asarray(inval)
+        assert np.mean(inval != gval) <= 0.005
+        both = ~(inval | gval)
+    else:
+        assert inval is None and gval is None
+        both = np.ones(np.asarray(u).shape, dtype=bool)
+    assert both.mean() > 0.4
+    assert rms(u, gu, ~both) < 0.01
+    assert rms(v, gv, ~both) < 0.01
