@@ -185,3 +185,46 @@ def test_streaming_source_pairs_across_polls_out_of_order(tmp_path):
     (tmp_path / "img0_b.bmp").write_bytes(b"")
     assert src._poll() == []
     assert src._pending == []
+
+
+# ---- quality diagnostics (stats/quality.py, beyond the reference) ----
+
+def test_peak_locking_degree_uniform_vs_locked():
+    from torchpiv_tpu.stats.quality import (fractional_histogram,
+                                            peak_locking_degree)
+    rng = np.random.default_rng(0)
+    uniform = rng.uniform(0, 10, 4000)          # unbiased fractions
+    locked = np.round(uniform) + rng.normal(0, 0.02, 4000)  # integer pile-up
+    c_uni = peak_locking_degree(uniform)
+    c_lock = peak_locking_degree(locked)
+    assert c_uni < 0.3
+    assert c_lock > 0.8
+    counts, edges = fractional_histogram(uniform, bins=10)
+    assert counts.sum() == 4000 and len(edges) == 11
+    # mask excludes vectors
+    mask = np.zeros(4000, bool)
+    mask[:2000] = True
+    counts_m, _ = fractional_histogram(uniform, bins=10, mask=mask)
+    assert counts_m.sum() == 2000
+
+
+def test_peak_locking_empty_and_nan():
+    from torchpiv_tpu.stats.quality import peak_locking_degree
+    assert peak_locking_degree(np.array([])) == 0.0
+    assert peak_locking_degree(np.full(10, np.nan)) == 0.0
+
+
+def test_snr_map_separates_signal_from_noise():
+    from torchpiv_tpu.stats.quality import snr_map
+    from torchpiv_tpu.utils.synthetic import particle_pair
+    rng = np.random.default_rng(1)
+    fa, fb = particle_pair((256, 256), displacement=(3.0, -1.5), seed=2)
+    snr_good = snr_map(fa, fb, wind_size=64, overlap=32)
+    # uncorrelated frames: no dominant peak
+    fn = rng.integers(0, 255, (256, 256)).astype(np.uint8)
+    snr_bad = snr_map(fa, fn, wind_size=64, overlap=32)
+    assert snr_good.shape == snr_bad.shape == (7, 7)
+    assert np.median(snr_good) > 1.5 * np.median(snr_bad)
+    assert np.median(snr_bad) < 1.5
+    # consistent with the engine's validation quantity: ratio >= 1
+    assert (snr_good >= 1.0 - 1e-6).all()

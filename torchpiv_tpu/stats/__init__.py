@@ -1,5 +1,13 @@
-"""Ensemble statistics (L4): means, Reynolds stresses, vorticity/shear."""
+"""Ensemble statistics (L4): means, Reynolds stresses, vorticity/shear;
+measurement-quality diagnostics (peak locking, SNR maps)."""
 
 from .ensemble import EnsembleAccumulator, compute_statistics
+from .quality import fractional_histogram, peak_locking_degree, snr_map
 
-__all__ = ["EnsembleAccumulator", "compute_statistics"]
+__all__ = [
+    "EnsembleAccumulator",
+    "compute_statistics",
+    "fractional_histogram",
+    "peak_locking_degree",
+    "snr_map",
+]

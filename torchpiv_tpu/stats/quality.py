@@ -1,0 +1,113 @@
+"""Measurement-quality diagnostics (beyond the reference).
+
+Standard PIV QC metrics the reference lacks entirely (its only quality
+signal is the pass/fail peak-ratio mask, PIVbackend.py:408-415):
+
+* **peak-locking degree** — bias of sub-pixel displacements toward integer
+  pixel values, the classic symptom of undersized particle images
+  (Christensen, Exp. Fluids 36 (2004): the fractional-displacement
+  histogram should be uniform; a pile-up at 0/1 means locked vectors).
+* **signal-to-noise map** — the per-window first/second correlation-peak
+  ratio as a continuous field (the reference computes it only to threshold
+  it; the map itself is the standard seeding/illumination diagnostic).
+
+Both are host-side numpy (they run on final fields / small maps — nothing
+here is a hot path).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def fractional_histogram(
+    u: np.ndarray, bins: int = 20, mask: Optional[np.ndarray] = None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Histogram of the fractional parts of a displacement component.
+
+    Returns ``(counts, edges)`` over ``frac(u) in [0, 1)``; ``mask`` marks
+    vectors to EXCLUDE (e.g. the engine's invalid mask).
+    """
+    u = np.asarray(u, dtype=np.float64)
+    if mask is not None:
+        u = u[~np.asarray(mask, dtype=bool)]
+    frac = np.mod(u.ravel(), 1.0)
+    frac = frac[np.isfinite(frac)]
+    return np.histogram(frac, bins=bins, range=(0.0, 1.0))
+
+
+def peak_locking_degree(
+    u: np.ndarray, bins: int = 20, mask: Optional[np.ndarray] = None
+) -> float:
+    """Degree of peak locking C in [0, 1] for one displacement component.
+
+    ``C = (max(h) - min(h)) / max(h)`` over the fractional-displacement
+    histogram h (Christensen 2004, eq. 1).  0 = uniform fractions (no
+    locking); values above ~0.3 indicate biased sub-pixel fits (particle
+    images too small for the 3-point Gaussian fit).
+    """
+    counts, _ = fractional_histogram(u, bins=bins, mask=mask)
+    total = counts.sum()
+    if total == 0:
+        return 0.0
+    h = counts.astype(np.float64) / total
+    hi = float(h.max())
+    if hi == 0.0:
+        return 0.0
+    return (hi - float(h.min())) / hi
+
+
+def snr_map(
+    frame_a,
+    frame_b,
+    wind_size: int,
+    overlap: int,
+    validation_window: int = 3,
+) -> np.ndarray:
+    """First-peak / second-peak correlation ratio per window, ``[R, C]``.
+
+    The continuous form of the reference's validation quantity
+    (``peak2peak_secondpeak``, PIVbackend.py:346-358, identical exclusion
+    semantics): SNR ~ 1 means no dominant particle-pattern match (poor
+    seeding, laser dropout, out-of-plane motion); production rules of
+    thumb flag windows below ~1.3-2.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.correlate import correlate_matmul
+    from ..ops.geometry import get_field_shape
+    from ..ops.peakfit import EPS
+    from ..ops.windows import extract_windows
+
+    H, W = np.asarray(frame_a).shape
+    n_rows, n_cols = get_field_shape((H, W), wind_size, overlap)
+
+    @jax.jit
+    def _ratio(fa, fb):
+        aa = extract_windows(fa, wind_size, overlap).astype(jnp.float32)
+        bb = extract_windows(fb, wind_size, overlap).astype(jnp.float32)
+        corr = correlate_matmul(aa, bb, dc_normalize=True)
+        n, d, k = corr.shape
+        kd = d * k
+        flat = corr.reshape(n, kd)
+        shift = EPS - jnp.min(flat, axis=-1)
+        m = jnp.argmax(flat, axis=-1).astype(jnp.int32)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (n, kd), 1)
+        cm = jnp.sum(jnp.where(pos == m[:, None], flat, 0), axis=-1) + shift
+        dd = pos - m[:, None]
+        j = jnp.round(dd.astype(jnp.float32) / k).astype(jnp.int32)
+        w = validation_window
+        excl = (jnp.abs(j) <= w) & (jnp.abs(dd - k * j) <= w)
+        lo = (m - (w + k * w)) < 0
+        hi = (m + (w + k * w)) > kd - 1
+        excl = excl.at[:, 0].set(excl[:, 0] | lo)
+        excl = excl.at[:, kd - 1].set(excl[:, kd - 1] | hi)
+        c2 = jnp.maximum(
+            jnp.max(jnp.where(excl, -jnp.inf, flat), axis=-1)
+            + shift, EPS)
+        return cm / c2
+
+    out = np.asarray(_ratio(jnp.asarray(frame_a), jnp.asarray(frame_b)))
+    return out.reshape(n_rows, n_cols)
