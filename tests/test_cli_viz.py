@@ -130,3 +130,17 @@ def test_cli_run_with_extras(folder, tmp_path, monkeypatch):
         "--background", "auto", "--save", "Dont save",
     ])
     assert rc == 0
+
+
+def test_cli_qc(folder, capsys):
+    rc = cli_main(["qc", folder, "--wind-size", "64", "--overlap", "32",
+                   "--pairs", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "SNR median" in out
+    assert "peak-locking degree" in out
+
+
+def test_cli_qc_empty(tmp_path):
+    rc = cli_main(["qc", str(tmp_path)])
+    assert rc == 1

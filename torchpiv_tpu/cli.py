@@ -200,6 +200,51 @@ def cmd_bench(args) -> int:
                                          "bench.py")])
 
 
+def cmd_qc(args) -> int:
+    """Measurement-quality report for a folder: per-pair SNR map summary +
+    peak-locking degree over the recovered displacement field
+    (stats/quality.py; diagnostics the reference lacks)."""
+    import numpy as np
+
+    from .io.dataset import PIVDataset
+    from .stats.quality import peak_locking_degree, snr_map
+
+    ds = PIVDataset(args.folder, args.file_fmt, folder_mode=args.folder_mode)
+    if len(ds) == 0:
+        print("no pairs found", file=sys.stderr)
+        return 1
+    n = min(len(ds), args.pairs)
+    fa = None
+    for i in range(n):
+        fa, fb = ds[i]
+        if fa is None:
+            print(f"pair {i}: unreadable, skipped", file=sys.stderr)
+            continue
+        s = snr_map(fa, fb, wind_size=args.wind_size, overlap=args.overlap)
+        lo = float(np.quantile(s, 0.05))
+        print(f"pair {i}: SNR median {np.median(s):.2f}  p5 {lo:.2f}  "
+              f"min {s.min():.2f}  <{args.val_ratio}: "
+              f"{(s < args.val_ratio).mean():.1%}")
+    # peak locking from a quick single-pass field on the first pair
+    import jax
+    import jax.numpy as jnp
+
+    from .models import MultipassPIV, PIVConfig
+
+    fa, fb = ds[0]
+    if fa is None:
+        return 1
+    cfg = PIVConfig(frame_shape=fa.shape, wind_size=args.wind_size,
+                    overlap=args.overlap, multipass=1)
+    u, v, inval = jax.jit(MultipassPIV(cfg))(jnp.asarray(fa), jnp.asarray(fb))
+    cu = peak_locking_degree(np.asarray(u), mask=np.asarray(inval))
+    cv = peak_locking_degree(np.asarray(v), mask=np.asarray(inval))
+    print(f"peak-locking degree: u {cu:.2f}  v {cv:.2f}  "
+          f"({'OK' if max(cu, cv) < 0.3 else 'BIASED — particle images '
+             'likely too small for the 3-point fit'})")
+    return 0
+
+
 def cmd_watch(args) -> int:
     """Print new frame pairs as they appear (the working counterpart of the
     reference's standalone watchman.py watchdog script)."""
@@ -317,6 +362,19 @@ def main(argv=None) -> int:
 
     p_bench = sub.add_parser("bench", help="run the headline benchmark")
     p_bench.set_defaults(fn=cmd_bench)
+
+    p_qc = sub.add_parser(
+        "qc", help="measurement-quality report (SNR map, peak locking)")
+    p_qc.add_argument("folder")
+    p_qc.add_argument("--file-fmt", default=".bmp")
+    p_qc.add_argument("--folder-mode", choices=["pairs", "sequential"],
+                      default="pairs")
+    p_qc.add_argument("--wind-size", type=int, default=64)
+    p_qc.add_argument("--overlap", type=int, default=32)
+    p_qc.add_argument("--val-ratio", type=float, default=1.2)
+    p_qc.add_argument("--pairs", type=int, default=4,
+                      help="max pairs to scan (default 4)")
+    p_qc.set_defaults(fn=cmd_qc)
 
     args = parser.parse_args(argv)
     logging.basicConfig(
