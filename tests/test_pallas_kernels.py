@@ -135,3 +135,98 @@ class TestPeakfitPallas:
         both = ~(np.asarray(i0) | np.asarray(i1))
         d = np.abs(np.asarray(u0) - np.asarray(u1))[both]
         assert np.sqrt(np.mean(d**2)) < 0.01
+
+
+# ---- DEF (deforming-window) kernel (kernels/def_pallas.py) ----
+
+def _def_xla_reference(frame, u2, v2, dudx, dudy, dvdx, dvdy, W, O, shape):
+    """The engine's XLA dense-offset DEF resampling (multipass.py branch)."""
+    from torchpiv_tpu.ops.shifts import cws_shift, per_window_origins
+
+    n_rows = (shape[0] - W) // (W - O) + 1
+    n_cols = (shape[1] - W) // (W - O) + 1
+    n = n_rows * n_cols
+    off = jnp.arange(W, dtype=jnp.float32) - (W - 1) / 2.0
+
+    def dense(c, gx, gy):
+        return (c.reshape(n, 1, 1) + gx.reshape(n, 1, 1) * off[None, None, :]
+                + gy.reshape(n, 1, 1) * off[None, :, None])
+
+    du = dense(jnp.asarray(u2), jnp.asarray(dudx), jnp.asarray(dudy))
+    dv = dense(jnp.asarray(v2), jnp.asarray(dvdx), jnp.asarray(dvdy))
+    r0, c0 = per_window_origins(shape, W, O)
+    return cws_shift(frame, jnp.asarray(r0), jnp.asarray(c0), W, du, dv,
+                     jnp.float32)
+
+
+def test_def_kernel_matches_xla_dense():
+    from torchpiv_tpu.kernels.def_pallas import def_windows_pallas
+
+    shape = (256, 256)
+    W, O = 32, 16
+    fa, _ = particle_pair(shape, displacement=(3.3, -2.1), seed=0)
+    n = (((shape[0] - W) // (W - O)) + 1) ** 2
+    rng = np.random.default_rng(2)
+    u2 = rng.uniform(-6, 6, n).astype(np.float32)
+    v2 = rng.uniform(-6, 6, n).astype(np.float32)
+    g = [rng.uniform(-0.05, 0.05, n).astype(np.float32) for _ in range(4)]
+    u2[:15] = np.round(u2[:15])
+    g[0][:15] = g[1][:15] = 0  # integer-cell quirk windows
+    f = jnp.asarray(fa)
+    got = np.asarray(def_windows_pallas(
+        f, jnp.asarray(u2), jnp.asarray(v2), *(jnp.asarray(x) for x in g),
+        frame_shape=shape, wind_size=W, overlap=O, interpret=True))
+    ref = np.asarray(_def_xla_reference(f, u2, v2, *g, W=W, O=O, shape=shape))
+    d = np.abs(got - ref)
+    # The XLA path floors ABSOLUTE f32 coordinates (precision ~1e-5 px at
+    # 256); the kernel floors small residuals (precision ~1e-7) — pixels
+    # whose sample position sits within f32 noise of an integer can land in
+    # the neighbouring cell.  Rare (data-dependent), so compare by quantile.
+    frac_diff = (d > 1e-3).mean()
+    assert frac_diff < 0.005, f"{frac_diff:.2%} pixels differ"
+    assert np.quantile(d, 0.99) < 1e-3
+
+
+def test_def_kernel_integer_zero_gradient_is_integer_shift():
+    """g == 0 and integer centers: DEF degenerates to the integer shift —
+    bit-exact vs the CWS kernel's integer path."""
+    from torchpiv_tpu.kernels.def_pallas import def_windows_pallas
+
+    shape = (192, 192)
+    W, O = 32, 16
+    fa, _ = particle_pair(shape, displacement=(2.0, -1.0), seed=5)
+    n = (((shape[0] - W) // (W - O)) + 1) ** 2
+    rng = np.random.default_rng(3)
+    vx = np.round(rng.uniform(-5, 5, n)).astype(np.float32)
+    vy = np.round(rng.uniform(-5, 5, n)).astype(np.float32)
+    z = np.zeros(n, np.float32)
+    f = jnp.asarray(fa)
+    got = np.asarray(def_windows_pallas(
+        f, jnp.asarray(vx), jnp.asarray(vy), *(jnp.asarray(z),) * 4,
+        frame_shape=shape, wind_size=W, overlap=O, interpret=True))
+    ref = np.asarray(shift_windows_pallas(
+        f.astype(jnp.float32), jnp.asarray(vx), jnp.asarray(vy),
+        frame_shape=shape, wind_size=W, overlap=O, interpret=True))
+    assert np.array_equal(got, ref)
+
+
+@pytest.mark.parametrize("flow", ["uniform", "shear"])
+def test_engine_def_pallas_matches_xla(flow):
+    from torchpiv_tpu.utils.synthetic import shear_flow
+
+    disp = (3.3, -2.1) if flow == "uniform" else shear_flow(1.0, 0.01)
+    fa, fb = particle_pair((512, 512), displacement=disp, seed=11)
+    base = dict(frame_shape=(512, 512), wind_size=64, overlap=32,
+                multipass=2, multipass_mode="DEF")
+    ref = MultipassPIV(PIVConfig(**base, use_pallas="off"))
+    pal = MultipassPIV(PIVConfig(**base, use_pallas="off",
+                                 pallas_interpret=True))
+    ru, rv, ri = map(np.asarray, jax.jit(ref)(jnp.asarray(fa),
+                                              jnp.asarray(fb)))
+    pu, pv, pi = map(np.asarray, pal(jnp.asarray(fa), jnp.asarray(fb)))
+    agree = pi == ri
+    assert agree.mean() > 0.99
+    both = ~(pi | ri) & agree
+    rms = np.sqrt(np.mean((pu[both] - ru[both]) ** 2
+                          + (pv[both] - rv[both]) ** 2))
+    assert rms < 0.01, f"{flow}: {rms:.4f} px"

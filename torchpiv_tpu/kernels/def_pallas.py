@@ -1,0 +1,264 @@
+"""Pallas TPU kernel for window-DEFORMATION resampling (DEF mode).
+
+DEF resamples every window with a per-PIXEL displacement field (the
+locally-linearised predictor: center + gradient x in-window offset), which
+the XLA path expresses as 4 flat gathers of dense ``[N, w, w]`` indices
+(``ops.shifts.cws_shift`` with dense offsets — the same gather lowering
+that made plain CWS 122 ms/frame before the shift kernel).  Measured at
+the 4 MP headline geometry the XLA DEF engine runs at ~1.1 s/pair — two
+orders of magnitude off the CWS path.
+
+This kernel keeps the shift kernel's memory structure (band DMA per window
+row, aligned block + two dynamic rolls) but extracts a tile with an extra
+``M``-pixel margin and evaluates the per-pixel bilinear sample as an EXACT
+accumulation over the ``(2M+2)^2`` static integer shifts of the tile:
+
+    out(i,j) = sum_{ky,kx} wy(i,j,ky) * wx(i,j,kx) * tile[i+ky, j+kx]
+    wy(i,j,ky) = max(0, 1 - |ry(i,j) - ky|)        (hat function)
+
+The hat weights are exactly zero outside the two integer neighbours of
+``ry``, so the sum reproduces the reference's bilinear blend term for term
+(adding exact zeros); tile addressing is static, so no gathers and no
+per-pixel dynamic addressing anywhere.  The reference's "integer shift in
+either axis -> floor corner" quirk (PIVbackend.py:170) is reproduced by
+substituting ``floor(r)`` for ``r`` on integer-cell pixels before the
+accumulation (one-hot weights then select the floor corner).
+
+Semantics vs the XLA dense path (``models.multipass`` DEF branch):
+
+* identical for per-pixel offsets within ``center +- M`` pixels of the
+  window's (clamped) center shift; the per-pixel *residual* (gradient x
+  in-window offset + center fraction) saturates at the ``[0, 2M+1)`` tile
+  range — deformations steeper than ~``2M / wind_size`` px/px are clamped
+  (the XLA path, which saturates only at the frame's flat-index bounds,
+  remains available via ``use_pallas="off"``);
+* window-center shifts clamp to ``max_shift`` exactly like the CWS kernel;
+* frame-edge addressing reproduces the reference's flat-index clamp via
+  ``flat_wrap_pad`` with pad ``S + M + 1`` (every sample stays inside the
+  padded frame, so no in-kernel bounds clamp ever binds).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .shift_pallas import flat_wrap_pad
+
+
+def _def_kernel(
+    # scalar prefetch (SMEM):
+    row0_ref, dy_ref, dx_ref, fy_ref, fx_ref,
+    gyi_ref, gyj_ref, gxi_ref, gxj_ref,
+    # inputs:
+    frame_hbm,
+    # outputs:
+    out_ref,
+    # scratch:
+    band, band_sem,
+    *,
+    H: int, W: int, Wp: int, w: int, step: int, S: int, n_cols: int,
+    OFF: int, M: int,
+):
+    r = pl.program_id(0)
+    n_rows = pl.num_programs(0)
+    rg0 = row0_ref[0]
+    T = w + 2 * M + 1  # tile side: rows i + ky, ky in [0, 2M+1]
+    BH = -(-(w + 2 * (S + M) + 2) // 8) * 8
+    Hp = -(-H // 8) * 8
+    BLK_H = -(-(T + 7) // 8) * 8  # 8-aligned block height covering any t8
+    BLK_W = 256
+
+    def band_origin(row):
+        o = jnp.clip((rg0 + row) * step + OFF - S - M, 0, Hp - BH)
+        return pl.multiple_of((o // 8) * 8, 8)
+
+    def start_band_dma(slot, row):
+        return pltpu.make_async_copy(
+            frame_hbm.at[pl.ds(band_origin(row), BH), :],
+            band.at[slot, pl.ds(0, BH), :],
+            band_sem.at[slot],
+        )
+
+    @pl.when(r == 0)
+    def _():
+        start_band_dma(0, 0).start()
+
+    @pl.when(r + 1 < n_rows)
+    def _():
+        start_band_dma((r + 1) % 2, r + 1).start()
+
+    start_band_dma(r % 2, r).wait()
+    slot = r % 2
+    by0 = band_origin(r)
+
+    # in-window offsets (loop-invariant): ioff along sublanes, joff lanes
+    half = (w - 1) / 2.0
+    # Mosaic iota must be integer-typed; cast to f32 after
+    ioff = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0).astype(
+        jnp.float32) - half
+    joff = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1).astype(
+        jnp.float32) - half
+    hi = jnp.float32(2 * M + 1) - 1e-3  # keeps floor(r) <= 2M
+
+    def body(c):
+        dy = dy_ref[r, c]
+        dx = dx_ref[r, c]
+        ty = jnp.clip((rg0 + r) * step + OFF + dy - M, 0, H - T) - by0
+        tx = jnp.clip(c * step + OFF + dx - M, 0, W - T)
+        t8 = pl.multiple_of((ty // 8) * 8, 8)
+        s_row = ty - t8
+        a = pl.multiple_of(jnp.clip((tx // 128) * 128, 0, Wp - BLK_W), 128)
+        s_col = tx - a
+        block = band[slot, pl.ds(t8, BLK_H), pl.ds(a, BLK_W)]
+        block = pltpu.roll(block, BLK_W - s_col, 1)[:, :T]
+        block = pltpu.roll(block, BLK_H - s_row, 0)
+        tile = block[:T, :]
+
+        # per-pixel residual sample positions inside the tile, in [0, 2M+1)
+        ry = (M + fy_ref[r, c]) + gyi_ref[r, c] * ioff + gyj_ref[r, c] * joff
+        rx = (M + fx_ref[r, c]) + gxi_ref[r, c] * ioff + gxj_ref[r, c] * joff
+        ry = jnp.clip(ry, 0.0, hi)
+        rx = jnp.clip(rx, 0.0, hi)
+        # reference quirk: integer sample coordinate in EITHER axis ->
+        # floor corner (one-hot weights after the substitution)
+        fry = jnp.floor(ry)
+        frx = jnp.floor(rx)
+        int_cell = jnp.logical_or(ry == fry, rx == frx)
+        ry = jnp.where(int_cell, fry, ry)
+        rx = jnp.where(int_cell, frx, rx)
+
+        acc = jnp.zeros((w, w), jnp.float32)
+        for ky in range(2 * M + 2):
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(ry - ky))
+            for kx in range(2 * M + 2):
+                wx = jnp.maximum(0.0, 1.0 - jnp.abs(rx - kx))
+                acc = acc + (wy * wx) * tile[ky:ky + w, kx:kx + w]
+        out_ref[0, c] = acc
+
+    for c in range(n_cols):
+        body(c)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "wind_size", "overlap", "frame_shape", "max_shift", "margin",
+        "interpret", "flat_wrap", "n_rows_local",
+    ),
+)
+def def_windows_pallas(
+    frame: jnp.ndarray,
+    vel_x: jnp.ndarray,
+    vel_y: jnp.ndarray,
+    dudx: jnp.ndarray,
+    dudy: jnp.ndarray,
+    dvdx: jnp.ndarray,
+    dvdy: jnp.ndarray,
+    *,
+    frame_shape: Tuple[int, int],
+    wind_size: int,
+    overlap: int,
+    max_shift: int | None = None,
+    margin: int = 2,
+    interpret: bool = False,
+    flat_wrap: bool = True,
+    row_start=0,
+    n_rows_local: int | None = None,
+) -> jnp.ndarray:
+    """Deforming-window resampling of all interrogation windows.
+
+    Args:
+      frame: ``[H, W]`` frame (cast to f32).
+      vel_x, vel_y: ``[N]`` per-window CENTER shifts in pixels.
+      dudx, dudy, dvdx, dvdy: ``[N]`` per-window displacement gradients
+        (px per px): the per-pixel offset applied is
+        ``vel + d/dx * joff + d/dy * ioff`` with ``ioff/joff`` the signed
+        in-window pixel offsets from the window center — exactly the
+        dense field the XLA DEF branch builds (models/multipass.py).
+      margin: M — per-pixel residual saturation (see module docstring).
+
+    Returns ``[N, w, w]`` float32 deformed windows.
+    """
+    H0, W0 = frame_shape
+    w = wind_size
+    step = wind_size - overlap
+    n_rows = (H0 - w) // step + 1
+    n_cols = (W0 - w) // step + 1
+    if n_rows_local is not None:
+        n_rows = n_rows_local
+    S = max_shift if max_shift is not None else max(w // 2, 1)
+    M = margin
+
+    frame = frame.astype(jnp.float32)
+    P = S + M + 1
+    if flat_wrap:
+        frame = flat_wrap_pad(frame, P)
+        OFF = P
+        H, W = H0 + 2 * P, W0 + 2 * P
+    else:
+        OFF = 0
+        H, W = H0, W0
+
+    BH = -(-(w + 2 * (S + M) + 2) // 8) * 8
+    Hp = -(-H // 8) * 8
+    Wp = -(-max(W, 256) // 128) * 128
+
+    def grid2(x):
+        return x.astype(jnp.float32).reshape(n_rows, n_cols)
+
+    vx = jnp.clip(grid2(vel_x), -S, S)
+    vy = jnp.clip(grid2(vel_y), -S, S)
+    dy = jnp.floor(vy)
+    dx = jnp.floor(vx)
+
+    if (Hp, Wp) != (H, W):
+        frame = jnp.pad(frame, ((0, Hp - H), (0, Wp - W)))
+
+    kernel = functools.partial(
+        _def_kernel,
+        H=H, W=W, Wp=Wp, w=w, step=step, S=S, n_cols=n_cols, OFF=OFF, M=M,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=9,
+        grid=(n_rows,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, n_cols, w, w),
+            lambda r, *_: (r, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            # +16 rows: aligned row-block loads may read past the band tail
+            pltpu.VMEM((2, BH + 16, Wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_rows, n_cols, w, w), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=int(n_rows * n_cols * (2 * M + 2) ** 2 * 3 * w * w),
+            bytes_accessed=int(n_rows * BH * W * 4
+                               + n_rows * n_cols * w * w * 4),
+            transcendentals=0,
+        ),
+    )(
+        jnp.asarray(row_start, jnp.int32).reshape(1),
+        dy.astype(jnp.int32),
+        dx.astype(jnp.int32),
+        vy - dy,
+        vx - dx,
+        grid2(dvdy),
+        grid2(dvdx),
+        grid2(dudy),
+        grid2(dudx),
+        frame,
+    )
+    return out.reshape(n_rows * n_cols, w, w)

@@ -107,6 +107,12 @@ class PIVConfig:
     # reference's dead piv_iteration_CWS_Fast, PIVbackend.py:599-675;
     # XLA gather path, quality mode).
     cws_interp: str = "bilinear"  # "bilinear" | "bicubic"
+    # DEF Pallas kernel per-pixel residual margin M (kernels/def_pallas.py):
+    # deformations steeper than ~2*M/wind_size px/px saturate.  Larger M =
+    # more accumulation terms ((2M+2)^2) = slower kernel.  The exact XLA
+    # dense-gather path remains available via use_pallas="off" (two orders
+    # of magnitude slower at 4 MP on TPU).
+    def_margin: int = 2
     # Optional sub-window weighting before correlation (beyond the
     # reference): "gaussian" multiplies each window by a separable Gaussian
     # (sigma = wind/4), the standard anti-leakage taper — reduces the bias
@@ -149,6 +155,8 @@ class PIVConfig:
             raise ValueError(f"unknown correlator {self.correlator!r}")
         if self.dft_precision not in ("default", "high", "highest"):
             raise ValueError(f"unknown dft_precision {self.dft_precision!r}")
+        if not 1 <= self.def_margin <= 8:
+            raise ValueError("def_margin must be in [1, 8]")
         for p, (w, o) in enumerate(self.pass_schedule()):
             # the reference would crash obscurely when the //scale schedule
             # shrinks a window to nothing (PIVbackend.py:855-857)
@@ -497,25 +505,50 @@ class MultipassPIV:
             step = w - o
             dudy, dudx = jnp.gradient(u2, step, step)
             dvdy, dvdx = jnp.gradient(v2, step, step)
-            off = jnp.arange(w, dtype=dt) - (w - 1) / 2.0
-            n_w = n_rows * n_cols
+            if (self._use_pallas() or cfg.pallas_interpret) and \
+                    cfg.cws_interp == "bilinear":
+                # Pallas DEF kernel: exact per-pixel bilinear via a static
+                # shift table — the XLA dense-gather path below measures
+                # ~1.1 s/pair at 4 MP on v5e (kernels/def_pallas.py).
+                from ..kernels.def_pallas import def_windows_pallas
 
-            def dense(center, gx_, gy_):
-                return (
-                    center.reshape(n_w, 1, 1)
-                    + gx_.reshape(n_w, 1, 1) * off[None, None, :]
-                    + gy_.reshape(n_w, 1, 1) * off[None, :, None]
+                kw = dict(
+                    frame_shape=cfg.frame_shape, wind_size=w, overlap=o,
+                    max_shift=cfg.max_shift, margin=cfg.def_margin,
+                    interpret=cfg.pallas_interpret, flat_wrap=cfg.edge_exact,
                 )
 
-            du_d = dense(u2, dudx, dudy)
-            dv_d = dense(v2, dvdx, dvdy)
-            row0w, col0w = self.origins[p]
-            resample = (bicubic_cws_shift if cfg.cws_interp == "bicubic"
-                        else cws_shift)
-            aa = resample(frame_a, jnp.asarray(row0w), jnp.asarray(col0w),
-                          w, -du_d, -dv_d, dt)
-            bb = resample(frame_b, jnp.asarray(row0w), jnp.asarray(col0w),
-                          w, du_d, dv_d, dt)
+                def flatg(x):
+                    return x.reshape(-1)
+
+                aa = def_windows_pallas(
+                    frame_a.astype(dt), -flatg(u2), -flatg(v2),
+                    -flatg(dudx), -flatg(dudy), -flatg(dvdx), -flatg(dvdy),
+                    **kw)
+                bb = def_windows_pallas(
+                    frame_b.astype(dt), flatg(u2), flatg(v2),
+                    flatg(dudx), flatg(dudy), flatg(dvdx), flatg(dvdy),
+                    **kw)
+            else:
+                off = jnp.arange(w, dtype=dt) - (w - 1) / 2.0
+                n_w = n_rows * n_cols
+
+                def dense(center, gx_, gy_):
+                    return (
+                        center.reshape(n_w, 1, 1)
+                        + gx_.reshape(n_w, 1, 1) * off[None, None, :]
+                        + gy_.reshape(n_w, 1, 1) * off[None, :, None]
+                    )
+
+                du_d = dense(u2, dudx, dudy)
+                dv_d = dense(v2, dvdx, dvdy)
+                row0w, col0w = self.origins[p]
+                resample = (bicubic_cws_shift if cfg.cws_interp == "bicubic"
+                            else cws_shift)
+                aa = resample(frame_a, jnp.asarray(row0w),
+                              jnp.asarray(col0w), w, -du_d, -dv_d, dt)
+                bb = resample(frame_b, jnp.asarray(row0w),
+                              jnp.asarray(col0w), w, du_d, dv_d, dt)
         else:  # DWS: predictor zeroed BEFORE rounding (reference :779-786)
             if validate:
                 u0 = jnp.where(val0, 0.0, u0)
