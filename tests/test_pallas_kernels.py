@@ -230,3 +230,52 @@ def test_engine_def_pallas_matches_xla(flow):
     rms = np.sqrt(np.mean((pu[both] - ru[both]) ** 2
                           + (pv[both] - rv[both]) ** 2))
     assert rms < 0.01, f"{flow}: {rms:.4f} px"
+
+
+# ---- bicubic CWS kernel (shift_pallas interp="bicubic") ----
+
+def test_bicubic_kernel_matches_xla():
+    from torchpiv_tpu.ops.shifts import bicubic_cws_shift
+
+    shape = (256, 256)
+    W, O = 32, 16
+    fa, _ = particle_pair(shape, displacement=(3.3, -2.1), seed=0)
+    n = (((shape[0] - W) // (W - O)) + 1) ** 2
+    rng = np.random.default_rng(1)
+    vx = rng.uniform(-8, 8, n).astype(np.float32)
+    vy = rng.uniform(-8, 8, n).astype(np.float32)
+    vx[:20] = np.round(vx[:20])
+    vy[5:25] = np.round(vy[5:25])
+    f = jnp.asarray(fa)
+    got = np.asarray(shift_windows_pallas(
+        f, jnp.asarray(vx), jnp.asarray(vy), frame_shape=shape, wind_size=W,
+        overlap=O, interpret=True, interp="bicubic"))
+    r0, c0 = per_window_origins(shape, W, O)
+    ref = np.asarray(bicubic_cws_shift(
+        f, jnp.asarray(r0), jnp.asarray(c0), W, jnp.asarray(vx),
+        jnp.asarray(vy), jnp.float32))
+    d = np.abs(got - ref)
+    assert np.sqrt((d ** 2).mean()) < 1e-3   # f32 weight op-order noise
+    assert d.max() < 1e-2
+    # integer shifts: cubic weights collapse to (0,1,0,0) — exact
+    per_win = d.reshape(n, -1).max(1)
+    iw = (vx == np.round(vx)) & (vy == np.round(vy))
+    assert per_win[iw].max() == 0.0
+
+
+def test_engine_bicubic_pallas_matches_xla():
+    fa, fb = particle_pair((256, 256), displacement=(3.3, -2.1), seed=9)
+    base = dict(frame_shape=(256, 256), wind_size=64, overlap=32,
+                multipass=2, cws_interp="bicubic")
+    ref = MultipassPIV(PIVConfig(**base, use_pallas="off"))
+    pal = MultipassPIV(PIVConfig(**base, use_pallas="off",
+                                 pallas_interpret=True))
+    ru, rv, ri = map(np.asarray, jax.jit(ref)(jnp.asarray(fa),
+                                              jnp.asarray(fb)))
+    pu, pv, pi = map(np.asarray, pal(jnp.asarray(fa), jnp.asarray(fb)))
+    agree = pi == ri
+    assert agree.mean() > 0.99
+    both = ~(pi | ri) & agree
+    rms = np.sqrt(np.mean((pu[both] - ru[both]) ** 2
+                          + (pv[both] - rv[both]) ** 2))
+    assert rms < 0.01

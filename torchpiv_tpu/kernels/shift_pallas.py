@@ -228,6 +228,104 @@ def _shift_kernel_bf16(
     jax.lax.fori_loop(0, n_cols, body, 0)
 
 
+def _shift_kernel_bicubic(
+    # scalar prefetch (SMEM):
+    row0_ref, dy_ref, dx_ref, fy_ref, fx_ref,
+    # inputs:
+    frame_hbm,
+    # outputs:
+    out_ref,
+    # scratch:
+    band, band_sem,
+    *,
+    H: int, W: int, Wp: int, w: int, step: int, S: int, n_cols: int,
+    OFF: int,
+):
+    """Bicubic (cubic-convolution, a = -0.5) per-window shift.
+
+    Mirrors ``ops.shifts.bicubic_cws_shift`` (the capability of the
+    reference's dead ``piv_iteration_CWS_Fast``, PIVbackend.py:599-675) —
+    16 flat gathers there, which lower catastrophically on TPU.  Here the
+    4x4 cubic stencil is an accumulation over the 16 STATIC shifts of a
+    ``(w+4)``-tile with per-window SCALAR cubic weights; integer shifts
+    collapse exactly to the integer sample (weights become (0,1,0,0)).
+    """
+    r = pl.program_id(0)
+    n_rows = pl.num_programs(0)
+    rg0 = row0_ref[0]
+    T = w + 4  # stencil rows floor-1 .. floor+2 relative to each pixel
+    BH = -(-(w + 2 * S + 5) // 8) * 8
+    Hp = -(-H // 8) * 8
+    BLK_H = -(-(T + 7) // 8) * 8
+    BLK_W = 256
+
+    def band_origin(row):
+        o = jnp.clip((rg0 + row) * step + OFF - S - 1, 0, Hp - BH)
+        return pl.multiple_of((o // 8) * 8, 8)
+
+    def start_band_dma(slot, row):
+        return pltpu.make_async_copy(
+            frame_hbm.at[pl.ds(band_origin(row), BH), :],
+            band.at[slot, pl.ds(0, BH), :],
+            band_sem.at[slot],
+        )
+
+    @pl.when(r == 0)
+    def _():
+        start_band_dma(0, 0).start()
+
+    @pl.when(r + 1 < n_rows)
+    def _():
+        start_band_dma((r + 1) % 2, r + 1).start()
+
+    start_band_dma(r % 2, r).wait()
+    slot = r % 2
+    by0 = band_origin(r)
+
+    def cubic_weights(t):
+        # Keys cubic convolution, a = -0.5 (identical to
+        # ops.shifts.bicubic_cws_shift.cubic_weights)
+        a = -0.5
+        d0 = t + 1.0
+        d2 = 1.0 - t
+        d3 = 2.0 - t
+        w0 = a * d0 ** 3 - 5 * a * d0 ** 2 + 8 * a * d0 - 4 * a
+        w1 = (a + 2) * t ** 3 - (a + 3) * t ** 2 + 1.0
+        w2 = (a + 2) * d2 ** 3 - (a + 3) * d2 ** 2 + 1.0
+        w3 = a * d3 ** 3 - 5 * a * d3 ** 2 + 8 * a * d3 - 4 * a
+        return (w0, w1, w2, w3)
+
+    def body(c):
+        dy = dy_ref[r, c]
+        dx = dx_ref[r, c]
+        fy = fy_ref[r, c]
+        fx = fx_ref[r, c]
+        # tile origin = window origin + floor(shift) - 1 (stencil margin)
+        ty = jnp.clip((rg0 + r) * step + OFF + dy - 1, 0, H - T) - by0
+        tx = jnp.clip(c * step + OFF + dx - 1, 0, W - T)
+        t8 = pl.multiple_of((ty // 8) * 8, 8)
+        s_row = ty - t8
+        a_ = pl.multiple_of(jnp.clip((tx // 128) * 128, 0, Wp - BLK_W), 128)
+        s_col = tx - a_
+        block = band[slot, pl.ds(t8, BLK_H), pl.ds(a_, BLK_W)]
+        block = pltpu.roll(block, BLK_W - s_col, 1)[:, :T]
+        block = pltpu.roll(block, BLK_H - s_row, 0)
+        tile = block[:T, :]
+
+        wy = cubic_weights(fy)
+        wx = cubic_weights(fx)
+        acc = jnp.zeros((w, w), jnp.float32)
+        for ky in range(4):
+            row_acc = jnp.zeros((w, w), jnp.float32)
+            for kx in range(4):
+                row_acc = row_acc + wx[kx] * tile[ky:ky + w, kx:kx + w]
+            acc = acc + wy[ky] * row_acc
+        out_ref[0, c] = acc
+
+    for c in range(n_cols):
+        body(c)
+
+
 def _shift_kernel_mxu(
     # scalar prefetch (SMEM):
     row0_ref, dy_ref, dx_ref, fy_ref, fx_ref,
@@ -440,7 +538,7 @@ def flat_wrap_pad(frame: jnp.ndarray, P: int) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "wind_size", "overlap", "frame_shape", "max_shift", "interpret",
-        "flat_wrap", "variant", "n_rows_local", "packed",
+        "flat_wrap", "variant", "n_rows_local", "packed", "interp",
     ),
 )
 def shift_windows_pallas(
@@ -458,6 +556,7 @@ def shift_windows_pallas(
     row_start=0,
     n_rows_local: int | None = None,
     packed: bool = False,
+    interp: str = "bilinear",
 ) -> jnp.ndarray:
     """Bilinear (CWS) per-window shift of all interrogation windows.
 
@@ -498,18 +597,23 @@ def shift_windows_pallas(
     phases = variant == "phases"
     bf16 = variant == "bf16"
     mxu = variant == "mxu"
+    cubic = interp == "bicubic"
+    if cubic and (phases or bf16 or mxu or packed):
+        raise ValueError("bicubic requires the plain 'rolls' variant")
 
     frame = frame.astype(jnp.float32)
+    P = S + 2 if cubic else S  # cubic stencil reaches floor-1..floor+2
     if flat_wrap:
-        frame = flat_wrap_pad(frame, S)
-        OFF = S
-        H, W = H0 + 2 * S, W0 + 2 * S
+        frame = flat_wrap_pad(frame, P)
+        OFF = P
+        H, W = H0 + 2 * P, W0 + 2 * P
     else:
         OFF = 0
         H, W = H0, W0
 
     grain = 16 if (phases or bf16 or mxu) else 8  # bf16 sublane tile is 16
-    BH = -(-(w + 2 * S + (16 if mxu else 1)) // grain) * grain
+    BH = -(-(w + 2 * S + (16 if mxu else (5 if cubic else 1)))
+           // grain) * grain
     Hp = -(-H // grain) * grain  # row pad so aligned band DMAs stay in bounds
     Wp = -(-max(W, 256) // 128) * 128  # col pad for aligned 256-wide blocks
 
@@ -531,10 +635,12 @@ def shift_windows_pallas(
     n_groups = -(-n_cols // G)
     Lp = n_groups * G * w
     kernel = functools.partial(
-        _shift_kernel_phases
-        if phases
-        else (_shift_kernel_bf16 if bf16
-              else (_shift_kernel_mxu if mxu else _shift_kernel)),
+        _shift_kernel_bicubic
+        if cubic
+        else (_shift_kernel_phases
+              if phases
+              else (_shift_kernel_bf16 if bf16
+                    else (_shift_kernel_mxu if mxu else _shift_kernel))),
         H=H, W=W, Wp=Wp, w=w, step=step, S=S, n_cols=n_cols, OFF=OFF,
         **({"packed": True, "n_cols_pad": n_groups * G} if packed else {}),
     )
@@ -555,8 +661,9 @@ def shift_windows_pallas(
         ]
     else:
         scratch = [
-            # +8 rows: aligned row-block loads may read past the band tail.
-            pltpu.VMEM((2, BH + 8, Wp), jnp.float32),
+            # +8/+16 rows: aligned row-block loads may read past the band
+            # tail (the bicubic block is taller).
+            pltpu.VMEM((2, BH + (16 if cubic else 8), Wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ]
     if packed:

@@ -358,12 +358,14 @@ class MultipassPIV:
                 return cws_shift(frame, r0, c0, w, vx, vy, dt)
             return dws_shift(frame, r0, c0, w, vx, vy, dt)
 
-        # the Pallas kernel is bilinear-only; bicubic takes the XLA path
-        if mode == "CWS" and cfg.cws_interp == "bicubic":
-            return xla_shift(jnp.asarray(row0w), jnp.asarray(col0w), vel_x, vel_y)
-
         if not (self._use_pallas() or cfg.pallas_interpret):
             return xla_shift(jnp.asarray(row0w), jnp.asarray(col0w), vel_x, vel_y)
+
+        bicubic = mode == "CWS" and cfg.cws_interp == "bicubic"
+        if bicubic and cfg.shift_variant != "rolls":
+            # the bicubic kernel exists only for the plain rolls variant
+            return xla_shift(jnp.asarray(row0w), jnp.asarray(col0w),
+                             vel_x, vel_y)
 
         from ..kernels.shift_pallas import shift_windows_pallas
 
@@ -381,6 +383,7 @@ class MultipassPIV:
             interpret=cfg.pallas_interpret,
             flat_wrap=cfg.edge_exact,
             variant=cfg.shift_variant,
+            interp="bicubic" if bicubic else "bilinear",
         )
 
     # -- public static info ------------------------------------------------
