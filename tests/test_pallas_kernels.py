@@ -279,3 +279,76 @@ def test_engine_bicubic_pallas_matches_xla():
     rms = np.sqrt(np.mean((pu[both] - ru[both]) ** 2
                           + (pv[both] - rv[both]) ** 2))
     assert rms < 0.01
+
+
+def test_def_kernel_bicubic_matches_xla():
+    from torchpiv_tpu.kernels.def_pallas import def_windows_pallas
+    from torchpiv_tpu.ops.shifts import bicubic_cws_shift
+
+    shape = (256, 256)
+    W, O = 32, 16
+    fa, _ = particle_pair(shape, displacement=(3.3, -2.1), seed=0)
+    n = (((shape[0] - W) // (W - O)) + 1) ** 2
+    rng = np.random.default_rng(2)
+    u2 = rng.uniform(-6, 6, n).astype(np.float32)
+    v2 = rng.uniform(-6, 6, n).astype(np.float32)
+    g = [rng.uniform(-0.05, 0.05, n).astype(np.float32) for _ in range(4)]
+    f = jnp.asarray(fa)
+    got = np.asarray(def_windows_pallas(
+        f, jnp.asarray(u2), jnp.asarray(v2), *(jnp.asarray(x) for x in g),
+        frame_shape=shape, wind_size=W, overlap=O, interpret=True,
+        interp="bicubic"))
+    off = jnp.arange(W, dtype=jnp.float32) - (W - 1) / 2.0
+
+    def dense(c, gx, gy):
+        return (c.reshape(n, 1, 1) + gx.reshape(n, 1, 1) * off[None, None, :]
+                + gy.reshape(n, 1, 1) * off[None, :, None])
+
+    du = dense(jnp.asarray(u2), jnp.asarray(g[0]), jnp.asarray(g[1]))
+    dv = dense(jnp.asarray(v2), jnp.asarray(g[2]), jnp.asarray(g[3]))
+    r0, c0 = per_window_origins(shape, W, O)
+    ref = np.asarray(bicubic_cws_shift(f, jnp.asarray(r0), jnp.asarray(c0),
+                                       W, du, dv, jnp.float32))
+    d = np.abs(got - ref)
+    assert np.quantile(d, 0.99) < 1e-2 and (d > 1e-2).mean() < 0.005
+
+
+def test_kernels_at_extreme_shifts():
+    """Shifts at the +-max_shift saturation with edge windows: exercises
+    the band coverage bounds (aligned origins can sit 7 rows early)."""
+    from torchpiv_tpu.kernels.def_pallas import def_windows_pallas
+    from torchpiv_tpu.ops.shifts import cws_shift
+
+    shape = (192, 192)
+    W, O = 32, 16
+    fa, _ = particle_pair(shape, displacement=(1.0, 1.0), seed=8)
+    n_axis = (shape[0] - W) // (W - O) + 1
+    n = n_axis ** 2
+    rng = np.random.default_rng(9)
+    S = W // 2
+    # all shifts pinned at the saturation corners, both signs
+    vx = np.where(rng.random(n) < 0.5, -S, S).astype(np.float32) - 0.25
+    vy = np.where(rng.random(n) < 0.5, -S, S).astype(np.float32) + 0.25
+    f = jnp.asarray(fa)
+    got = np.asarray(shift_windows_pallas(
+        f.astype(jnp.float32), jnp.asarray(vx), jnp.asarray(vy),
+        frame_shape=shape, wind_size=W, overlap=O, interpret=True))
+    # XLA reference with the kernel's clamp applied
+    vxc = np.clip(vx, -S, S)
+    vyc = np.clip(vy, -S, S)
+    r0, c0 = per_window_origins(shape, W, O)
+    ref = np.asarray(cws_shift(f, jnp.asarray(r0), jnp.asarray(c0), W,
+                               jnp.asarray(vxc), jnp.asarray(vyc),
+                               jnp.float32))
+    interior = np.ones(n, bool).reshape(n_axis, n_axis)
+    interior[0] = interior[-1] = False
+    interior[:, 0] = interior[:, -1] = False
+    d = np.abs(got - ref).reshape(n, -1).max(1)
+    assert d[interior.ravel()].max() < 1e-3
+    # DEF kernel at saturated centers, zero gradients — interior windows
+    z = np.zeros(n, np.float32)
+    gotd = np.asarray(def_windows_pallas(
+        f, jnp.asarray(vx), jnp.asarray(vy), *(jnp.asarray(z),) * 4,
+        frame_shape=shape, wind_size=W, overlap=O, interpret=True))
+    dd = np.abs(gotd - ref).reshape(n, -1).max(1)
+    assert dd[interior.ravel()].max() < 1e-3

@@ -62,19 +62,24 @@ def _def_kernel(
     band, band_sem,
     *,
     H: int, W: int, Wp: int, w: int, step: int, S: int, n_cols: int,
-    OFF: int, M: int,
+    OFF: int, M: int, cubic: bool = False,
 ):
     r = pl.program_id(0)
     n_rows = pl.num_programs(0)
     rg0 = row0_ref[0]
-    T = w + 2 * M + 1  # tile side: rows i + ky, ky in [0, 2M+1]
-    BH = -(-(w + 2 * (S + M) + 2) // 8) * 8
+    # tile side: bilinear needs rows i + k, k in [0, 2M+1]; the 4-wide
+    # cubic stencil reaches one row before / two rows past that
+    T = w + 2 * M + (4 if cubic else 1)
+    BASE = M + (1 if cubic else 0)  # tile-origin backshift from the window
+    # band must span from the 8-aligned origin (up to 7 rows before
+    # pos0 - S - BASE) to the highest tile end (pos0 + S - BASE + T)
+    BH = -(-(2 * S + T + 7) // 8) * 8
     Hp = -(-H // 8) * 8
     BLK_H = -(-(T + 7) // 8) * 8  # 8-aligned block height covering any t8
     BLK_W = 256
 
     def band_origin(row):
-        o = jnp.clip((rg0 + row) * step + OFF - S - M, 0, Hp - BH)
+        o = jnp.clip((rg0 + row) * step + OFF - S - BASE, 0, Hp - BH)
         return pl.multiple_of((o // 8) * 8, 8)
 
     def start_band_dma(slot, row):
@@ -105,11 +110,22 @@ def _def_kernel(
         jnp.float32) - half
     hi = jnp.float32(2 * M + 1) - 1e-3  # keeps floor(r) <= 2M
 
+    n_k = 2 * M + (4 if cubic else 2)  # stencil taps per axis
+
+    def keys(d):
+        # Keys cubic-convolution weight, a = -0.5, |d| support < 2
+        # (identical to ops.shifts.bicubic_cws_shift.cubic_weights)
+        a_c = -0.5
+        ad = jnp.abs(d)
+        w_in = (a_c + 2) * ad ** 3 - (a_c + 3) * ad ** 2 + 1.0
+        w_out = a_c * ad ** 3 - 5 * a_c * ad ** 2 + 8 * a_c * ad - 4 * a_c
+        return jnp.where(ad <= 1.0, w_in, jnp.where(ad < 2.0, w_out, 0.0))
+
     def body(c):
         dy = dy_ref[r, c]
         dx = dx_ref[r, c]
-        ty = jnp.clip((rg0 + r) * step + OFF + dy - M, 0, H - T) - by0
-        tx = jnp.clip(c * step + OFF + dx - M, 0, W - T)
+        ty = jnp.clip((rg0 + r) * step + OFF + dy - BASE, 0, H - T) - by0
+        tx = jnp.clip(c * step + OFF + dx - BASE, 0, W - T)
         t8 = pl.multiple_of((ty // 8) * 8, 8)
         s_row = ty - t8
         a = pl.multiple_of(jnp.clip((tx // 128) * 128, 0, Wp - BLK_W), 128)
@@ -119,24 +135,34 @@ def _def_kernel(
         block = pltpu.roll(block, BLK_H - s_row, 0)
         tile = block[:T, :]
 
-        # per-pixel residual sample positions inside the tile, in [0, 2M+1)
+        # per-pixel residual sample positions, in [0, 2M+1) relative to the
+        # bilinear tile origin (the cubic tile starts one pixel earlier)
         ry = (M + fy_ref[r, c]) + gyi_ref[r, c] * ioff + gyj_ref[r, c] * joff
         rx = (M + fx_ref[r, c]) + gxi_ref[r, c] * ioff + gxj_ref[r, c] * joff
         ry = jnp.clip(ry, 0.0, hi)
         rx = jnp.clip(rx, 0.0, hi)
-        # reference quirk: integer sample coordinate in EITHER axis ->
-        # floor corner (one-hot weights after the substitution)
-        fry = jnp.floor(ry)
-        frx = jnp.floor(rx)
-        int_cell = jnp.logical_or(ry == fry, rx == frx)
-        ry = jnp.where(int_cell, fry, ry)
-        rx = jnp.where(int_cell, frx, rx)
+        if not cubic:
+            # reference quirk (bilinear only): integer sample coordinate in
+            # EITHER axis -> floor corner (one-hot weights after the
+            # substitution).  The cubic weights collapse to (0,1,0,0) at
+            # integers on their own — no quirk in the bicubic XLA path.
+            fry = jnp.floor(ry)
+            frx = jnp.floor(rx)
+            int_cell = jnp.logical_or(ry == fry, rx == frx)
+            ry = jnp.where(int_cell, fry, ry)
+            rx = jnp.where(int_cell, frx, rx)
 
         acc = jnp.zeros((w, w), jnp.float32)
-        for ky in range(2 * M + 2):
-            wy = jnp.maximum(0.0, 1.0 - jnp.abs(ry - ky))
-            for kx in range(2 * M + 2):
-                wx = jnp.maximum(0.0, 1.0 - jnp.abs(rx - kx))
+        for ky in range(n_k):
+            if cubic:
+                wy = keys(ry + 1.0 - ky)
+            else:
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(ry - ky))
+            for kx in range(n_k):
+                if cubic:
+                    wx = keys(rx + 1.0 - kx)
+                else:
+                    wx = jnp.maximum(0.0, 1.0 - jnp.abs(rx - kx))
                 acc = acc + (wy * wx) * tile[ky:ky + w, kx:kx + w]
         out_ref[0, c] = acc
 
@@ -148,7 +174,7 @@ def _def_kernel(
     jax.jit,
     static_argnames=(
         "wind_size", "overlap", "frame_shape", "max_shift", "margin",
-        "interpret", "flat_wrap", "n_rows_local",
+        "interpret", "flat_wrap", "n_rows_local", "interp",
     ),
 )
 def def_windows_pallas(
@@ -169,6 +195,7 @@ def def_windows_pallas(
     flat_wrap: bool = True,
     row_start=0,
     n_rows_local: int | None = None,
+    interp: str = "bilinear",
 ) -> jnp.ndarray:
     """Deforming-window resampling of all interrogation windows.
 
@@ -193,9 +220,13 @@ def def_windows_pallas(
         n_rows = n_rows_local
     S = max_shift if max_shift is not None else max(w // 2, 1)
     M = margin
+    cubic = interp == "bicubic"
 
     frame = frame.astype(jnp.float32)
-    P = S + M + 1
+    # pad so the extreme tile (last window row, +S shift) stays inside the
+    # padded frame: base_max + T <= H0 + 2P  =>  P >= S + M + 3 for the
+    # cubic stencil (T = w+2M+4, BASE = M+1), S + M + 1 for bilinear
+    P = S + M + (3 if cubic else 1)
     if flat_wrap:
         frame = flat_wrap_pad(frame, P)
         OFF = P
@@ -204,7 +235,8 @@ def def_windows_pallas(
         OFF = 0
         H, W = H0, W0
 
-    BH = -(-(w + 2 * (S + M) + 2) // 8) * 8
+    T = w + 2 * M + (4 if cubic else 1)
+    BH = -(-(2 * S + T + 7) // 8) * 8
     Hp = -(-H // 8) * 8
     Wp = -(-max(W, 256) // 128) * 128
 
@@ -222,6 +254,7 @@ def def_windows_pallas(
     kernel = functools.partial(
         _def_kernel,
         H=H, W=W, Wp=Wp, w=w, step=step, S=S, n_cols=n_cols, OFF=OFF, M=M,
+        cubic=cubic,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=9,

@@ -311,7 +311,10 @@ def _fused_kernel(
     h = w // 2 + 1
     mxu = extract_mode == "mxu"
     grain = 16 if mxu else 8
-    BH = -(-(w + 2 * S + (16 if mxu else 1)) // grain) * grain
+    # band spans the aligned origin (<= grain-1 rows early) to the highest
+    # tile end (pos0 + S + w + 1)
+    BH = (-(-(w + 2 * S + 16) // 16) * 16 if mxu
+          else -(-(2 * S + w + 8) // 8) * 8)
     Hp = -(-H // grain) * grain
     BLK_H = w + 8
     BLK_W = 256
@@ -722,7 +725,8 @@ def fused_piv_pass(
         dx = jnp.floor(vx)
         return (dy.astype(jnp.int32), dx.astype(jnp.int32), vy - dy, vx - dx)
 
-    BH = -(-(w + 2 * S + (16 if mxu else 1)) // grain) * grain
+    BH = (-(-(w + 2 * S + 16) // 16) * 16 if mxu
+          else -(-(2 * S + w + 8) // 8) * 8)
     band_dt = jnp.bfloat16 if mxu else jnp.float32
     band_shape = (2, BH, Wp) if mxu else (2, BH + 8, Wp)
     kernel = functools.partial(

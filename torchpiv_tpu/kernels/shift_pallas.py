@@ -63,8 +63,9 @@ def _shift_kernel(
     n_rows = pl.num_programs(0)
     rg0 = row0_ref[0]  # global window-row offset (sharded row blocks)
     # Band height rounded to the sublane tile (8) — DMA slices must be
-    # tile-aligned in both offset and size.
-    BH = -(-(w + 2 * S + 1) // 8) * 8
+    # tile-aligned in both offset and size; spans from the 8-aligned origin
+    # (<= 7 rows before pos0 - S) to the highest tile end (pos0 + S + w + 1).
+    BH = -(-(2 * S + w + 8) // 8) * 8
     Hp = -(-H // 8) * 8  # frame rows padded by the wrapper
     BLK_H = w + 8  # aligned row-block height (covers any ty mod 8)
     BLK_W = 256  # aligned col-block width (covers any tx mod 128 + w + 1)
@@ -254,7 +255,9 @@ def _shift_kernel_bicubic(
     n_rows = pl.num_programs(0)
     rg0 = row0_ref[0]
     T = w + 4  # stencil rows floor-1 .. floor+2 relative to each pixel
-    BH = -(-(w + 2 * S + 5) // 8) * 8
+    # band spans from the 8-aligned origin (<= 7 rows before pos0 - S - 1)
+    # to the highest tile end (pos0 + S - 1 + T)
+    BH = -(-(2 * S + T + 7) // 8) * 8
     Hp = -(-H // 8) * 8
     BLK_H = -(-(T + 7) // 8) * 8
     BLK_W = 256
@@ -612,8 +615,14 @@ def shift_windows_pallas(
         H, W = H0, W0
 
     grain = 16 if (phases or bf16 or mxu) else 8  # bf16 sublane tile is 16
-    BH = -(-(w + 2 * S + (16 if mxu else (5 if cubic else 1)))
-           // grain) * grain
+    if mxu:
+        BH = -(-(w + 2 * S + 16) // 16) * 16
+    elif phases or bf16:
+        BH = -(-(w + 2 * S + 1) // 16) * 16
+    elif cubic:
+        BH = -(-(2 * S + (w + 4) + 7) // 8) * 8
+    else:
+        BH = -(-(2 * S + w + 8) // 8) * 8
     Hp = -(-H // grain) * grain  # row pad so aligned band DMAs stay in bounds
     Wp = -(-max(W, 256) // 128) * 128  # col pad for aligned 256-wide blocks
 

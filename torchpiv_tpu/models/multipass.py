@@ -508,17 +508,18 @@ class MultipassPIV:
             step = w - o
             dudy, dudx = jnp.gradient(u2, step, step)
             dvdy, dvdx = jnp.gradient(v2, step, step)
-            if (self._use_pallas() or cfg.pallas_interpret) and \
-                    cfg.cws_interp == "bilinear":
-                # Pallas DEF kernel: exact per-pixel bilinear via a static
-                # shift table — the XLA dense-gather path below measures
-                # ~1.1 s/pair at 4 MP on v5e (kernels/def_pallas.py).
+            if self._use_pallas() or cfg.pallas_interpret:
+                # Pallas DEF kernel: exact per-pixel bilinear (or Keys
+                # bicubic) via a static shift table — the XLA dense-gather
+                # path below measures ~1.1 s/pair (bilinear) / ~4.4 s/pair
+                # (bicubic) at 4 MP on v5e (kernels/def_pallas.py).
                 from ..kernels.def_pallas import def_windows_pallas
 
                 kw = dict(
                     frame_shape=cfg.frame_shape, wind_size=w, overlap=o,
                     max_shift=cfg.max_shift, margin=cfg.def_margin,
                     interpret=cfg.pallas_interpret, flat_wrap=cfg.edge_exact,
+                    interp=cfg.cws_interp,
                 )
 
                 def flatg(x):
