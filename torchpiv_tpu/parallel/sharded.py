@@ -36,7 +36,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.multipass import MultipassPIV
 from ..ops.infill import fused_infill
-from ..ops.shifts import cws_shift, dws_shift
+from ..ops.shifts import bicubic_cws_shift, cws_shift, dws_shift
 from ..ops.validation import apply_median_filter
 from ..ops.windows import extract_windows
 
@@ -240,7 +240,10 @@ class ShardedPIV:
             shard's window-row block when enabled (frames are replicated,
             so the kernel just starts its bands at the shard's rows), the
             XLA flat-gather path otherwise."""
-            if eng._use_pallas() or cfg.pallas_interpret:
+            bicubic = (cfg.multipass_mode == "CWS"
+                       and cfg.cws_interp == "bicubic")
+            use_pallas = eng._use_pallas() or cfg.pallas_interpret
+            if use_pallas and not (bicubic and cfg.shift_variant != "rolls"):
                 from ..kernels.shift_pallas import shift_windows_pallas
 
                 return shift_windows_pallas(
@@ -252,11 +255,14 @@ class ShardedPIV:
                     flat_wrap=cfg.edge_exact,
                     variant=cfg.shift_variant,
                     row_start=org, n_rows_local=rloc,
+                    interp="bicubic" if bicubic else "bilinear",
                 )
             if cfg.multipass_mode == "DWS":
                 return dws_shift(frame, r0w, c0w, w,
                                  vx.astype(jnp.int32), vy.astype(jnp.int32),
                                  dt)
+            if bicubic:
+                return bicubic_cws_shift(frame, r0w, c0w, w, vx, vy, dt)
             return cws_shift(frame, r0w, c0w, w, vx, vy, dt)
 
         if cfg.multipass_mode == "CWS":
@@ -287,20 +293,41 @@ class ShardedPIV:
 
             u2 = loc(u2f)
             v2 = loc(v2f)
-            off = jnp.arange(w, dtype=dt) - (w - 1) / 2.0
-            n_w = rloc * Cf
+            if eng._use_pallas() or cfg.pallas_interpret:
+                # per-shard DEF kernel over this shard's window-row block
+                # (kernels/def_pallas.py — the XLA dense-gather path below
+                # is ~2 orders of magnitude slower at production sizes)
+                from ..kernels.def_pallas import def_windows_pallas
 
-            def dense(center, gx_, gy_):
-                return (
-                    center.reshape(n_w, 1, 1)
-                    + gx_.reshape(n_w, 1, 1) * off[None, None, :]
-                    + gy_.reshape(n_w, 1, 1) * off[None, :, None]
+                kw = dict(
+                    frame_shape=cfg.frame_shape, wind_size=w, overlap=o,
+                    max_shift=cfg.max_shift, margin=cfg.def_margin,
+                    interpret=cfg.pallas_interpret,
+                    flat_wrap=cfg.edge_exact, interp=cfg.cws_interp,
+                    row_start=org, n_rows_local=rloc,
                 )
+                args = [loc(x).reshape(-1) for x in
+                        (u2f, v2f, dudx_f, dudy_f, dvdx_f, dvdy_f)]
+                aa = def_windows_pallas(
+                    frame_a.astype(dt), *(-x for x in args), **kw)
+                bb = def_windows_pallas(frame_b.astype(dt), *args, **kw)
+            else:
+                off = jnp.arange(w, dtype=dt) - (w - 1) / 2.0
+                n_w = rloc * Cf
 
-            du_d = dense(u2, loc(dudx_f), loc(dudy_f))
-            dv_d = dense(v2, loc(dvdx_f), loc(dvdy_f))
-            aa = cws_shift(frame_a, r0w, c0w, w, -du_d, -dv_d, dt)
-            bb = cws_shift(frame_b, r0w, c0w, w, du_d, dv_d, dt)
+                def dense(center, gx_, gy_):
+                    return (
+                        center.reshape(n_w, 1, 1)
+                        + gx_.reshape(n_w, 1, 1) * off[None, None, :]
+                        + gy_.reshape(n_w, 1, 1) * off[None, :, None]
+                    )
+
+                du_d = dense(u2, loc(dudx_f), loc(dudy_f))
+                dv_d = dense(v2, loc(dvdx_f), loc(dvdy_f))
+                resample = (bicubic_cws_shift
+                            if cfg.cws_interp == "bicubic" else cws_shift)
+                aa = resample(frame_a, r0w, c0w, w, -du_d, -dv_d, dt)
+                bb = resample(frame_b, r0w, c0w, w, du_d, dv_d, dt)
         else:  # DWS
             if validate:
                 u0 = jnp.where(val0, 0.0, u0)
