@@ -162,10 +162,11 @@ def test_offline_piv_over_mesh(tmp_path):
         assert (d > 0.05).mean() < 0.01
 
 
-@pytest.mark.parametrize("mode", ["CWS", "DWS"])
+@pytest.mark.parametrize("mode", ["CWS", "DWS", "DEF"])
 def test_window_sharded_pallas_shift(batch, mode):
-    """The Pallas band-DMA shift runs per shard over its window-row block
-    (row_start/n_rows_local) and matches the XLA-shift sharded path."""
+    """The Pallas band-DMA shift (and the DEF kernel) runs per shard over
+    its window-row block (row_start/n_rows_local) and matches the
+    XLA-shift sharded path."""
     fa, fb = batch
     base = dict(frame_shape=(256, 256), wind_size=64, overlap=32,
                 multipass=2, multipass_mode=mode)
