@@ -295,3 +295,23 @@ def test_imread_gray_rgb_luma_weights(tmp_path):
         decode.cv2 = old_cv2
     assert img is not None
     assert abs(int(img[0, 0]) - round(0.299 * 200)) <= 1
+
+
+def test_pipeline_cpu_device_pins_use_pallas(tmp_path):
+    """device="cpu" must not trace Pallas kernels even when the global
+    default backend is a TPU (the engine's "auto" checks the global
+    backend; the pipeline pins it to the TARGET device)."""
+    from torchpiv_tpu.io.decode import imwrite_gray
+    from torchpiv_tpu.utils.synthetic import particle_pair
+
+    fa, fb = particle_pair((128, 128), displacement=(2.0, -1.0), seed=0)
+    imwrite_gray(str(tmp_path / "a_a.bmp"), fa)
+    imwrite_gray(str(tmp_path / "a_b.bmp"), fb)
+    piv = OfflinePIV(str(tmp_path), device="cpu", file_fmt=".bmp",
+                     wind_size=64, overlap=32)
+    assert piv._engine.config.use_pallas == "off"
+    # explicit engine_options still win
+    piv2 = OfflinePIV(str(tmp_path), device="cpu", file_fmt=".bmp",
+                      wind_size=64, overlap=32,
+                      engine_options={"use_pallas": "auto"})
+    assert piv2._engine.config.use_pallas == "auto"

@@ -160,6 +160,11 @@ class OfflinePIV:
             val_ratio=val_ratio,
             **(engine_options or {}),
         )
+        # Pallas kernels compile only for TPU; the engine's "auto" checks
+        # the GLOBAL default backend, which is tpu even when the user asks
+        # for device="cpu" on a TPU host — pin it to the TARGET device.
+        if self._device.platform != "tpu":
+            self._engine_kwargs.setdefault("use_pallas", "off")
         self._mesh = mesh
         # Background subtraction (beyond the reference): "auto" computes the
         # temporal-minimum image over the first pairs; an array uses it
@@ -336,6 +341,8 @@ class OnlinePIV:
             validate=validate,
             **(engine_options or {}),
         )
+        if self._device.platform != "tpu":
+            self._engine_kwargs.setdefault("use_pallas", "off")
         self._engine: Optional[MultipassPIV] = None
         self._fn = None
 
@@ -399,7 +406,7 @@ class VideoPIV:
         self._batch = max(1, batch_size)
         self._device = DeviceMap.resolve(device)
         self._source = VideoPairSource(path, folder_mode, max_pairs)
-        cfg = PIVConfig(
+        vkw = dict(
             frame_shape=self._source.frame_shape,
             wind_size=wind_size,
             overlap=overlap,
@@ -409,6 +416,9 @@ class VideoPIV:
             validate=validate,
             **(engine_options or {}),
         )
+        if self._device.platform != "tpu":
+            vkw.setdefault("use_pallas", "off")
+        cfg = PIVConfig(**vkw)
         self._engine = MultipassPIV(cfg)
 
         def batched(fa, fb):
