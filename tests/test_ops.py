@@ -276,3 +276,80 @@ class TestFusedInfill:
         # field's curvature scale
         d = np.abs(fused - exact)[invalid]
         assert d.max() < 0.08  # harmonic vs Delaunay differ at curvature scale
+
+
+# ---- gauss2d sub-pixel estimator (beyond the reference) ----
+
+def _gauss_peak_map(n, cy, cx, sy, sx, rho=0.0):
+    """Correlation map: tilted 2-D Gaussian at (cy, cx)."""
+    y, x = np.mgrid[0:n, 0:n].astype(np.float64)
+    dy = (y - cy) / sy
+    dx = (x - cx) / sx
+    q = (dy**2 - 2 * rho * dy * dx + dx**2) / (1 - rho**2)
+    return np.exp(-0.5 * q)
+
+
+def test_gauss2d_beats_gauss3_on_tilted_peaks():
+    from torchpiv_tpu.ops.peakfit import correlation_to_displacement
+
+    n = 32
+    rng = np.random.default_rng(0)
+    maps, true_u, true_v = [], [], []
+    for _ in range(64):
+        du = rng.uniform(-0.45, 0.45)
+        dv = rng.uniform(-0.45, 0.45)
+        # elliptical + tilted peak: the cross term biases axis-only fits
+        maps.append(_gauss_peak_map(n, n // 2 + dv, n // 2 + du,
+                                    sy=1.4, sx=2.2, rho=0.55))
+        true_u.append(du)
+        true_v.append(dv)
+    corr = jnp.asarray(np.stack(maps), jnp.float32)
+    u3, v3, _ = correlation_to_displacement(corr, validate=False)
+    u9, v9, _ = correlation_to_displacement(corr, validate=False,
+                                            fit="gauss2d")
+    e3 = np.hypot(np.asarray(u3) - true_u, np.asarray(v3) - true_v)
+    e9 = np.hypot(np.asarray(u9) - true_u, np.asarray(v9) - true_v)
+    # the 2-D fit models the cross term the axis fits cannot
+    assert np.sqrt((e9**2).mean()) < 0.5 * np.sqrt((e3**2).mean())
+    assert np.sqrt((e9**2).mean()) < 0.02
+
+
+def test_gauss2d_matches_gauss3_on_axis_aligned_peaks():
+    """With no cross term both estimators are unbiased; gauss2d must not
+    degrade the classic case."""
+    from torchpiv_tpu.ops.peakfit import correlation_to_displacement
+
+    n = 32
+    rng = np.random.default_rng(1)
+    maps, true_u = [], []
+    for _ in range(32):
+        du = rng.uniform(-0.45, 0.45)
+        maps.append(_gauss_peak_map(n, n // 2, n // 2 + du, sy=1.8, sx=1.8))
+        true_u.append(du)
+    corr = jnp.asarray(np.stack(maps), jnp.float32)
+    u9, v9, _ = correlation_to_displacement(corr, validate=False,
+                                            fit="gauss2d")
+    assert np.abs(np.asarray(u9) - true_u).max() < 1e-3
+    assert np.abs(np.asarray(v9)).max() < 1e-3
+
+
+def test_engine_gauss2d_end_to_end():
+    from torchpiv_tpu.models import MultipassPIV, PIVConfig
+    from torchpiv_tpu.utils.synthetic import particle_pair
+
+    fa, fb = particle_pair((256, 256), displacement=(3.3, -2.1), seed=4)
+    eng = MultipassPIV(PIVConfig(frame_shape=(256, 256), wind_size=64,
+                                 overlap=32, multipass=2,
+                                 subpixel="gauss2d"))
+    u, v, inval = jax.jit(eng)(jnp.asarray(fa), jnp.asarray(fb))
+    u, v, inval = map(np.asarray, (u, v, inval))
+    sel = ~inval[2:-2, 2:-2]
+    assert sel.mean() > 0.9
+    assert abs(u[2:-2, 2:-2][sel].mean() - 3.3) < 0.05
+    assert abs(v[2:-2, 2:-2][sel].mean() + 2.1) < 0.05
+    # invalid combination rejected loudly
+    import pytest
+
+    with pytest.raises(ValueError):
+        PIVConfig(frame_shape=(256, 256), subpixel="gauss2d",
+                  peakfit="pallas")

@@ -79,6 +79,11 @@ class PIVConfig:
     # "xla" (default) lowers the peak fit with XLA; "pallas" uses the fused
     # kernel (bit-exact, currently slower in-graph on v5e — see _peakfit).
     peakfit: str = "xla"  # "xla" | "pallas"
+    # Sub-pixel estimator: "gauss3" (reference parity: two independent
+    # 3-point log-Gaussian axis fits) | "gauss2d" (9-point log-paraboloid
+    # least squares — models the cross term, reducing bias on
+    # elliptical/tilted peaks; beyond the reference, XLA peak fit only).
+    subpixel: str = "gauss3"  # "gauss3" | "gauss2d"
     # MXU pass count for the DFT matmuls (ops.correlate.correlate_matmul).
     # "default" = single bf16 pass: window grey levels are bf16-exact, only
     # the DFT operator rounds, and the log-Gaussian fit cancels common
@@ -155,6 +160,10 @@ class PIVConfig:
             raise ValueError(f"unknown correlator {self.correlator!r}")
         if self.dft_precision not in ("default", "high", "highest"):
             raise ValueError(f"unknown dft_precision {self.dft_precision!r}")
+        if self.subpixel not in ("gauss3", "gauss2d"):
+            raise ValueError(f"unknown subpixel {self.subpixel!r}")
+        if self.subpixel != "gauss3" and self.peakfit == "pallas":
+            raise ValueError("subpixel='gauss2d' requires peakfit='xla'")
         if not 1 <= self.def_margin <= 8:
             raise ValueError("def_margin must be in [1, 8]")
         for p, (w, o) in enumerate(self.pass_schedule()):
@@ -221,7 +230,7 @@ class MultipassPIV:
             )
         return correlation_to_displacement(
             corr, validate, cfg.val_ratio, cfg.validation_window,
-            min_subtract=True,
+            min_subtract=True, fit=cfg.subpixel,
         )
 
     def _use_pallas(self) -> bool:
@@ -240,7 +249,8 @@ class MultipassPIV:
         cfg = self.config
         if cfg.fused != "on" or not cfg.edge_exact:
             return False
-        return cfg.window_weight is None and cfg.cws_interp == "bilinear"
+        return (cfg.window_weight is None and cfg.cws_interp == "bilinear"
+                and cfg.subpixel == "gauss3")
 
     def _use_split(self) -> bool:
         """Split pass-fusion applicability: packed Pallas shift + fused
@@ -258,7 +268,7 @@ class MultipassPIV:
         if not all(4 <= w <= 128 and (w & (w - 1)) == 0
                    for w, _ in self.schedule):
             return False
-        return cfg.fused == "split"
+        return cfg.fused == "split" and cfg.subpixel == "gauss3"
 
     def _corrfit(self, p, wa, wb, validate, dc_normalize=False):
         """Fused correlate+peakfit over lane-packed windows (split mode)."""

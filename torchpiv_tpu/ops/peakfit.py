@@ -39,6 +39,7 @@ def correlation_to_displacement(
     val_ratio: float = 1.2,
     validation_window: int = 3,
     min_subtract: bool = False,
+    fit: str = "gauss3",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
     """Batched sub-pixel displacement from correlation maps.
 
@@ -53,6 +54,10 @@ def correlation_to_displacement(
         flagged invalid (reference default 1.2).
       validation_window: half-width of the neighbourhood excluded around the
         first peak when searching for the second (reference passes 3).
+      fit: "gauss3" (reference parity: two independent 3-point log-Gaussian
+        axis fits) or "gauss2d" (9-point log-paraboloid least squares —
+        models the cross term, reducing the sub-pixel bias on
+        elliptical/tilted correlation peaks; beyond the reference).
 
     Returns:
       ``(u, v, invalid)``: flat ``[N]`` signed displacements in pixels
@@ -91,9 +96,50 @@ def correlation_to_displacement(
     cm, cl, cr, ct, cb = take(m), take(left), take(right), take(top), take(bot)
     lcm, lcl, lcr, lct, lcb = (jnp.log(c) for c in (cm, cl, cr, ct, cb))
 
-    # 3-point Gaussian fit on log intensities (reference :399-407).
-    du = (lcr - lcl) / (2.0 * (lcl + lcr) - 4.0 * lcm)
-    dv = (lcb - lct) / (2.0 * (lcb + lct) - 4.0 * lcm)
+    if fit == "gauss2d":
+        # 9-point log-paraboloid least squares (beyond the reference):
+        # log I = a + b x + c y + d x^2 + e y^2 + f xy over the 3x3
+        # neighbourhood; the peak is the stationary point.  Orthogonal-
+        # polynomial closed form on the {-1,0,1}^2 grid:
+        #   b = Sx/6, c = Sy/6, f = Sxy/4,
+        #   d = (Sxx - 2/3 S)/2, e = (Syy - 2/3 S)/2.
+        # Diagonal neighbours reuse the flat-index edge replacement of the
+        # axis neighbours (the same clamp-to-peak rule).
+        def clampi(idx):
+            return jnp.where((idx <= 0) | (idx >= kd - 1), m, idx)
+
+        ctl = jnp.log(take(clampi(m - k - 1)))
+        ctr = jnp.log(take(clampi(m - k + 1)))
+        cbl = jnp.log(take(clampi(m + k - 1)))
+        cbr = jnp.log(take(clampi(m + k + 1)))
+        # grid orientation: +x = +col = "left" (m+1), +y = +row = "top"
+        # (m+k) — matching the axis-fit sign conventions below.
+        S = lcm + lcl + lcr + lct + lcb + ctl + ctr + cbl + cbr
+        Sx = lcl - lcr + cbr - cbl + ctr - ctl
+        Sy = lct - lcb + cbl + cbr - ctl - ctr
+        Sxy = cbr - cbl - ctr + ctl
+        Sxx = lcl + lcr + ctl + ctr + cbl + cbr
+        Syy = lct + lcb + ctl + ctr + cbl + cbr
+        b = Sx / 6.0
+        c_ = Sy / 6.0
+        f_ = Sxy / 4.0
+        d2 = (Sxx - 2.0 / 3.0 * S) / 2.0
+        e2 = (Syy - 2.0 / 3.0 * S) / 2.0
+        det = 4.0 * d2 * e2 - f_ * f_
+        du = (f_ * c_ - 2.0 * e2 * b) / det
+        dv = (f_ * b - 2.0 * d2 * c_) / det
+        # fall back to the 3-point fit where the paraboloid is degenerate
+        # or the offset leaves the pixel cell (flat/noisy maps)
+        du3 = (lcr - lcl) / (2.0 * (lcl + lcr) - 4.0 * lcm)
+        dv3 = (lcb - lct) / (2.0 * (lcb + lct) - 4.0 * lcm)
+        bad = (~jnp.isfinite(du)) | (~jnp.isfinite(dv)) \
+            | (jnp.abs(du) > 1.0) | (jnp.abs(dv) > 1.0) | (det <= 0)
+        du = jnp.where(bad, du3, du)
+        dv = jnp.where(bad, dv3, dv)
+    else:
+        # 3-point Gaussian fit on log intensities (reference :399-407).
+        du = (lcr - lcl) / (2.0 * (lcl + lcr) - 4.0 * lcm)
+        dv = (lcb - lct) / (2.0 * (lcb + lct) - 4.0 * lcm)
 
     row = (m // d).astype(fdt)  # maps are square (d == k), see module docstring
     col = (m % k).astype(fdt)
