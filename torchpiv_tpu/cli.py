@@ -52,6 +52,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         "--cws-interp", choices=["bilinear", "bicubic"], default="bilinear",
         help="CWS/DEF window resampling kernel (bicubic = quality mode)",
     )
+    p.add_argument(
+        "--subpixel", choices=["gauss3", "gauss2d"], default="gauss3",
+        help="sub-pixel peak estimator (gauss2d = 9-point 2-D fit, lower "
+             "bias on tilted elliptical peaks)",
+    )
     p.add_argument("-v", "--verbose", action="store_true")
 
 
@@ -94,6 +99,8 @@ def cmd_run(args) -> int:
         engine_options["window_weight"] = args.window_weight
     if args.cws_interp != "bilinear":
         engine_options["cws_interp"] = args.cws_interp
+    if args.subpixel != "gauss3":
+        engine_options["subpixel"] = args.subpixel
     runner = PIVRunner(
         params,
         on_progress=on_progress,
@@ -122,6 +129,8 @@ def cmd_online(args) -> int:
         engine_options["window_weight"] = args.window_weight
     if args.cws_interp != "bilinear":
         engine_options["cws_interp"] = args.cws_interp
+    if args.subpixel != "gauss3":
+        engine_options["subpixel"] = args.subpixel
     piv = OnlinePIV(
         folder=args.folder,
         device=args.device,
