@@ -352,3 +352,28 @@ def test_kernels_at_extreme_shifts():
         frame_shape=shape, wind_size=W, overlap=O, interpret=True))
     dd = np.abs(gotd - ref).reshape(n, -1).max(1)
     assert dd[interior.ravel()].max() < 1e-3
+
+
+def test_def_kernel_saturates_extreme_gradients():
+    """Gradients far beyond the margin must saturate (clamped residuals),
+    never read out of the tile or produce non-finite output — bilinear and
+    bicubic."""
+    from torchpiv_tpu.kernels.def_pallas import def_windows_pallas
+
+    shape = (192, 192)
+    W, O = 32, 16
+    fa, _ = particle_pair(shape, displacement=(1.0, 1.0), seed=8)
+    n = (((shape[0] - W) // (W - O)) + 1) ** 2
+    rng = np.random.default_rng(4)
+    u2 = rng.uniform(-20, 20, n).astype(np.float32)  # beyond max_shift too
+    v2 = rng.uniform(-20, 20, n).astype(np.float32)
+    g = [rng.uniform(-2, 2, n).astype(np.float32) for _ in range(4)]  # huge
+    f = jnp.asarray(fa)
+    for interp in ("bilinear", "bicubic"):
+        out = np.asarray(def_windows_pallas(
+            f, jnp.asarray(u2), jnp.asarray(v2),
+            *(jnp.asarray(x) for x in g),
+            frame_shape=shape, wind_size=W, overlap=O, interpret=True,
+            interp=interp))
+        assert np.isfinite(out).all(), interp
+        assert out.min() >= -64 and out.max() <= 320, interp  # grey-ish range
