@@ -34,8 +34,16 @@ Semantics vs the XLA dense path (``models.multipass`` DEF branch):
   remains available via ``use_pallas="off"``);
 * window-center shifts clamp to ``max_shift`` exactly like the CWS kernel;
 * frame-edge addressing reproduces the reference's flat-index clamp via
-  ``flat_wrap_pad`` with pad ``S + M + 1`` (every sample stays inside the
-  padded frame, so no in-kernel bounds clamp ever binds).
+  ``flat_wrap_pad`` with pad ``S + M + 1`` (``S + M + 3`` for the cubic
+  stencil) — every sample stays inside the padded frame, so no in-kernel
+  bounds clamp ever binds.  With ``flat_wrap=False`` the bounds clamp CAN
+  bind at frame edges and shifts the whole tile (clamp-to-rectangle
+  behaviour, like the CWS kernel's);
+* ``interp="bicubic"`` evaluates per-pixel Keys (a = -0.5) weights over
+  the ``(2M+4)^2`` tap table instead of the bilinear hats (the cubic
+  weights collapse to (0,1,0,0) at integers on their own, so the
+  floor-corner quirk applies to bilinear only — matching
+  ``ops.shifts.bicubic_cws_shift``).
 """
 from __future__ import annotations
 
@@ -277,7 +285,8 @@ def def_windows_pallas(
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=int(n_rows * n_cols * (2 * M + 2) ** 2 * 3 * w * w),
+            flops=int(n_rows * n_cols
+                      * (2 * M + (4 if cubic else 2)) ** 2 * 3 * w * w),
             bytes_accessed=int(n_rows * BH * W * 4
                                + n_rows * n_cols * w * w * 4),
             transcendentals=0,
