@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from torchpiv_tpu.kernels.fused_pass import fused_piv_pass
 from torchpiv_tpu.kernels.shift_pallas import shift_windows_pallas
 from torchpiv_tpu.models import MultipassPIV, PIVConfig

@@ -9,6 +9,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from torchpiv_tpu.kernels import shift_windows_pallas
 from torchpiv_tpu.models import MultipassPIV, PIVConfig
 from torchpiv_tpu.ops.shifts import cws_shift, dws_shift, per_window_origins
