@@ -379,3 +379,31 @@ def test_def_kernel_saturates_extreme_gradients():
             interp=interp))
         assert np.isfinite(out).all(), interp
         assert out.min() >= -64 and out.max() <= 320, interp  # grey-ish range
+
+
+@pytest.mark.parametrize("variant", ["bf16", "phases", "mxu", "lanephases"])
+def test_shift_variant_parity(variant):
+    """Experimental shift-kernel variants (all measured slower than 'rolls'
+    on v5e — kept as documented reference points, docs/ROADMAP.md) must
+    stay numerically faithful: bit-exact on integer shifts, ULP-level on
+    fractional (FMA-contraction differences only)."""
+    shape = (192, 192)
+    W, O = 32, 16
+    fa, _ = particle_pair(shape, displacement=(2.0, -1.0), seed=6)
+    n = (((shape[0] - W) // (W - O)) + 1) ** 2
+    rng = np.random.default_rng(7)
+    vx = rng.uniform(-8, 8, n).astype(np.float32)
+    vy = rng.uniform(-8, 8, n).astype(np.float32)
+    vx[: n // 3] = np.round(vx[: n // 3])
+    vy[: n // 3] = np.round(vy[: n // 3])
+    f = jnp.asarray(fa)
+    kw = dict(frame_shape=shape, wind_size=W, overlap=O, interpret=True)
+    ref = np.asarray(shift_windows_pallas(
+        f.astype(jnp.float32), jnp.asarray(vx), jnp.asarray(vy), **kw))
+    got = np.asarray(shift_windows_pallas(
+        f.astype(jnp.float32), jnp.asarray(vx), jnp.asarray(vy),
+        variant=variant, **kw))
+    d = np.abs(got - ref)
+    assert d.max() < 1e-4
+    int_win = (vx == np.round(vx)) & (vy == np.round(vy))
+    assert d.reshape(n, -1).max(1)[int_win].max() == 0.0

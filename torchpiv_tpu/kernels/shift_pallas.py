@@ -229,6 +229,91 @@ def _shift_kernel_bf16(
     jax.lax.fori_loop(0, n_cols, body, 0)
 
 
+def _shift_kernel_lanephases(
+    # scalar prefetch (SMEM):
+    row0_ref, dy_ref, dx_ref, fy_ref, fx_ref,
+    # inputs:
+    frame_hbm,
+    # outputs:
+    out_ref,
+    # scratch:
+    phases, band_sem,
+    *,
+    H: int, W: int, Wp: int, w: int, step: int, S: int, n_cols: int,
+    OFF: int,
+):
+    """Lane-phase-bank variant: the expensive dynamic LANE rotate (a
+    generic ~log2(256)-stage select tree over the whole block) is replaced
+    by (a) a 16-entry bank of 8-lane-granular pre-rotated band copies —
+    built once per band row with STATIC rolls, amortized over the row's
+    windows — and (b) a manual 3-stage bounded roll for the remaining
+    0-7 lanes (each stage = one static roll + one scalar select).  The
+    row rotate gets the same bounded 3-stage treatment.  Bit-exact vs the
+    "rolls" variant."""
+    r = pl.program_id(0)
+    rg0 = row0_ref[0]
+    BH = -(-(2 * S + w + 8) // 8) * 8
+    Hp = -(-H // 8) * 8
+    BLK_H = w + 8
+    BLK_W = 256
+
+    o = jnp.clip((rg0 + r) * step + OFF - S, 0, Hp - BH)
+    by0 = pl.multiple_of((o // 8) * 8, 8)
+
+    dma = pltpu.make_async_copy(
+        frame_hbm.at[pl.ds(by0, BH), :],
+        phases.at[0, pl.ds(0, BH), :],
+        band_sem,
+    )
+    dma.start()
+    dma.wait()
+    # phases[q][:, l] == band[:, l + 8q]: 15 STATIC lane rolls per band row
+    base = phases[0, pl.ds(0, BH), :]
+    for q in range(1, 16):
+        phases[q, pl.ds(0, BH), :] = pltpu.roll(base, Wp - 8 * q, 1)
+
+    def bounded_roll(x, amt, axis, size):
+        # 3-stage select tree for a roll amount known to be in [0, 8)
+        for bit in (1, 2, 4):
+            rolled = pltpu.roll(x, size - bit, axis)
+            x = jnp.where((amt & bit) != 0, rolled, x)
+        return x
+
+    def body(c):
+        dy = dy_ref[r, c]
+        dx = dx_ref[r, c]
+        fy = fy_ref[r, c]
+        fx = fx_ref[r, c]
+        ty = jnp.clip((rg0 + r) * step + OFF + dy, 0, H - (w + 1)) - by0
+        tx = jnp.clip(c * step + OFF + dx, 0, W - (w + 1))
+        t8 = pl.multiple_of((ty // 8) * 8, 8)
+        s_row = ty - t8
+        a = pl.multiple_of(jnp.clip((tx // 128) * 128, 0, Wp - BLK_W), 128)
+        s_col = tx - a
+        q = s_col // 8
+        rem = s_col - 8 * q
+        block = phases[q, pl.ds(t8, BLK_H), pl.ds(a, BLK_W)]
+        block = bounded_roll(block, rem, 1, BLK_W)[:, : w + 1]
+        block = bounded_roll(block, s_row, 0, BLK_H)
+        tile = block[: w + 1, :]
+
+        f11 = tile[:w, :w]
+        f21 = tile[:w, 1:]
+        f12 = tile[1:, :w]
+        f22 = tile[1:, 1:]
+        blend = (
+            f11 * ((1.0 - fx) * (1.0 - fy))
+            + f21 * (fx * (1.0 - fy))
+            + f12 * ((1.0 - fx) * fy)
+            + f22 * (fx * fy)
+        )
+        integer_cell = jnp.logical_or(fy == 0.0, fx == 0.0)
+        out_ref[0, c] = jnp.where(integer_cell, f11, blend)
+
+    for c in range(n_cols):
+        body(c)
+
+
 def _shift_kernel_bicubic(
     # scalar prefetch (SMEM):
     row0_ref, dy_ref, dx_ref, fy_ref, fx_ref,
@@ -600,8 +685,9 @@ def shift_windows_pallas(
     phases = variant == "phases"
     bf16 = variant == "bf16"
     mxu = variant == "mxu"
+    lanephases = variant == "lanephases"
     cubic = interp == "bicubic"
-    if cubic and (phases or bf16 or mxu or packed):
+    if cubic and (phases or bf16 or mxu or lanephases or packed):
         raise ValueError("bicubic requires the plain 'rolls' variant")
 
     frame = frame.astype(jnp.float32)
@@ -625,6 +711,11 @@ def shift_windows_pallas(
         BH = -(-(2 * S + w + 8) // 8) * 8
     Hp = -(-H // grain) * grain  # row pad so aligned band DMAs stay in bounds
     Wp = -(-max(W, 256) // 128) * 128  # col pad for aligned 256-wide blocks
+    if lanephases:
+        # the 16-entry lane-phase bank requires s_col < 128, i.e. the
+        # aligned-block clip must never bind: pad so floor128(tx) + 256
+        # always fits
+        Wp += 256
 
     vx = jnp.clip(vel_x.astype(jnp.float32), -S, S).reshape(n_rows, n_cols)
     vy = jnp.clip(vel_y.astype(jnp.float32), -S, S).reshape(n_rows, n_cols)
@@ -638,7 +729,7 @@ def shift_windows_pallas(
     if phases or bf16 or mxu:
         frame = frame.astype(jnp.bfloat16)  # exact for 8-bit grey levels
 
-    if packed and (phases or bf16 or mxu):
+    if packed and (phases or bf16 or mxu or lanephases):
         raise ValueError("packed output requires the 'rolls' variant")
     G = 128 // w
     n_groups = -(-n_cols // G)
@@ -646,10 +737,13 @@ def shift_windows_pallas(
     kernel = functools.partial(
         _shift_kernel_bicubic
         if cubic
-        else (_shift_kernel_phases
-              if phases
-              else (_shift_kernel_bf16 if bf16
-                    else (_shift_kernel_mxu if mxu else _shift_kernel))),
+        else (_shift_kernel_lanephases
+              if lanephases
+              else (_shift_kernel_phases
+                    if phases
+                    else (_shift_kernel_bf16 if bf16
+                          else (_shift_kernel_mxu
+                                if mxu else _shift_kernel)))),
         H=H, W=W, Wp=Wp, w=w, step=step, S=S, n_cols=n_cols, OFF=OFF,
         **({"packed": True, "n_cols_pad": n_groups * G} if packed else {}),
     )
@@ -657,6 +751,12 @@ def shift_windows_pallas(
         scratch = [
             pltpu.VMEM((2, BH, Wp), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
+        ]
+    elif lanephases:
+        scratch = [
+            # 16 lane-phase copies of the band (+8 row-block slack)
+            pltpu.VMEM((16, BH + 8, Wp), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
         ]
     elif phases:
         scratch = [
