@@ -78,3 +78,31 @@ def test_unreadable_first_pair_builds_engine_from_next(tmp_path):
                      wind_size=32, overlap=16)
     results = list(piv())
     assert len(results) == 1  # junk pair skipped, good pair processed
+
+
+def test_compile_cache_enable(tmp_path, monkeypatch):
+    """enable_compile_cache creates the dir, is idempotent (first caller
+    wins), and honors the kill switch."""
+    from torchpiv_tpu.utils import compile_cache as cc
+
+    monkeypatch.setattr(cc, "_enabled_dir", None)
+    monkeypatch.delenv("TORCHPIV_NO_COMPILE_CACHE", raising=False)
+    d = tmp_path / "xla"
+    got = cc.enable_compile_cache(str(d))
+    assert got == str(d) and d.is_dir()
+    # second call (different dir) returns the first: jax config is global
+    assert cc.enable_compile_cache(str(tmp_path / "other")) == str(d)
+
+    monkeypatch.setattr(cc, "_enabled_dir", None)
+    monkeypatch.setenv("TORCHPIV_NO_COMPILE_CACHE", "1")
+    assert cc.enable_compile_cache(str(tmp_path / "off")) is None
+    assert not (tmp_path / "off").exists()
+
+
+def test_compile_cache_env_dir(tmp_path, monkeypatch):
+    from torchpiv_tpu.utils import compile_cache as cc
+
+    monkeypatch.setattr(cc, "_enabled_dir", None)
+    monkeypatch.delenv("TORCHPIV_NO_COMPILE_CACHE", raising=False)
+    monkeypatch.setenv("TORCHPIV_CACHE_DIR", str(tmp_path / "envdir"))
+    assert cc.enable_compile_cache() == str(tmp_path / "envdir")

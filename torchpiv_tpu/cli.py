@@ -248,9 +248,10 @@ def cmd_qc(args) -> int:
     u, v, inval = jax.jit(MultipassPIV(cfg))(jnp.asarray(fa), jnp.asarray(fb))
     cu = peak_locking_degree(np.asarray(u), mask=np.asarray(inval))
     cv = peak_locking_degree(np.asarray(v), mask=np.asarray(inval))
-    print(f"peak-locking degree: u {cu:.2f}  v {cv:.2f}  "
-          f"({'OK' if max(cu, cv) < 0.3 else 'BIASED — particle images '
-             'likely too small for the 3-point fit'})")
+    verdict = ("OK" if max(cu, cv) < 0.3
+               else "BIASED — particle images likely too small for the "
+                    "3-point fit")
+    print(f"peak-locking degree: u {cu:.2f}  v {cv:.2f}  ({verdict})")
     return 0
 
 
@@ -307,6 +308,11 @@ def cmd_settings(args) -> int:
 
 
 def main(argv=None) -> int:
+    # every subcommand that touches the engine benefits from the persistent
+    # compile cache; enabling it costs nothing for the ones that don't
+    from .utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser(
         prog="tpiv", description="TPU-native PIV engine"
     )

@@ -58,6 +58,18 @@ from jax.experimental.pallas import tpu as pltpu
 from .shift_pallas import flat_wrap_pad
 
 
+def def_pallas_supported(wind_size: int, margin: int = 2,
+                         interp: str = "bilinear") -> bool:
+    """Whether the DEF band kernel can address a window of this size.
+
+    Tile width ``T = w + 2*margin + (4 bicubic / 1 bilinear)`` must satisfy
+    ``s_col + T <= 256`` for any lane phase ``s_col <= 127`` (see the
+    ValueError in :func:`def_windows_pallas`); model code uses this
+    predicate to fall back to the XLA dense DEF path for larger windows.
+    """
+    return wind_size + 2 * margin + (4 if interp == "bicubic" else 1) <= 129
+
+
 def _def_kernel(
     # scalar prefetch (SMEM):
     row0_ref, dy_ref, dx_ref, fy_ref, fx_ref,
@@ -229,6 +241,16 @@ def def_windows_pallas(
     S = max_shift if max_shift is not None else max(w // 2, 1)
     M = margin
     cubic = interp == "bicubic"
+    if not def_pallas_supported(w, M, interp):
+        # lane-wrap hazard (same as shift_pallas): the tile is lanes
+        # s_col..s_col+T-1 of a rolled 256-lane block, s_col <= 127 and
+        # T = w + 2M + (4 cubic / 1 bilinear).  s_col + T > 256 silently
+        # wraps to the wrong frame columns — reject; model code routes
+        # larger windows to the XLA dense-gather DEF path.
+        raise ValueError(
+            f"def_windows_pallas: wind_size={w} margin={M} interp={interp!r} "
+            f"exceeds the 256-lane block (needs w + 2*margin + "
+            f"{4 if cubic else 1} <= 129); use the XLA DEF path")
 
     frame = frame.astype(jnp.float32)
     # pad so the extreme tile (last window row, +S shift) stays inside the

@@ -622,6 +622,18 @@ def flat_wrap_pad(frame: jnp.ndarray, P: int) -> jnp.ndarray:
     return jnp.concatenate([top, mid, bot], axis=0)
 
 
+def shift_pallas_supported(wind_size: int, interp: str = "bilinear") -> bool:
+    """Whether the band-DMA shift kernel can address a window of this size.
+
+    The per-window tile is lanes ``s_col..s_col+T-1`` of a rolled 256-lane
+    aligned block, with ``s_col = tx mod 128 <= 127`` and ``T = w+1``
+    (bilinear) / ``w+4`` (bicubic).  ``s_col + T > 256`` would wrap to the
+    wrong frame columns, so the kernel rejects those sizes; model code uses
+    this predicate to route larger windows to the XLA shift paths.
+    """
+    return wind_size <= (125 if interp == "bicubic" else 128)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -689,6 +701,16 @@ def shift_windows_pallas(
     cubic = interp == "bicubic"
     if cubic and (phases or bf16 or mxu or lanephases or packed):
         raise ValueError("bicubic requires the plain 'rolls' variant")
+    if not shift_pallas_supported(w, interp):
+        # lane-wrap hazard: the per-window tile is read as lanes
+        # s_col..s_col+T-1 of a rolled 256-lane block with s_col <= 127 and
+        # T = w+1 (bilinear) / w+4 (bicubic).  s_col + T > 256 silently
+        # wraps to the wrong frame columns — reject instead; callers route
+        # to the XLA shift paths (ops.shifts) for larger windows.
+        raise ValueError(
+            f"shift_windows_pallas: wind_size={w} with interp={interp!r} "
+            f"exceeds the 256-lane block (needs s_col+T <= 256, i.e. "
+            f"wind_size <= {125 if cubic else 128}); use the XLA shift path")
 
     frame = frame.astype(jnp.float32)
     P = S + 2 if cubic else S  # cubic stencil reaches floor-1..floor+2
@@ -731,9 +753,10 @@ def shift_windows_pallas(
 
     if packed and (phases or bf16 or mxu or lanephases):
         raise ValueError("packed output requires the 'rolls' variant")
-    G = 128 // w
-    n_groups = -(-n_cols // G)
-    Lp = n_groups * G * w
+    if packed:
+        G = 128 // w  # whole windows per vreg (w <= 128 checked above)
+        n_groups = -(-n_cols // G)
+        Lp = n_groups * G * w
     kernel = functools.partial(
         _shift_kernel_bicubic
         if cubic

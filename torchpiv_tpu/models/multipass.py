@@ -372,12 +372,17 @@ class MultipassPIV:
             return xla_shift(jnp.asarray(row0w), jnp.asarray(col0w), vel_x, vel_y)
 
         bicubic = mode == "CWS" and cfg.cws_interp == "bicubic"
-        if bicubic and cfg.shift_variant != "rolls":
-            # the bicubic kernel exists only for the plain rolls variant
+        from ..kernels.shift_pallas import (shift_pallas_supported,
+                                            shift_windows_pallas)
+
+        if (bicubic and cfg.shift_variant != "rolls") or \
+                not shift_pallas_supported(
+                    w, "bicubic" if bicubic else "bilinear"):
+            # the bicubic kernel exists only for the plain rolls variant,
+            # and windows beyond the kernel's 256-lane block (w > 128, or
+            # w > 125 bicubic) must take the XLA shift path
             return xla_shift(jnp.asarray(row0w), jnp.asarray(col0w),
                              vel_x, vel_y)
-
-        from ..kernels.shift_pallas import shift_windows_pallas
 
         # edge_exact -> flat_wrap padding inside the kernel reproduces the
         # reference's flat-index frame-edge addressing exactly (no separate
@@ -518,12 +523,16 @@ class MultipassPIV:
             step = w - o
             dudy, dudx = jnp.gradient(u2, step, step)
             dvdy, dvdx = jnp.gradient(v2, step, step)
-            if self._use_pallas() or cfg.pallas_interpret:
+            from ..kernels.def_pallas import (def_pallas_supported,
+                                              def_windows_pallas)
+
+            if (self._use_pallas() or cfg.pallas_interpret) and \
+                    def_pallas_supported(w, cfg.def_margin, cfg.cws_interp):
                 # Pallas DEF kernel: exact per-pixel bilinear (or Keys
                 # bicubic) via a static shift table — the XLA dense-gather
                 # path below measures ~1.1 s/pair (bilinear) / ~4.4 s/pair
-                # (bicubic) at 4 MP on v5e (kernels/def_pallas.py).
-                from ..kernels.def_pallas import def_windows_pallas
+                # (bicubic) at 4 MP on v5e (kernels/def_pallas.py).  Windows
+                # beyond the kernel's 256-lane block fall through to XLA.
 
                 kw = dict(
                     frame_shape=cfg.frame_shape, wind_size=w, overlap=o,

@@ -242,10 +242,15 @@ class ShardedPIV:
             XLA flat-gather path otherwise."""
             bicubic = (cfg.multipass_mode == "CWS"
                        and cfg.cws_interp == "bicubic")
-            use_pallas = eng._use_pallas() or cfg.pallas_interpret
-            if use_pallas and not (bicubic and cfg.shift_variant != "rolls"):
-                from ..kernels.shift_pallas import shift_windows_pallas
+            from ..kernels.shift_pallas import (shift_pallas_supported,
+                                                shift_windows_pallas)
 
+            use_pallas = (
+                (eng._use_pallas() or cfg.pallas_interpret)
+                and not (bicubic and cfg.shift_variant != "rolls")
+                and shift_pallas_supported(
+                    w, "bicubic" if bicubic else "bilinear"))
+            if use_pallas:
                 return shift_windows_pallas(
                     frame.astype(dt), vx, vy,
                     frame_shape=cfg.frame_shape,
@@ -293,11 +298,15 @@ class ShardedPIV:
 
             u2 = loc(u2f)
             v2 = loc(v2f)
-            if eng._use_pallas() or cfg.pallas_interpret:
+            from ..kernels.def_pallas import (def_pallas_supported,
+                                              def_windows_pallas)
+
+            if (eng._use_pallas() or cfg.pallas_interpret) and \
+                    def_pallas_supported(w, cfg.def_margin, cfg.cws_interp):
                 # per-shard DEF kernel over this shard's window-row block
                 # (kernels/def_pallas.py — the XLA dense-gather path below
-                # is ~2 orders of magnitude slower at production sizes)
-                from ..kernels.def_pallas import def_windows_pallas
+                # is ~2 orders of magnitude slower at production sizes);
+                # windows beyond the 256-lane block fall through to XLA
 
                 kw = dict(
                     frame_shape=cfg.frame_shape, wind_size=w, overlap=o,

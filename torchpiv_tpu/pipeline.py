@@ -191,6 +191,11 @@ class OfflinePIV:
                 break
 
     def _build_engine(self, frame_shape) -> None:
+        # persistent XLA compile cache: a fresh process deserializes the
+        # (minutes-to-compile) engine executable in seconds on re-runs
+        from .utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
         cfg = PIVConfig(frame_shape=tuple(frame_shape), **self._engine_kwargs)
         self._engine = MultipassPIV(cfg)
 
@@ -357,6 +362,9 @@ class OnlinePIV:
                 if frame_a is None or frame_b is None:
                     continue
                 if self._engine is None:
+                    from .utils.compile_cache import enable_compile_cache
+
+                    enable_compile_cache()
                     cfg = PIVConfig(
                         frame_shape=frame_a.shape, **self._engine_kwargs
                     )
@@ -418,6 +426,9 @@ class VideoPIV:
         )
         if self._device.platform != "tpu":
             vkw.setdefault("use_pallas", "off")
+        from .utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
         cfg = PIVConfig(**vkw)
         self._engine = MultipassPIV(cfg)
 
