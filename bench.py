@@ -155,7 +155,19 @@ def main():
     }
     if os.environ.get("BENCH_PIPELINE", "1") != "0":
         try:
-            out["pipeline_pairs_per_sec"] = round(bench_pipeline(), 2)
+            rate = bench_pipeline()
+            out["pipeline_pairs_per_sec"] = round(rate, 2)
+            # achieved-vs-bound: on this host the pipeline is bound by the
+            # tunnel H2D leg (2 x 4 MP uint8 frames per pair at the staging
+            # bandwidth measured above); a production PCIe host's bound is
+            # the engine itself.
+            frame_mb = FRAME[0] * FRAME[1] / 2**20
+            bound = (mb / h2d_s) / (2 * frame_mb)
+            out["pipeline_h2d_bound_pairs_per_sec"] = round(bound, 2)
+            out["pipeline_vs_bound"] = round(rate / bound, 2)
+            log(f"pipeline bound check: {rate:.2f} pairs/s achieved vs "
+                f"{bound:.2f} pairs/s tunnel-H2D bound "
+                f"({100 * rate / bound:.0f}%)")
         except Exception as e:  # never lose the headline to a pipeline fault
             log(f"pipeline bench failed: {e!r}")
     print(json.dumps(out))

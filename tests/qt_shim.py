@@ -219,11 +219,24 @@ class QSlider(_QWidgetBase):
     def __init__(self, orientation=None):
         super().__init__()
         self._value = 0
+        self._min = 0
         self._max = 99
         self.valueChanged = _BoundSignal()
 
     def setMaximum(self, m):
         self._max = m
+
+    def setMinimum(self, m):
+        self._min = m
+
+    def setRange(self, lo, hi):
+        self._min, self._max = lo, hi
+
+    def minimum(self):
+        return self._min
+
+    def maximum(self):
+        return self._max
 
     def setValue(self, v):
         self._value = v
@@ -266,6 +279,15 @@ class QPushButton(_QWidgetBase):
 
     def setCheckable(self, b):
         self._checkable = b
+
+    def setChecked(self, b):
+        b = bool(b)
+        if b != self._checked:
+            self._checked = b
+            self.toggled.emit(b)
+
+    def isChecked(self):
+        return self._checked
 
     def click(self):
         if self._checkable:

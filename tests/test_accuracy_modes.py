@@ -1,0 +1,54 @@
+"""Pins the headline claims of docs/ACCURACY.md (reduced protocol: the
+committed table uses tools/accuracy_table.py's full 11-point sweep; here a
+3-point sweep + one shear pair keep CI time bounded)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from torchpiv_tpu.models import MultipassPIV, PIVConfig
+from torchpiv_tpu.utils.synthetic import particle_pair, shear_flow
+
+pytestmark = pytest.mark.slow
+
+SHAPE = (512, 512)
+
+
+def _run(cfg_kw, fa, fb):
+    cfg = PIVConfig(frame_shape=SHAPE, wind_size=64, overlap=32,
+                    multipass=2, **cfg_kw)
+    eng = MultipassPIV(cfg)
+    u, v, inval = jax.jit(eng)(jnp.asarray(fa), jnp.asarray(fb))
+    x, y = eng.final_coordinates
+    u, v, inval = np.asarray(u), np.asarray(v), np.asarray(inval)
+    sel = ~inval
+    sel[:3] = sel[-3:] = False
+    sel[:, :3] = sel[:, -3:] = False
+    return u, v, sel, x, y
+
+
+def test_def_halves_shear_rms_vs_cws():
+    """docs/ACCURACY.md row: DEF shear RMS ~0.031 px vs CWS ~0.056 px."""
+    du_dy = 0.03
+    fa, fb = particle_pair(SHAPE, displacement=shear_flow(1.0, du_dy),
+                           density=0.04, seed=400)
+    rms = {}
+    for mode in ("CWS", "DEF"):
+        u, v, sel, x, y = _run(dict(multipass_mode=mode), fa, fb)
+        err = u[sel] - (1.0 + du_dy * y[sel])
+        rms[mode] = float(np.sqrt(np.mean(err**2)))
+    assert rms["DEF"] < 0.045, rms
+    assert rms["DEF"] < 0.75 * rms["CWS"], rms
+
+
+def test_peak_locking_bias_below_budget():
+    """docs/ACCURACY.md column 1: max |bias| over the sub-pixel sweep stays
+    under 0.05 px for the default config (3-point reduced sweep)."""
+    worst = 0.0
+    for i, frac in enumerate((0.2, 0.5, 0.8)):
+        d = (2.0 + frac, -1.0)
+        fa, fb = particle_pair(SHAPE, displacement=d, density=0.04,
+                               seed=100 + i)
+        u, v, sel, x, y = _run({}, fa, fb)
+        worst = max(worst, abs(float(np.mean(u[sel] - d[0]))))
+    assert worst < 0.05, worst

@@ -1,4 +1,4 @@
-"""Fused whole-pass kernel (kernels/fused_pass.py) parity vs the XLA chain,
+"""Fused whole-pass kernel (experimental/fused_pass.py) parity vs the XLA chain,
 in interpret mode on the CPU mesh.  The XLA chain is itself anchored to the
 torch reference (test_against_reference.py), so agreement here extends the
 parity chain to the fused kernel."""
@@ -9,7 +9,7 @@ import pytest
 
 pytestmark = pytest.mark.slow
 
-from torchpiv_tpu.kernels.fused_pass import fused_piv_pass
+from torchpiv_tpu.experimental.fused_pass import fused_piv_pass
 from torchpiv_tpu.kernels.shift_pallas import shift_windows_pallas
 from torchpiv_tpu.models import MultipassPIV, PIVConfig
 from torchpiv_tpu.ops.correlate import correlate_matmul
@@ -111,7 +111,7 @@ def test_engine_fused_matches_unfused(mode):
 
 def test_corrfit_kernel_matches_xla_chain(frames, shifts):
     """Split-mode pieces: packed shift output + corrfit kernel == XLA chain."""
-    from torchpiv_tpu.kernels.fused_pass import (correlate_peakfit_pallas,
+    from torchpiv_tpu.experimental.fused_pass import (correlate_peakfit_pallas,
                                                  pack_windows)
 
     fa, fb = frames

@@ -219,3 +219,162 @@ def test_video_menu_runs_videopiv(gui, tmp_path):
     win.toggle_pause(True)
     win.stop_piv()
     assert win.start_btn.text() == "Start PIV"
+
+
+def test_online_regime_runs_onlinepiv(gui, tmp_path):
+    """regime=='online' dispatches the working OnlinePIV stream (the
+    reference selects OnlineWorker here, mainWindow.py:163-164) instead of
+    silently running offline."""
+    from torchpiv_tpu.utils.database import Database
+
+    frames = str(tmp_path / "stream")
+    os.makedirs(frames)
+    win = gui.MainWindow()
+    win.params.folder = frames
+    win.params.wind_size = 32
+    win.params.overlap = 16
+    win.params.multipass = 1
+    win.params.save_opt = "Dont save"
+    win.settings.wind.setValue(32)
+    win.settings.ovl.setValue(16)
+    win.settings.mp.setValue(1)
+    win.settings.regime.setCurrentText("online")
+    win.online_idle_timeout = 3.0  # end the stream when the folder is drained
+
+    win.start_btn.click()
+    assert win.start_btn.text() == "Stop PIV"
+    assert win.bridge.runner is None, "online must NOT build a PIVRunner"
+    # camera semantics: only files appearing AFTER the stream starts count.
+    # The shim runs the worker inline during thread.wait(), so a writer
+    # thread plays the camera: wait for OnlinePIV to exist (stopper
+    # registered), then drop two pairs into the folder.
+    import threading
+    import time
+
+    def camera():
+        for _ in range(400):
+            if win.bridge._stopper is not None:
+                _write_pairs(frames)
+                return
+            time.sleep(0.025)
+
+    writer = threading.Thread(target=camera)
+    writer.start()
+    win.thread.wait()
+    writer.join()
+    assert win.pbar.value() == 100
+    data = Database().get()
+    assert data and "Vy[m/s]" in data  # final ensemble table
+    assert win.start_btn.text() == "Start PIV"
+    assert qt_shim.QMessageBox.critical_calls == []
+
+
+def test_online_stop_wires_through(gui, tmp_path):
+    """Stop on an endless online run calls OnlinePIV.stop (bridge._stopper)
+    and the stream terminates.  The shim runs the worker inline during
+    thread.wait(), so a watcher thread plays the user pressing Stop."""
+    import threading
+    import time
+
+    frames = str(tmp_path / "stream2")
+    os.makedirs(frames)
+    win = gui.MainWindow()
+    win.params.folder = frames
+    win.params.wind_size = 32
+    win.params.overlap = 16
+    win.params.multipass = 1
+    win.params.save_opt = "Dont save"
+    win.settings.wind.setValue(32)
+    win.settings.ovl.setValue(16)
+    win.settings.mp.setValue(1)
+    win.settings.regime.setCurrentText("online")
+    win.online_idle_timeout = None  # endless stream; Stop must end it
+
+    win.start_btn.click()
+    assert win.start_btn.text() == "Stop PIV"
+
+    def press_stop_when_streaming():
+        for _ in range(400):
+            if win.bridge._stopper is not None:
+                win.stop_piv()
+                return
+            time.sleep(0.025)
+
+    watcher = threading.Thread(target=press_stop_when_streaming)
+    watcher.start()
+    win.thread.wait()  # runs the worker inline until the stream stops
+    watcher.join()
+    assert win.bridge._stopper is not None
+    assert win.start_btn.text() == "Start PIV"
+
+
+def test_colorbar_scale_controls(gui):
+    """Auto-colorbar off + min/max percent sliders set vmin/vmax over the
+    field's data range (reference scale sliders, ControlsWidgets.py:312-372)."""
+    from torchpiv_tpu.utils.database import Database
+
+    y, x = np.mgrid[0:8, 0:10].astype(float)
+    Database().set({
+        "x[mm]": x, "y[mm]": y,
+        "Vx[m/s]": x * 0.0, "Vy[m/s]": y,  # Vy range 0..7
+    })
+    win = gui.MainWindow()
+    win.refresh_views()
+    assert win.field.vmin is None and win.field.vmax is None
+    win.auto_scale_cb.setChecked(False)
+    win.vmin_slider.setValue(10)
+    win.vmax_slider.setValue(90)
+    assert abs(win.field.vmin - 0.7) < 1e-9
+    assert abs(win.field.vmax - 6.3) < 1e-9
+    win.auto_scale_cb.setChecked(True)
+    assert win.field.vmin is None and win.field.vmax is None
+
+
+def test_grid_axes_profile_toggles(gui):
+    from torchpiv_tpu.utils.database import Database
+
+    y, x = np.mgrid[0:8, 0:10].astype(float)
+    Database().set({
+        "x[mm]": x, "y[mm]": y, "Vx[m/s]": x, "Vy[m/s]": y,
+    })
+    win = gui.MainWindow()
+    assert win.field.show_axes and not win.field.show_grid
+    win.grid_cb.click()
+    assert win.field.show_grid
+    win.axes_cb.click()
+    assert not win.field.show_axes
+    win.field.redraw()  # renders with axis off + grid
+    win.profile_cb.click()
+    assert not win.field.show_profile_line
+
+
+def test_movable_profile_line(gui):
+    """Clicking/dragging on the field snaps the profile line to the nearest
+    row/column and syncs the slider (reference PIVwidgets.py:125-157)."""
+    from torchpiv_tpu.utils.database import Database
+
+    y, x = np.mgrid[0:8, 0:10].astype(float)
+    Database().set({
+        "x[mm]": x, "y[mm]": y, "Vx[m/s]": x, "Vy[m/s]": y,
+    })
+    win = gui.MainWindow()
+    win.refresh_views()
+
+    class Ev:
+        inaxes = win.field.ax
+        button = 1
+        xdata = 4.2
+        ydata = 5.4
+
+    win.field._on_mouse(Ev)
+    assert win.field.profile_index == 5  # nearest row to y=5.4
+    assert win.prof_slider.value() == 5
+    assert win.profile.index == 5
+    win.orient_combo.setCurrentText("Vertical")
+    Ev.inaxes = win.field.ax  # redraws recreate the axes; real Qt events
+    win.field._on_mouse(Ev)   # always carry the live axes
+    assert win.field.profile_index == 4  # nearest column to x=4.2
+    # clicks outside the axes / with the line hidden are ignored
+    Ev.inaxes = None
+    win.field._on_mouse(Ev)
+    assert win.field.profile_index == 4

@@ -92,7 +92,7 @@ def test_engine_with_pallas_interpret_matches_xla_engine():
 
 class TestPeakfitPallas:
     def test_matches_xla_exactly(self, rng):
-        from torchpiv_tpu.kernels.peakfit_pallas import (
+        from torchpiv_tpu.experimental.peakfit_pallas import (
             correlation_to_displacement_pallas,
         )
         from torchpiv_tpu.ops.peakfit import correlation_to_displacement
@@ -108,7 +108,7 @@ class TestPeakfitPallas:
         np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
 
     def test_novalidate_and_padding(self, rng):
-        from torchpiv_tpu.kernels.peakfit_pallas import (
+        from torchpiv_tpu.experimental.peakfit_pallas import (
             correlation_to_displacement_pallas,
         )
         from torchpiv_tpu.ops.peakfit import correlation_to_displacement

@@ -1,0 +1,178 @@
+"""Physical-accuracy benchmark: bias + RMS error vs known synthetic flows.
+
+Parity (<0.01 px RMS vs the torch reference) is proven by the test suite;
+this script quantifies *physical accuracy* — how close the recovered fields
+are to the true flow — for the beyond-reference quality modes, producing
+the table committed to ``docs/ACCURACY.md`` (VERDICT r2 item 6).
+
+Flows (512x512 synthetic particle images, utils.synthetic):
+
+* ``sweep``  — uniform displacement with sub-pixel fraction swept over
+  0.0..0.9 px (11 pairs): max |bias| over the sweep is the classic
+  peak-locking measure;
+* ``shear``  — u(y) = 1 + 0.03*y (~2 px variation across a 64 px window):
+  gradient bias of pure-translation correlation;
+* ``vortex`` — solid-body rotation, ~1.9 px max rim displacement: both
+  axes strained.
+
+Configs: {gauss3, gauss2d} x {CWS, DEF} x {bilinear, bicubic}, all 2-pass
+64->32 px, 50% overlap.  Errors are measured on valid interior vectors
+(3-vector border ring excluded).
+
+Run:  python tools/accuracy_table.py [--write]   (--write updates docs/)
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from torchpiv_tpu.models import MultipassPIV, PIVConfig
+from torchpiv_tpu.utils.synthetic import particle_pair, shear_flow
+
+SHAPE = (512, 512)
+DENSITY = 0.04
+SWEEP = np.arange(0.0, 1.01, 0.1)
+
+
+def vortex_flow(omega: float = 0.006, cx: float = 256.0, cy: float = 256.0):
+    """Solid-body rotation: u = -omega*(y-cy), v = omega*(x-cx)."""
+
+    def disp(xs, ys):
+        return -omega * (ys - cy), omega * (xs - cx)
+
+    return disp
+
+
+def run_engine(cfg_kw, fa, fb):
+    cfg = PIVConfig(frame_shape=SHAPE, wind_size=64, overlap=32, multipass=2,
+                    **cfg_kw)
+    eng = MultipassPIV(cfg)
+    u, v, inval = jax.jit(eng)(jnp.asarray(fa), jnp.asarray(fb))
+    x, y = eng.final_coordinates
+    return (np.asarray(u), np.asarray(v), np.asarray(inval), x, y)
+
+
+def interior_sel(inval):
+    sel = ~inval
+    sel[:3] = sel[-3:] = False
+    sel[:, :3] = sel[:, -3:] = False
+    return sel
+
+
+def eval_sweep(cfg_kw):
+    """Uniform sub-pixel sweep: returns (max |bias| px, mean RMS px)."""
+    biases, rmses = [], []
+    for i, frac in enumerate(SWEEP):
+        d = (2.0 + frac, -1.0)
+        fa, fb = particle_pair(SHAPE, displacement=d, density=DENSITY,
+                               seed=100 + i)
+        u, v, inval, x, y = run_engine(cfg_kw, fa, fb)
+        sel = interior_sel(inval)
+        eu = u[sel] - d[0]
+        ev = v[sel] - d[1]
+        biases.append(eu.mean())
+        rmses.append(np.sqrt(np.mean(eu**2 + ev**2)))
+    return float(np.max(np.abs(biases))), float(np.mean(rmses))
+
+
+def eval_flow(cfg_kw, flow, truth):
+    """Spatially-varying flow: returns (|bias| px, RMS px)."""
+    fa, fb = particle_pair(SHAPE, displacement=flow, density=DENSITY,
+                           seed=400)
+    u, v, inval, x, y = run_engine(cfg_kw, fa, fb)
+    ut, vt = truth(x, y)
+    sel = interior_sel(inval)
+    eu = u[sel] - ut[sel]
+    ev = v[sel] - vt[sel]
+    bias = np.sqrt(eu.mean() ** 2 + ev.mean() ** 2)
+    return float(bias), float(np.sqrt(np.mean(eu**2 + ev**2)))
+
+
+def evaluate(cfg_kw):
+    du_dy = 0.03
+    om = 0.006
+    pk_bias, pk_rms = eval_sweep(cfg_kw)
+    sh_bias, sh_rms = eval_flow(
+        cfg_kw, shear_flow(1.0, du_dy),
+        lambda x, y: (1.0 + du_dy * y, np.zeros_like(y)))
+    vx_bias, vx_rms = eval_flow(
+        cfg_kw, vortex_flow(om),
+        lambda x, y: (-om * (y - 256.0), om * (x - 256.0)))
+    return dict(pk_bias=pk_bias, pk_rms=pk_rms, sh_bias=sh_bias,
+                sh_rms=sh_rms, vx_bias=vx_bias, vx_rms=vx_rms)
+
+
+CONFIGS = [
+    (f"{mode}/{interp}/{fit}",
+     dict(multipass_mode=mode, cws_interp=interp, subpixel=fit))
+    for mode in ("CWS", "DEF")
+    for interp in ("bilinear", "bicubic")
+    for fit in ("gauss3", "gauss2d")
+]
+
+HEADER = (
+    "| config (mode/interp/fit) | peak-lock max\\|bias\\| | sweep RMS | "
+    "shear bias | shear RMS | vortex bias | vortex RMS |\n"
+    "|---|---|---|---|---|---|---|")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--write", action="store_true",
+                    help="update docs/ACCURACY.md")
+    ap.add_argument("--configs", default=None,
+                    help="comma-separated subset of config names")
+    args = ap.parse_args()
+
+    rows = []
+    sel = args.configs.split(",") if args.configs else None
+    for name, kw in CONFIGS:
+        if sel and name not in sel:
+            continue
+        t0 = time.time()
+        m = evaluate(kw)
+        print(f"# {name}: {m} ({time.time() - t0:.0f} s)", file=sys.stderr)
+        rows.append(
+            f"| {name} | {m['pk_bias']:.4f} | {m['pk_rms']:.4f} | "
+            f"{m['sh_bias']:.4f} | {m['sh_rms']:.4f} | "
+            f"{m['vx_bias']:.4f} | {m['vx_rms']:.4f} |")
+    table = HEADER + "\n" + "\n".join(rows)
+    print(table)
+
+    if args.write:
+        doc = (
+            "# Physical accuracy (synthetic flows)\n\n"
+            "Produced by `python tools/accuracy_table.py --write` "
+            "(pinned by `tests/test_accuracy_modes.py`).  All errors in "
+            "pixels, valid interior vectors only; flows and protocol in the "
+            "script docstring.  2-pass 64→32 px, 50% overlap, 512×512 "
+            "frames, particle density 0.04.\n\n"
+            + table + "\n\n"
+            "Reading the table:\n\n"
+            "* **peak-lock max|bias|** — worst mean error over a 0→1 px "
+            "sub-pixel sweep of a uniform flow (pixel-locking).  gauss2d "
+            "reduces it vs the reference's two-axis gauss3 fit.\n"
+            "* **shear / vortex** — deforming windows (DEF) cut the "
+            "gradient bias of pure-translation CWS; bicubic resampling "
+            "helps most combined with DEF.\n"
+        )
+        import torchpiv_tpu
+
+        repo = os.path.dirname(os.path.dirname(
+            os.path.abspath(torchpiv_tpu.__file__)))
+        path = os.path.join(repo, "docs", "ACCURACY.md")
+        with open(path, "w") as f:
+            f.write(doc)
+        print(f"wrote {os.path.normpath(path)}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

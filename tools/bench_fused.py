@@ -26,7 +26,7 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
-from torchpiv_tpu.kernels.fused_pass import fused_piv_pass  # noqa: E402
+from torchpiv_tpu.experimental.fused_pass import fused_piv_pass  # noqa: E402
 from torchpiv_tpu.utils.synthetic import particle_pair  # noqa: E402
 
 FRAME = (2048, 2048)
@@ -36,7 +36,7 @@ REPS = 16
 
 def _split_pass(fa, fb, vxa, vya, vxb, vyb):
     """Composed pass: packed Pallas shift x2 + fused corrfit kernel."""
-    from torchpiv_tpu.kernels.fused_pass import correlate_peakfit_pallas
+    from torchpiv_tpu.experimental.fused_pass import correlate_peakfit_pallas
     from torchpiv_tpu.kernels.shift_pallas import shift_windows_pallas
 
     n_cols = (FRAME[1] - W) // (W - O) + 1

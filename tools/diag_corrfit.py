@@ -16,7 +16,7 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
-from torchpiv_tpu.kernels.fused_pass import correlate_peakfit_pallas  # noqa: E402
+from torchpiv_tpu.experimental.fused_pass import correlate_peakfit_pallas  # noqa: E402
 from torchpiv_tpu.kernels.shift_pallas import shift_windows_pallas  # noqa: E402
 from torchpiv_tpu.utils.synthetic import particle_pair  # noqa: E402
 

@@ -81,7 +81,7 @@ def main():
     timeit("engine split-refine-only", scan_engine(eng_s2), fa, fb, 0)
 
     # pieces at pass-1 geometry (w=64)
-    from torchpiv_tpu.kernels.fused_pass import (correlate_peakfit_pallas,
+    from torchpiv_tpu.experimental.fused_pass import (correlate_peakfit_pallas,
                                                  pack_windows)
     from torchpiv_tpu.ops.windows import extract_windows
 

@@ -54,7 +54,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.correlate import _dft_matrices, _dft_matrices_half
-from .shift_pallas import flat_wrap_pad
+from ..kernels.shift_pallas import flat_wrap_pad
 
 EPS = 1e-7
 

@@ -60,6 +60,7 @@ if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
             super().__init__()
             self.runner = None
             self._target = target
+            self._stopper = None  # targets may register a stop callable
             if params is not None:
                 self.runner = PIVRunner(
                     params,
@@ -72,6 +73,8 @@ if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
         def stop(self):
             if self.runner is not None:
                 self.runner.stop()
+            if self._stopper is not None:
+                self._stopper()
 
         @QtCore.pyqtSlot()
         def run(self):
@@ -95,9 +98,41 @@ if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
             self.vmin = self.vmax = None
             self.streamlines = False
             self.show_grid = False
+            self.show_axes = True
             self.profile_index = 0
             self.profile_horizontal = True
             self.show_profile_line = True
+            # movable profile line (reference PIVwidgets.py:125-157): click
+            # or drag on the field snaps the white line (and the profile
+            # plot) to the nearest row/column; the owner registers a
+            # callback so the slider stays in sync.
+            self.on_profile_moved = None
+            self.mpl_connect("button_press_event", self._on_mouse)
+            self.mpl_connect("motion_notify_event", self._on_mouse)
+
+        def _on_mouse(self, event):
+            if (event.inaxes is not self.ax or event.button != 1
+                    or not self.show_profile_line):
+                return
+            data = Database().get()
+            if not data or "x[mm]" not in data:
+                return
+            x = np.asarray(data["x[mm]"])
+            y = np.asarray(data["y[mm]"])
+            if self.profile_horizontal:
+                if event.ydata is None:
+                    return
+                idx = int(np.abs(y[:, 0] - event.ydata).argmin())
+            else:
+                if event.xdata is None:
+                    return
+                idx = int(np.abs(x[0, :] - event.xdata).argmin())
+            if idx != self.profile_index:
+                if self.on_profile_moved is not None:
+                    self.on_profile_moved(idx)
+                else:
+                    self.profile_index = idx
+                    self.redraw()
 
         def redraw(self):
             data = Database().get()
@@ -118,6 +153,7 @@ if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
                 streamlines=self.streamlines,
                 profile=prof,
                 show_grid=self.show_grid,
+                show_axes=self.show_axes,
                 ax=self.ax,
             )
             self.draw_idle()
@@ -275,20 +311,54 @@ if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
             self.pbar = QtWidgets.QProgressBar()
             controls.addWidget(self.pbar)
 
-            # view controls
+            # view controls (reference ViewSettings, ControlsWidgets.py:312-
+            # 372 + PIVwidgets.py:125-251: field selector, profile slider/
+            # orientation, streamlines, colorbar min/max scale sliders,
+            # grid/axes toggles, movable profile line)
+            view_box = QtWidgets.QGroupBox("View")
+            vform = QtWidgets.QFormLayout(view_box)
             self.stream_cb = QtWidgets.QCheckBox("Streamlines")
             self.stream_cb.toggled.connect(self._set_stream)
-            controls.addWidget(self.stream_cb)
+            vform.addRow(self.stream_cb)
             self.field_combo = QtWidgets.QComboBox()
             self.field_combo.currentTextChanged.connect(self._set_key)
-            controls.addWidget(self.field_combo)
+            vform.addRow("Field", self.field_combo)
             self.prof_slider = QtWidgets.QSlider(QtCore.Qt.Horizontal)
             self.prof_slider.valueChanged.connect(self._set_profile_index)
-            controls.addWidget(self.prof_slider)
+            vform.addRow("Profile", self.prof_slider)
             self.orient_combo = QtWidgets.QComboBox()
             self.orient_combo.addItems(["Horizontal", "Vertical"])
             self.orient_combo.currentTextChanged.connect(self._set_orientation)
-            controls.addWidget(self.orient_combo)
+            vform.addRow("Orientation", self.orient_combo)
+            self.profile_cb = QtWidgets.QCheckBox("Profile line")
+            self.profile_cb.setChecked(True)
+            self.profile_cb.toggled.connect(self._set_profile_line)
+            vform.addRow(self.profile_cb)
+            self.grid_cb = QtWidgets.QCheckBox("Grid")
+            self.grid_cb.toggled.connect(self._set_grid)
+            vform.addRow(self.grid_cb)
+            self.axes_cb = QtWidgets.QCheckBox("Axes")
+            self.axes_cb.setChecked(True)
+            self.axes_cb.toggled.connect(self._set_axes)
+            vform.addRow(self.axes_cb)
+            # colorbar scale: auto, or min/max percent of the data range
+            self.auto_scale_cb = QtWidgets.QCheckBox("Auto colorbar")
+            self.auto_scale_cb.setChecked(True)
+            self.auto_scale_cb.toggled.connect(self._update_scale)
+            vform.addRow(self.auto_scale_cb)
+            self.vmin_slider = QtWidgets.QSlider(QtCore.Qt.Horizontal)
+            self.vmin_slider.setRange(0, 100)
+            self.vmin_slider.setValue(0)
+            self.vmin_slider.valueChanged.connect(self._update_scale)
+            vform.addRow("Min %", self.vmin_slider)
+            self.vmax_slider = QtWidgets.QSlider(QtCore.Qt.Horizontal)
+            self.vmax_slider.setRange(0, 100)
+            self.vmax_slider.setValue(100)
+            self.vmax_slider.valueChanged.connect(self._update_scale)
+            vform.addRow("Max %", self.vmax_slider)
+            controls.addWidget(view_box)
+            # slider follows the movable profile line (and vice versa)
+            self.field.on_profile_moved = self.prof_slider.setValue
             open_btn = QtWidgets.QPushButton("Open saved PIV file…")
             open_btn.clicked.connect(self.open_saved)
             controls.addWidget(open_btn)
@@ -325,6 +395,37 @@ if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
             self.profile.horizontal = horiz
             self.refresh_views()
 
+        def _set_profile_line(self, on):
+            self.field.show_profile_line = on
+            self.refresh_views()
+
+        def _set_grid(self, on):
+            self.field.show_grid = on
+            self.refresh_views()
+
+        def _set_axes(self, on):
+            self.field.show_axes = on
+            self.refresh_views()
+
+        def _update_scale(self, *_):
+            """Colorbar limits from the auto checkbox + min/max percent
+            sliders over the current field's data range (reference scale
+            sliders, ControlsWidgets.py:312-372)."""
+            if self.auto_scale_cb.isChecked():
+                self.field.vmin = self.field.vmax = None
+            else:
+                data = Database().get()
+                if not data or self.field.key not in data:
+                    return
+                f = np.asarray(data[self.field.key])
+                lo, hi = float(np.nanmin(f)), float(np.nanmax(f))
+                span = hi - lo
+                pmin = min(self.vmin_slider.value(),
+                           self.vmax_slider.value() - 1)
+                self.field.vmin = lo + span * pmin / 100.0
+                self.field.vmax = lo + span * self.vmax_slider.value() / 100.0
+            self.refresh_views()
+
         def refresh_views(self):
             data = Database().get()
             if data and self.field_combo.count() == 0:
@@ -351,11 +452,24 @@ if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
             else:
                 self.stop_piv()
 
+        # online streams have no natural end; tests set a finite idle
+        # timeout so the (synchronous-join) worker terminates
+        online_idle_timeout = None
+
         def start_piv(self):
             self.settings.confirm_changes()
             self.params.to_json()
+            if (self.params.regime or "offline") == "online":
+                # the reference selects OnlineWorker for regime=="online"
+                # (mainWindow.py:163-164; its OnlineWorker is a broken
+                # stub) — here it runs the working OnlinePIV stream
+                self._launch(WorkerBridge(target=self._online_worker()))
+                return
+            self._launch(WorkerBridge(self.params))
+
+        def _launch(self, bridge):
             self.thread = QtCore.QThread()
-            self.bridge = WorkerBridge(self.params)
+            self.bridge = bridge
             self.bridge.moveToThread(self.thread)
             self.thread.started.connect(self.bridge.run)
             self.bridge.progress.connect(self.pbar.setValue)
@@ -365,6 +479,46 @@ if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
             self.thread.start()
             self.timer.start()
             self.start_btn.setText("Stop PIV")
+
+        def _online_worker(self):
+            """Worker target streaming OnlinePIV results into the views;
+            Stop wires through ``OnlinePIV.stop`` (bridge._stopper)."""
+            from ..pipeline import OnlinePIV
+            from ..stats import EnsembleAccumulator
+
+            p = self.params
+            idle = self.online_idle_timeout
+
+            def worker(bridge):
+                piv = OnlinePIV(
+                    p.folder,
+                    device=p.device,
+                    file_fmt=p.file_fmt,
+                    wind_size=p.wind_size,
+                    overlap=p.overlap,
+                    multipass=p.multipass,
+                    multipass_mode=p.multipass_mode,
+                    dt=p.dt,
+                    scale=p.scale,
+                    multipass_scale=p.multipass_scale,
+                    idle_timeout=idle,
+                )
+                bridge._stopper = piv.stop
+                acc = EnsembleAccumulator()
+                x = y = None
+                for x, y, u, v in piv():
+                    acc.add(u, v)
+                    # unbounded stream: progress shows the pair count mod 100
+                    bridge.progress.emit(acc.n % 100)
+                    bridge.output.emit(
+                        {"x[mm]": x, "y[mm]": y, "Vx[m/s]": u, "Vy[m/s]": v})
+                if acc.n:
+                    bridge.progress.emit(100)
+                    bridge.finished.emit(dict(acc.finalize(x, y)))
+                else:
+                    bridge.failed.emit()
+
+            return worker
 
         def stop_piv(self):
             if self.bridge:
@@ -438,17 +592,7 @@ if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
                 else:
                     bridge.failed.emit()
 
-            self.thread = QtCore.QThread()
-            self.bridge = WorkerBridge(target=worker)
-            self.bridge.moveToThread(self.thread)
-            self.thread.started.connect(self.bridge.run)
-            self.bridge.progress.connect(self.pbar.setValue)
-            self.bridge.output.connect(self.report_output)
-            self.bridge.finished.connect(self.report_finish)
-            self.bridge.failed.connect(self.report_failed)
-            self.thread.start()
-            self.timer.start()
-            self.start_btn.setText("Stop PIV")
+            self._launch(WorkerBridge(target=worker))
 
         def open_saved(self):
             path, _ = QtWidgets.QFileDialog.getOpenFileName(

@@ -66,6 +66,7 @@ def render_field(
     streamlines: bool = False,
     profile: Optional[Tuple[int, bool]] = None,
     show_grid: bool = False,
+    show_axes: bool = True,
     out_path: Optional[str] = None,
     ax=None,
 ):
@@ -104,6 +105,8 @@ def render_field(
     ax.set_ylabel("y [mm]")
     if show_grid:
         ax.grid(True, color="w", alpha=0.3)
+    if not show_axes:  # reference's axes toggle (PIVwidgets.py:238-251)
+        ax.set_axis_off()
     if out_path is not None:
         fig.savefig(out_path, dpi=120, bbox_inches="tight")
         plt.close(fig)

@@ -92,7 +92,7 @@ class PIVConfig:
     # validation-mask flips, for -1.2 ms/pair.  "high" (bf16_3x,
     # ~f32-accurate) is the parity-reference setting; "highest" = bf16_6x.
     dft_precision: str = "default"  # "default" | "high" | "highest"
-    # Pass-fusion strategy (kernels/fused_pass.py).  Both fusion modes are
+    # Pass-fusion strategy (experimental/fused_pass.py).  Both fusion modes are
     # measured reference points that LOSE to the XLA chain on v5e ("auto"
     # resolves to off; see docs/ROADMAP.md "pass fusion attempts"):
     #   "split" — packed-layout Pallas shift + fused correlate+peakfit
@@ -220,7 +220,7 @@ class MultipassPIV:
         if cfg.peakfit == "pallas" or (
             cfg.pallas_interpret and cfg.peakfit != "xla"
         ):
-            from ..kernels.peakfit_pallas import (
+            from ..experimental.peakfit_pallas import (
                 correlation_to_displacement_pallas,
             )
 
@@ -272,7 +272,7 @@ class MultipassPIV:
 
     def _corrfit(self, p, wa, wb, validate, dc_normalize=False):
         """Fused correlate+peakfit over lane-packed windows (split mode)."""
-        from ..kernels.fused_pass import correlate_peakfit_pallas
+        from ..experimental.fused_pass import correlate_peakfit_pallas
 
         cfg = self.config
         w, o = self.schedule[p]
@@ -290,7 +290,7 @@ class MultipassPIV:
 
     def _pack(self, windows, p):
         """[N, w, w] windows -> the lane-packed corrfit layout (XLA)."""
-        from ..kernels.fused_pass import pack_windows
+        from ..experimental.fused_pass import pack_windows
 
         w, o = self.schedule[p]
         n_rows, n_cols = self.field_shapes[p]
@@ -336,7 +336,7 @@ class MultipassPIV:
     def _fused_pass(self, p, frame_a, frame_b, vxa, vya, vxb, vyb,
                     dc_normalize):
         """Run pass p through the fused kernel; returns flat (u, v, inval)."""
-        from ..kernels.fused_pass import fused_piv_pass
+        from ..experimental.fused_pass import fused_piv_pass
 
         cfg = self.config
         w, o = self.schedule[p]

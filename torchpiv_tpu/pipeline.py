@@ -21,7 +21,10 @@ Differences under the hood (the TPU-native part):
 from __future__ import annotations
 
 import logging
+import queue
+import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Dict, Generator, Optional, Tuple
 
 import jax
@@ -242,6 +245,19 @@ class OfflinePIV:
         return len(self._dataset)
 
     def __call__(self) -> Generator:
+        """Three-stage pipeline, each stage on its own thread(s), so the
+        only serial cost per pair is the slowest stage (H2D on a tunnel
+        host, device compute on a PCIe host):
+
+        * prefetcher threads: disk -> decode -> async ``device_put``;
+        * feeder thread: device dispatch with bounded in-flight batches;
+        * drainer thread: blocks on results (D2H) and fans the host tail
+          (validation infill + unit conversion) over a worker pool.
+
+        The reference serialises all of this in one loop
+        (PIVbackend.py:862-903: synchronous DataLoader, per-pair GPU call,
+        host scipy infill before the next pair starts).
+        """
         if self._engine is None:
             return
         x, y = self._engine.final_coordinates
@@ -260,49 +276,129 @@ class OfflinePIV:
             and self._engine.config.infill != "fused"
         )
 
-        def drain(pending):
-            # np.asarray blocks on batch k's results while batch k+1 is
-            # already computing on device (jax dispatch is asynchronous):
-            # the host tail (D2H + validation infill + unit conversion)
-            # overlaps device compute instead of serialising after it.
-            ids, u_b, v_b, inval_b = pending
-            t0 = time.perf_counter()
-            u_b, v_b, inval_b = map(np.asarray, (u_b, v_b, inval_b))
-            for i in range(len(ids)):
-                inval = inval_b[i] if tail_validates else None
-                res = finalize_fields(
-                    u_b[i], v_b[i], inval, x, y, self._scale, self._dt
-                )
-                if res is None:
-                    log.warning(
-                        "pair %d skipped: too many invalid vectors", ids[i])
-                    continue
-                yield res
-            log.info("batch of %d drained in %.3f s",
-                     len(ids), time.perf_counter() - t0)
+        stop = threading.Event()
+        DONE = object()
+        # two dispatched-but-undrained batches bound device memory and give
+        # the drainer a full batch of lead time
+        pending_q: "queue.Queue" = queue.Queue(maxsize=2)
+        result_q: "queue.Queue" = queue.Queue(maxsize=4 * self._batch)
+        errors: list = []
 
-        with jax.default_device(self._device):
-            pending = None
-            load_t = time.perf_counter()
-            for batch_a, batch_b, ids in prefetch:
-                start = time.perf_counter()
-                log.info("load time %.3f s", start - load_t)
-                B = len(ids)
-                if B < self._batch:  # pad short tail batch to the jit shape
-                    pad = self._batch - B
-                    batch_a = jnp.concatenate(
-                        [jnp.asarray(batch_a), jnp.tile(jnp.asarray(batch_a[-1:]), (pad, 1, 1))]
-                    )
-                    batch_b = jnp.concatenate(
-                        [jnp.asarray(batch_b), jnp.tile(jnp.asarray(batch_b[-1:]), (pad, 1, 1))]
-                    )
-                out = self._batched_fn(batch_a, batch_b)
-                if pending is not None:
-                    yield from drain(pending)
-                pending = (ids, *out)
-                load_t = time.perf_counter()
-            if pending is not None:
-                yield from drain(pending)
+        def put_interruptible(q, item):
+            """Bounded put that aborts when the pipeline is tearing down;
+            returns False if dropped."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def put_final(q, item):
+            """Deliver a sentinel even mid-teardown (makes room if the
+            consumer is gone)."""
+            for _ in range(600):
+                try:
+                    q.put(item, timeout=0.05)
+                    return
+                except queue.Full:
+                    if stop.is_set():
+                        try:
+                            q.get_nowait()
+                        except queue.Empty:
+                            pass
+
+        def feeder():
+            try:
+                # thread-local context: re-enter the target device here
+                with jax.default_device(self._device):
+                    load_t = time.perf_counter()
+                    for batch_a, batch_b, ids in prefetch:
+                        if stop.is_set():
+                            break
+                        start = time.perf_counter()
+                        log.info("load time %.3f s", start - load_t)
+                        B = len(ids)
+                        if B < self._batch:  # pad tail to the jit shape
+                            pad = self._batch - B
+                            batch_a = jnp.concatenate(
+                                [jnp.asarray(batch_a),
+                                 jnp.tile(jnp.asarray(batch_a[-1:]),
+                                          (pad, 1, 1))])
+                            batch_b = jnp.concatenate(
+                                [jnp.asarray(batch_b),
+                                 jnp.tile(jnp.asarray(batch_b[-1:]),
+                                          (pad, 1, 1))])
+                        out = self._batched_fn(batch_a, batch_b)
+                        if not put_interruptible(pending_q, (ids, *out)):
+                            break
+                        load_t = time.perf_counter()
+            except BaseException as e:  # noqa: BLE001 - forwarded to caller
+                errors.append(e)
+                stop.set()
+            finally:
+                put_final(pending_q, DONE)
+
+        def drainer():
+            try:
+                with ThreadPoolExecutor(
+                    max_workers=max(2, self._decode_threads)
+                ) as pool:
+                    while True:
+                        item = pending_q.get()
+                        if item is DONE:
+                            break
+                        if stop.is_set():
+                            continue  # discard; keep consuming until DONE
+                        ids, u_b, v_b, inval_b = item
+                        t0 = time.perf_counter()
+                        # np.asarray blocks on this batch's results while
+                        # the feeder's next batches compute/transfer
+                        u_b, v_b, inval_b = map(
+                            np.asarray, (u_b, v_b, inval_b))
+                        futs = [
+                            pool.submit(
+                                finalize_fields, u_b[i], v_b[i],
+                                inval_b[i] if tail_validates else None,
+                                x, y, self._scale, self._dt)
+                            for i in range(len(ids))
+                        ]
+                        for pid, fut in zip(ids, futs):
+                            res = fut.result()
+                            if res is None:
+                                log.warning(
+                                    "pair %d skipped: too many invalid "
+                                    "vectors", pid)
+                                continue
+                            if not put_interruptible(result_q, res):
+                                break
+                        log.info("batch of %d drained in %.3f s",
+                                 len(ids), time.perf_counter() - t0)
+            except BaseException as e:  # noqa: BLE001 - forwarded to caller
+                errors.append(e)
+                stop.set()
+            finally:
+                put_final(result_q, DONE)
+
+        feeder_t = threading.Thread(
+            target=feeder, name="piv-feeder", daemon=True)
+        drainer_t = threading.Thread(
+            target=drainer, name="piv-drainer", daemon=True)
+        feeder_t.start()
+        drainer_t.start()
+        try:
+            while True:
+                item = result_q.get()
+                if item is DONE:
+                    break
+                yield item
+            if errors:
+                raise errors[0]
+        finally:
+            stop.set()
+            feeder_t.join(timeout=30)
+            drainer_t.join(timeout=30)
 
 
 class OnlinePIV:
