@@ -190,7 +190,10 @@ def bench_pipeline() -> float:
     from torchpiv_tpu.io.decode import imwrite_gray
     from torchpiv_tpu.pipeline import OfflinePIV
 
-    n_pairs = int(os.environ.get("BENCH_PIPELINE_PAIRS", 32))
+    # 3 batches at the default batch 16: fewer gives the feeder/drainer
+    # overlap nothing to hide behind (batch 1 H2D and the last drain are
+    # inherently exposed)
+    n_pairs = int(os.environ.get("BENCH_PIPELINE_PAIRS", 48))
     folder = os.path.join(tempfile.gettempdir(), "tpiv_bench_pairs")
     if len(glob.glob(os.path.join(folder, "*_a.bmp"))) != n_pairs:
         shutil.rmtree(folder, ignore_errors=True)

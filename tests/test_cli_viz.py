@@ -144,3 +144,36 @@ def test_cli_qc(folder, capsys):
 def test_cli_qc_empty(tmp_path):
     rc = cli_main(["qc", str(tmp_path)])
     assert rc == 1
+
+
+def test_cli_warmup(tmp_path, monkeypatch, capsys):
+    """tpiv warmup precompiles the scan-batched engine and reports; bad
+    frame spec fails loudly.  (In-process: jax pins the persistent-cache
+    backend to the first directory used, so dir contents are asserted in
+    the subprocess test below.)"""
+    monkeypatch.setenv("TORCHPIV_CACHE_DIR", str(tmp_path / "cache"))
+    assert cli_main(["warmup", "128x128", "--wind-size", "32",
+                     "--overlap", "16", "--batch-size", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "compiled + cached" in out
+    assert cli_main(["warmup", "not-a-shape"]) == 1
+
+
+def test_cli_warmup_populates_cache(tmp_path):
+    """A fresh `tpiv warmup` process writes executables into
+    TORCHPIV_CACHE_DIR (the production cold-start story)."""
+    import subprocess
+
+    cache = tmp_path / "cache"
+    env = dict(os.environ, TORCHPIV_CACHE_DIR=str(cache))
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from torchpiv_tpu.cli import main;"
+        "raise SystemExit(main(['warmup','128x128','--wind-size','32',"
+        "'--overlap','16','--batch-size','2']))"
+    )
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=240)
+    assert r.returncode == 0, r.stderr[-2000:]
+    files = list(cache.rglob("*")) if cache.exists() else []
+    assert files, "compile cache dir is empty after warmup"

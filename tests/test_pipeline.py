@@ -315,3 +315,55 @@ def test_pipeline_cpu_device_pins_use_pallas(tmp_path):
                       wind_size=64, overlap=32,
                       engine_options={"use_pallas": "auto"})
     assert piv2._engine.config.use_pallas == "auto"
+
+
+def test_threaded_pipeline_early_close_joins_threads(pair_folder):
+    """Consumer abandoning the generator mid-stream (the PIVRunner Stop
+    path) must tear the feeder/drainer threads down without hanging or
+    leaking: all piv-* threads are gone after close()."""
+    import threading
+    import time
+
+    folder, shifts = pair_folder
+    piv = OfflinePIV(folder, wind_size=32, overlap=16, multipass=1,
+                     batch_size=1)
+    gen = piv()
+    next(gen)  # one result, then abandon
+    gen.close()
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        alive = [t.name for t in threading.enumerate()
+                 if t.name.startswith("piv-")]
+        if not alive:
+            break
+        time.sleep(0.05)
+    assert not alive, f"pipeline threads leaked: {alive}"
+
+
+def test_threaded_pipeline_propagates_engine_errors(pair_folder):
+    """An exception on the feeder thread (device dispatch) must surface to
+    the consumer, not vanish into a daemon thread."""
+    folder, _ = pair_folder
+    piv = OfflinePIV(folder, wind_size=32, overlap=16, multipass=1,
+                     batch_size=1)
+
+    def boom(fa, fb):
+        raise RuntimeError("synthetic dispatch failure")
+
+    piv._batched_fn = boom
+    with pytest.raises(RuntimeError, match="synthetic dispatch failure"):
+        list(piv())
+
+
+def test_threaded_pipeline_yields_in_pair_order(pair_folder):
+    """The worker-pool finalize tail must not reorder results: fields come
+    out in sorted pair order (the checkpoint/resume contract)."""
+    folder, shifts = pair_folder
+    piv = OfflinePIV(folder, wind_size=64, overlap=32, multipass=1,
+                     batch_size=2)
+    means = [float(np.nanmean(u)) for x, y, u, v in piv()]
+    # pair i has displacement shifts[i][0] (x1000 for units)
+    expect = [s[0] * 1000 for s in shifts]
+    assert len(means) == len(expect)
+    for got, want in zip(means, expect):
+        assert abs(got - want) < 150, (means, expect)

@@ -209,6 +209,55 @@ def cmd_bench(args) -> int:
                                          "bench.py")])
 
 
+def cmd_warmup(args) -> int:
+    """Precompile the engine for a frame shape + config into the persistent
+    compile cache, so the FIRST real run on a fresh process starts in
+    seconds.  Run it once after installing / changing analysis settings
+    (e.g. in a deploy step): ``tpiv warmup 2048x2048 --wind-size 64
+    --overlap 32 --multipass 2``."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .models import MultipassPIV, PIVConfig
+
+    try:
+        h, w = (int(t) for t in args.frame.lower().split("x"))
+    except ValueError:
+        print(f"bad --frame {args.frame!r}: expected HxW, e.g. 2048x2048",
+              file=sys.stderr)
+        return 1
+    cfg = PIVConfig(
+        frame_shape=(h, w), wind_size=args.wind_size, overlap=args.overlap,
+        multipass=args.multipass, multipass_mode=args.multipass_mode,
+        multipass_scale=args.multipass_scale,
+    )
+    engine = MultipassPIV(cfg)
+    batch = max(1, args.batch_size)
+
+    def batched(fa, fb):
+        def step(c, ab):
+            u, v, inval = engine(ab[0], ab[1])
+            if inval is None:
+                inval = jnp.zeros(u.shape, bool)
+            return c, (u, v, inval)
+
+        _, out = jax.lax.scan(step, 0, (fa, fb))
+        return out
+
+    fa = jnp.zeros((batch, h, w), jnp.uint8)
+    t0 = time.perf_counter()
+    u, _, _ = jax.jit(batched)(fa, fa)
+    np.asarray(u)
+    print(f"engine compiled + cached in {time.perf_counter() - t0:.1f} s "
+          f"(frame {h}x{w}, wind {args.wind_size}, batch {batch}, "
+          f"{args.multipass}-pass {args.multipass_mode}); subsequent "
+          f"processes deserialize from the cache")
+    return 0
+
+
 def cmd_qc(args) -> int:
     """Measurement-quality report for a folder: per-pair SNR map summary +
     peak-locking degree over the recovered displacement field
@@ -377,6 +426,20 @@ def main(argv=None) -> int:
 
     p_bench = sub.add_parser("bench", help="run the headline benchmark")
     p_bench.set_defaults(fn=cmd_bench)
+
+    p_warm = sub.add_parser(
+        "warmup", help="precompile the engine into the persistent cache")
+    p_warm.add_argument("frame", help="frame shape HxW, e.g. 2048x2048")
+    p_warm.add_argument("--wind-size", type=int, default=64)
+    p_warm.add_argument("--overlap", type=int, default=32)
+    p_warm.add_argument("--multipass", type=int, default=1)
+    p_warm.add_argument("--multipass-mode",
+                        choices=["CWS", "DWS", "DEF"], default="CWS")
+    p_warm.add_argument("--multipass-scale", type=float, default=2.0)
+    p_warm.add_argument("--batch-size", type=int, default=4,
+                        help="must match the run's batch size (the scan "
+                             "length is part of the compiled graph)")
+    p_warm.set_defaults(fn=cmd_warmup)
 
     p_qc = sub.add_parser(
         "qc", help="measurement-quality report (SNR map, peak locking)")

@@ -184,7 +184,7 @@ def _def_kernel(
                 else:
                     wx = jnp.maximum(0.0, 1.0 - jnp.abs(rx - kx))
                 acc = acc + (wy * wx) * tile[ky:ky + w, kx:kx + w]
-        out_ref[0, c] = acc
+        out_ref[0, c] = acc.astype(out_ref.dtype)
 
     for c in range(n_cols):
         body(c)
@@ -194,7 +194,7 @@ def _def_kernel(
     jax.jit,
     static_argnames=(
         "wind_size", "overlap", "frame_shape", "max_shift", "margin",
-        "interpret", "flat_wrap", "n_rows_local", "interp",
+        "interpret", "flat_wrap", "n_rows_local", "interp", "out_dtype",
     ),
 )
 def def_windows_pallas(
@@ -216,6 +216,7 @@ def def_windows_pallas(
     row_start=0,
     n_rows_local: int | None = None,
     interp: str = "bilinear",
+    out_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Deforming-window resampling of all interrogation windows.
 
@@ -229,7 +230,11 @@ def def_windows_pallas(
         dense field the XLA DEF branch builds (models/multipass.py).
       margin: M — per-pixel residual saturation (see module docstring).
 
-    Returns ``[N, w, w]`` float32 deformed windows.
+    ``out_dtype``: store element type (see shift_windows_pallas — bf16
+    is bit-identical when the consumer is the single-pass bf16 DFT and
+    halves the kernel's HBM store traffic).
+
+    Returns ``[N, w, w]`` ``out_dtype`` deformed windows.
     """
     H0, W0 = frame_shape
     w = wind_size
@@ -303,7 +308,7 @@ def def_windows_pallas(
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_rows, n_cols, w, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_rows, n_cols, w, w), out_dtype),
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(

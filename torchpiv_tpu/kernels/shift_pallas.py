@@ -131,7 +131,7 @@ def _shift_kernel(
         )
         # Reference fallback: integer shift in EITHER axis -> floor corner.
         integer_cell = jnp.logical_or(fy == 0.0, fx == 0.0)
-        res = jnp.where(integer_cell, f11, blend)
+        res = jnp.where(integer_cell, f11, blend).astype(out_ref.dtype)
         if packed:
             out_ref[0, :, c * w:(c + 1) * w] = res
         else:
@@ -243,7 +243,7 @@ def _shift_kernel_bicubic(
             for kx in range(4):
                 row_acc = row_acc + wx[kx] * tile[ky:ky + w, kx:kx + w]
             acc = acc + wy[ky] * row_acc
-        out_ref[0, c] = acc
+        out_ref[0, c] = acc.astype(out_ref.dtype)
 
     for c in range(n_cols):
         body(c)
@@ -295,6 +295,7 @@ def shift_pallas_supported(wind_size: int, interp: str = "bilinear") -> bool:
     static_argnames=(
         "wind_size", "overlap", "frame_shape", "max_shift", "interpret",
         "flat_wrap", "variant", "n_rows_local", "packed", "interp",
+        "out_dtype",
     ),
 )
 def shift_windows_pallas(
@@ -313,6 +314,7 @@ def shift_windows_pallas(
     n_rows_local: int | None = None,
     packed: bool = False,
     interp: str = "bilinear",
+    out_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Bilinear (CWS) per-window shift of all interrogation windows.
 
@@ -338,7 +340,13 @@ def shift_windows_pallas(
         of ``[N, w, w]`` — avoids every XLA layout copy between the shift
         and the correlator.  "rolls" variant only.
 
-    Returns ``[N, w, w]`` float32 shifted windows in row-major window order
+    ``out_dtype``: element type of the KERNEL's stores (f32 default).
+    bfloat16 halves the kernel's HBM store traffic; pass it when the
+    consumer is the single-pass bf16 DFT (``dft_precision="default"``) —
+    the blend still computes in f32 and only the store rounds, which is
+    bit-identical to the downstream bf16 cast it replaces.
+
+    Returns ``[N, w, w]`` ``out_dtype`` shifted windows in row-major window order
     (``N = n_rows_local * n_cols`` when a row block is given), or
     ``(n_rows, w, Lp)`` when ``packed``.
     """
@@ -357,6 +365,9 @@ def shift_windows_pallas(
     cubic = interp == "bicubic"
     if cubic and (phases or bf16 or mxu or lanephases or packed):
         raise ValueError("bicubic requires the plain 'rolls' variant")
+    if out_dtype != jnp.float32 and (phases or bf16 or mxu or lanephases):
+        raise ValueError("out_dtype is supported by the 'rolls'/bicubic "
+                         "kernels only")
     if not shift_pallas_supported(w, interp):
         # lane-wrap hazard: the per-window tile is read as lanes
         # s_col..s_col+T-1 of a rolled 256-lane block with s_col <= 127 and
@@ -460,11 +471,11 @@ def shift_windows_pallas(
     if packed:
         out_spec = pl.BlockSpec((1, w, Lp), lambda r, *_: (r, 0, 0),
                                 memory_space=pltpu.VMEM)
-        out_sds = jax.ShapeDtypeStruct((n_rows, w, Lp), jnp.float32)
+        out_sds = jax.ShapeDtypeStruct((n_rows, w, Lp), out_dtype)
     else:
         out_spec = pl.BlockSpec((1, n_cols, w, w), lambda r, *_: (r, 0, 0, 0),
                                 memory_space=pltpu.VMEM)
-        out_sds = jax.ShapeDtypeStruct((n_rows, n_cols, w, w), jnp.float32)
+        out_sds = jax.ShapeDtypeStruct((n_rows, n_cols, w, w), out_dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(n_rows,),

@@ -241,6 +241,26 @@ class MultipassPIV:
             return False
         return jax.default_backend() == "tpu"
 
+    def _window_store_dtype(self):
+        """Element type the shift/DEF kernels should store windows in.
+
+        bfloat16 when the consumer is the single-pass bf16 DFT
+        (``dft_precision="default"`` on the matmul correlator): the kernel
+        blend still computes in f32 and only the store rounds — the SAME
+        rounding the correlator's bf16 matmul pass would apply, so results
+        are bit-identical while the kernel's HBM store traffic (its
+        measured floor) halves.  f32 whenever anything consumes the
+        windows at higher precision (3/6-pass DFT, FFT correlator, window
+        weighting)."""
+        cfg = self.config
+        c = cfg.correlator
+        matmul = c == "matmul" or (
+            c == "auto" and jax.default_backend() == "tpu")
+        if (matmul and cfg.dft_precision == "default"
+                and cfg.window_weight is None):
+            return jnp.bfloat16
+        return jnp.float32
+
     def _use_fused(self) -> bool:
         """Whole-pass fused kernel applicability (CWS/DWS shifts with the
         reference's flat-index edge semantics).  Only "on" forces it: the
@@ -399,6 +419,8 @@ class MultipassPIV:
             flat_wrap=cfg.edge_exact,
             variant=cfg.shift_variant,
             interp="bicubic" if bicubic else "bilinear",
+            out_dtype=(self._window_store_dtype()
+                       if cfg.shift_variant == "rolls" else jnp.float32),
         )
 
     # -- public static info ------------------------------------------------
@@ -539,6 +561,7 @@ class MultipassPIV:
                     max_shift=cfg.max_shift, margin=cfg.def_margin,
                     interpret=cfg.pallas_interpret, flat_wrap=cfg.edge_exact,
                     interp=cfg.cws_interp,
+                    out_dtype=self._window_store_dtype(),
                 )
 
                 def flatg(x):

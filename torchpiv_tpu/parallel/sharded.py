@@ -261,6 +261,9 @@ class ShardedPIV:
                     variant=cfg.shift_variant,
                     row_start=org, n_rows_local=rloc,
                     interp="bicubic" if bicubic else "bilinear",
+                    out_dtype=(eng._window_store_dtype()
+                               if cfg.shift_variant == "rolls"
+                               else jnp.float32),
                 )
             if cfg.multipass_mode == "DWS":
                 return dws_shift(frame, r0w, c0w, w,
@@ -314,6 +317,7 @@ class ShardedPIV:
                     interpret=cfg.pallas_interpret,
                     flat_wrap=cfg.edge_exact, interp=cfg.cws_interp,
                     row_start=org, n_rows_local=rloc,
+                    out_dtype=eng._window_store_dtype(),
                 )
                 args = [loc(x).reshape(-1) for x in
                         (u2f, v2f, dudx_f, dudy_f, dvdx_f, dvdy_f)]
