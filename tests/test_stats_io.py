@@ -228,3 +228,23 @@ def test_snr_map_separates_signal_from_noise():
     assert np.median(snr_bad) < 1.5
     # consistent with the engine's validation quantity: ratio >= 1
     assert (snr_good >= 1.0 - 1e-6).all()
+
+
+def test_peak_width_map_tracks_particle_diameter():
+    """The fitted Gaussian peak half-width ~ particle sigma * sqrt(2)
+    (autocorrelation of Gaussian particle images), so bigger particles ->
+    wider peaks; border-peak windows are NaN, interior mostly finite."""
+    from torchpiv_tpu.stats.quality import peak_width_map
+    from torchpiv_tpu.utils.synthetic import particle_pair
+
+    meds = {}
+    for dia in (2.0, 4.0):
+        fa, fb = particle_pair((256, 256), displacement=(2.3, -1.2),
+                               diameter=dia, seed=3)
+        sx, sy = peak_width_map(fa, fb, 32, 16)
+        assert sx.shape == sy.shape == (15, 15)
+        assert np.isfinite(sx).mean() > 0.9
+        meds[dia] = float(np.nanmedian(sx))
+        expect = dia / 2.354 * np.sqrt(2.0)
+        assert abs(meds[dia] - expect) < 0.4, (dia, meds[dia], expect)
+    assert meds[4.0] > meds[2.0] * 1.5

@@ -265,7 +265,8 @@ def cmd_qc(args) -> int:
     import numpy as np
 
     from .io.dataset import PIVDataset
-    from .stats.quality import peak_locking_degree, snr_map
+    from .stats.quality import (peak_locking_degree, peak_width_map,
+                                snr_map)
 
     ds = PIVDataset(args.folder, args.file_fmt, folder_mode=args.folder_mode)
     if len(ds) == 0:
@@ -283,6 +284,14 @@ def cmd_qc(args) -> int:
         print(f"pair {i}: SNR median {np.median(s):.2f}  p5 {lo:.2f}  "
               f"min {s.min():.2f}  <{args.val_ratio}: "
               f"{(s < args.val_ratio).mean():.1%}")
+        sx, sy = peak_width_map(fa, fb, wind_size=args.wind_size,
+                                overlap=args.overlap)
+        d_tau = 2.0 * np.sqrt(2.0) * np.nanmedian((sx + sy) / 2.0)
+        note = ("OK" if 1.5 <= d_tau <= 5.0 else
+                ("peak-locking risk (particles too small)" if d_tau < 1.5
+                 else "defocus / oversized particle images"))
+        print(f"pair {i}: particle-image diameter d_tau ~ {d_tau:.1f} px "
+              f"({note})")
     # peak locking from a quick single-pass field on the first pair
     import jax
     import jax.numpy as jnp

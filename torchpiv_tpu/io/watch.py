@@ -132,13 +132,24 @@ class StreamingPairSource:
         self._pending = keep
         return pairs
 
-    def __iter__(self) -> Iterator[Tuple[str, str]]:
+    def ready(self) -> List[Tuple[str, str]]:
+        """Non-blocking: pairs already visible on disk right now (no poll
+        wait).  Safe to interleave with iteration from the same thread —
+        consumers use it to drain a backlog for batched catch-up dispatch
+        (``OnlinePIV(catchup_batch=...)``)."""
+        return self._poll()
+
+    def bursts(self) -> Iterator[List[Tuple[str, str]]]:
+        """Iterate LISTS of pairs, one per poll — a burst is everything the
+        camera wrote since the last look.  Burst size is the consumer's
+        backlog signal: >1 means it is falling behind and can amortise
+        fixed dispatch overhead by batching (``OnlinePIV`` catch-up)."""
         last_new = time.monotonic()
         while not self._stop.is_set():
             pairs = self._poll()
             if pairs:
                 last_new = time.monotonic()
-                yield from pairs
+                yield pairs
             elif (
                 self.idle_timeout is not None
                 and time.monotonic() - last_new > self.idle_timeout
@@ -147,4 +158,10 @@ class StreamingPairSource:
             else:
                 self._stop.wait(self.poll_interval)
         # stop() means "no more frames are coming": drain what already landed
-        yield from self._poll()
+        tail = self._poll()
+        if tail:
+            yield tail
+
+    def __iter__(self) -> Iterator[Tuple[str, str]]:
+        for burst in self.bursts():
+            yield from burst

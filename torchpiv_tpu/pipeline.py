@@ -407,6 +407,13 @@ class OnlinePIV:
 
     Iterating yields ``(x, y, u, v)`` per new pair; call ``stop()`` (or let
     ``idle_timeout`` expire) to end the stream.
+
+    Dispatch strategy: a single-pair graph keeps per-pair latency minimal
+    while the stream keeps up; when a backlog builds (camera faster than
+    per-pair dispatch — over a network-attached device each dispatch pays
+    fixed round-trip overhead), pairs are drained in ``catchup_batch``-size
+    scan dispatches that amortise that overhead.  ``catchup_batch=1``
+    disables batching.
     """
 
     def __init__(
@@ -425,6 +432,7 @@ class OnlinePIV:
         validate: bool = True,
         poll_interval: float = 0.2,
         idle_timeout: Optional[float] = None,
+        catchup_batch: int = 4,
         engine_options: Optional[dict] = None,
     ) -> None:
         self._dt = dt
@@ -433,6 +441,7 @@ class OnlinePIV:
         self._source = StreamingPairSource(
             folder, file_fmt, poll_interval, idle_timeout
         )
+        self._catchup = max(1, catchup_batch)
         self._engine_kwargs = dict(
             wind_size=wind_size,
             overlap=overlap,
@@ -446,36 +455,88 @@ class OnlinePIV:
             self._engine_kwargs.setdefault("use_pallas", "off")
         self._engine: Optional[MultipassPIV] = None
         self._fn = None
+        self._fn_batch = None  # compiled lazily on the first real backlog
 
     def stop(self) -> None:
         self._source.stop()
 
-    def __call__(self) -> Generator:
-        with jax.default_device(self._device):
-            for name_a, name_b in self._source:
-                frame_a = imread_gray(name_a)
-                frame_b = imread_gray(name_b)
-                if frame_a is None or frame_b is None:
-                    continue
-                if self._engine is None:
-                    from .utils.compile_cache import enable_compile_cache
+    def _decode(self, name_a, name_b):
+        frame_a = imread_gray(name_a)
+        frame_b = imread_gray(name_b)
+        if frame_a is None or frame_b is None:
+            return None
+        return frame_a, frame_b
 
-                    enable_compile_cache()
-                    cfg = PIVConfig(
-                        frame_shape=frame_a.shape, **self._engine_kwargs
-                    )
-                    self._engine = MultipassPIV(cfg)
-                    self._fn = jax.jit(self._engine)
-                u, v, inval = self._fn(jnp.asarray(frame_a), jnp.asarray(frame_b))
-                x, y = self._engine.final_coordinates
-                res = finalize_fields(
-                    np.asarray(u),
-                    np.asarray(v),
-                    np.asarray(inval) if inval is not None else None,
-                    x, y, self._scale, self._dt,
-                )
-                if res is not None:
-                    yield res
+    def _ensure_engine(self, frame_shape):
+        if self._engine is not None:
+            return
+        from .utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
+        cfg = PIVConfig(frame_shape=frame_shape, **self._engine_kwargs)
+        self._engine = MultipassPIV(cfg)
+        self._fn = jax.jit(self._engine)
+
+    def _finalize(self, u, v, inval):
+        x, y = self._engine.final_coordinates
+        return finalize_fields(
+            np.asarray(u),
+            np.asarray(v),
+            np.asarray(inval) if inval is not None else None,
+            x, y, self._scale, self._dt,
+        )
+
+    def __call__(self) -> Generator:
+        B = self._catchup
+        with jax.default_device(self._device):
+            backlog: list = []
+            for burst in self._source.bursts():
+                for name_a, name_b in burst:
+                    pair = self._decode(name_a, name_b)
+                    if pair is None:
+                        continue
+                    if self._engine is None:
+                        self._ensure_engine(pair[0].shape)
+                    if pair[0].shape == self._engine.config.frame_shape:
+                        backlog.append(pair)
+                    else:
+                        log.warning(
+                            "online: skipping %s — frame shape %s != "
+                            "engine %s", name_a, pair[0].shape,
+                            self._engine.config.frame_shape)
+                if not backlog:
+                    continue
+                while len(backlog) >= B > 1:
+                    chunk, backlog = backlog[:B], backlog[B:]
+                    if self._fn_batch is None:
+                        eng = self._engine
+
+                        def batched(fa, fb):
+                            def step(c, ab):
+                                u, v, iv = eng(ab[0], ab[1])
+                                if iv is None:
+                                    iv = jnp.zeros(u.shape, bool)
+                                return c, (u, v, iv)
+
+                            _, out = jax.lax.scan(step, 0, (fa, fb))
+                            return out
+
+                        self._fn_batch = jax.jit(batched)
+                    fa = jnp.asarray(np.stack([p[0] for p in chunk]))
+                    fb = jnp.asarray(np.stack([p[1] for p in chunk]))
+                    u_b, v_b, iv_b = self._fn_batch(fa, fb)
+                    u_b, v_b, iv_b = map(np.asarray, (u_b, v_b, iv_b))
+                    for i in range(len(chunk)):
+                        res = self._finalize(u_b[i], v_b[i], iv_b[i])
+                        if res is not None:
+                            yield res
+                while backlog:
+                    frame_a, frame_b = backlog.pop(0)
+                    u, v, inval = self._fn(
+                        jnp.asarray(frame_a), jnp.asarray(frame_b))
+                    res = self._finalize(u, v, inval)
+                    if res is not None:
+                        yield res
 
 
 class VideoPIV:

@@ -2,12 +2,14 @@
 measurement-quality diagnostics (peak locking, SNR maps)."""
 
 from .ensemble import EnsembleAccumulator, compute_statistics
-from .quality import fractional_histogram, peak_locking_degree, snr_map
+from .quality import (fractional_histogram, peak_locking_degree,
+                      peak_width_map, snr_map)
 
 __all__ = [
     "EnsembleAccumulator",
     "compute_statistics",
     "fractional_histogram",
     "peak_locking_degree",
+    "peak_width_map",
     "snr_map",
 ]
