@@ -235,3 +235,26 @@ def test_window_sharded_pallas_production_windows():
     assert agree.mean() > 0.99
     both = ~(pi | ri) & agree
     assert np.sqrt(np.mean((pu[both] - ru[both]) ** 2)) < 0.01
+
+
+@pytest.mark.parametrize("kw", [
+    dict(window_weight="gaussian"),
+    dict(subpixel="gauss2d"),
+    dict(window_weight="gaussian", subpixel="gauss2d"),
+])
+def test_window_sharded_quality_knobs_match_single_device(batch, kw):
+    """window_weight / gauss2d must produce the SAME fields sharded as on
+    one device — the sharded path previously ignored window_weight
+    silently (round-3 fix)."""
+    fa, fb = batch
+    cfg = PIVConfig(frame_shape=(256, 256), wind_size=64, overlap=32,
+                    multipass=2, **kw)
+    eng = MultipassPIV(cfg)
+    mesh = make_mesh({"pairs": 2, "windows": 4})
+    su, sv, si = jax.jit(ShardedPIV(eng, mesh))(fa[:2], fb[:2])
+    ru, rv, ri = jax.jit(jax.vmap(eng))(fa[:2], fb[:2])
+    su, si, ru, ri = map(np.asarray, (su, si, ru, ri))
+    agree = si == ri
+    assert agree.mean() > 0.99
+    both = ~(si | ri) & agree
+    assert np.sqrt(np.mean((su[both] - ru[both]) ** 2)) < 0.01

@@ -145,7 +145,18 @@ class ShardedPIV:
         fb = jax.lax.dynamic_slice(frame_b, (org * step, 0), (slice_h, W))
         aa = extract_windows(fa, w, o).astype(dt)
         bb = extract_windows(fb, w, o).astype(dt)
-        corr = eng._correlate(aa, bb, dc_normalize=True)
+        wgt = eng._window_weight(0)
+        if wgt is None:
+            corr = eng._correlate(aa, bb, dc_normalize=True)
+        else:
+            # same as the single-device engine: weighting needs the
+            # explicit mean normalisation (the DC fold assumes unweighted
+            # windows, models/multipass.py pass 1)
+            from ..ops.correlate import mean_normalize
+
+            aa = mean_normalize(aa, dt) * wgt
+            bb = mean_normalize(bb, dt) * wgt
+            corr = eng._correlate(aa, bb)
         u, v, inval = eng._peakfit(corr, cfg.validate)
         u = u.reshape(rloc, C)
         v = v.reshape(rloc, C)
@@ -350,6 +361,10 @@ class ShardedPIV:
             aa = shift(frame_a, -u2.reshape(-1), -v2.reshape(-1))
             bb = shift(frame_b, u2.reshape(-1), v2.reshape(-1))
 
+        wgt = eng._window_weight(p)
+        if wgt is not None:  # anti-leakage taper, as in the engine's pass
+            aa = aa * wgt
+            bb = bb * wgt
         corr = eng._correlate(aa, bb)
         du, dv, new_inval = eng._peakfit(corr, validate)
         du = du.reshape(rloc, Cf)
