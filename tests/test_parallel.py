@@ -258,3 +258,32 @@ def test_window_sharded_quality_knobs_match_single_device(batch, kw):
     assert agree.mean() > 0.99
     both = ~(si | ri) & agree
     assert np.sqrt(np.mean((su[both] - ru[both]) ** 2)) < 0.01
+
+
+def test_offline_piv_over_mesh_applies_background(tmp_path):
+    """background subtraction must apply in mesh mode too (it was silently
+    skipped before round 3: the scan-graph subtract only existed on the
+    single-device path)."""
+    from torchpiv_tpu.io.decode import imwrite_gray
+    from torchpiv_tpu.pipeline import OfflinePIV
+
+    rng = np.random.default_rng(5)
+    glare = (rng.uniform(0, 60, (256, 256))).astype(np.uint8)
+    for i, disp in enumerate([(3.0, -1.0), (1.5, 0.5)]):
+        fa, fb = particle_pair((256, 256), displacement=disp, seed=85 + i)
+        imwrite_gray(str(tmp_path / f"g{i}_a.bmp"),
+                     np.clip(fa.astype(int) + glare, 0, 255).astype(np.uint8))
+        imwrite_gray(str(tmp_path / f"g{i}_b.bmp"),
+                     np.clip(fb.astype(int) + glare, 0, 255).astype(np.uint8))
+
+    kwargs = dict(device="cpu", file_fmt=".bmp", wind_size=64, overlap=32,
+                  multipass=2, background=glare)
+    plain = list(OfflinePIV(str(tmp_path), batch_size=2, **kwargs)())
+    mesh = make_mesh({"pairs": 2})
+    sharded = list(OfflinePIV(str(tmp_path), batch_size=2, mesh=mesh,
+                              **kwargs)())
+    assert len(plain) == len(sharded) == 2
+    for (x0, y0, u0, v0), (x1, y1, u1, v1) in zip(plain, sharded):
+        d = np.abs(u0 - u1)
+        assert np.median(d) < 1e-3
+        assert (d > 0.05).mean() < 0.01

@@ -319,6 +319,17 @@ class OfflinePIV:
                             break
                         start = time.perf_counter()
                         log.info("load time %.3f s", start - load_t)
+                        if (self._mesh is not None
+                                and self._background is not None):
+                            # mesh mode keeps batches host-side (jit
+                            # distributes them), so the saturating uint8
+                            # background subtract runs here instead of
+                            # inside the scan graph
+                            bgv = self._background
+                            batch_a = np.where(
+                                batch_a > bgv, batch_a - bgv, 0)
+                            batch_b = np.where(
+                                batch_b > bgv, batch_b - bgv, 0)
                         B = len(ids)
                         if B < self._batch:  # pad tail to the jit shape
                             pad = self._batch - B
