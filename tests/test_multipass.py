@@ -373,3 +373,22 @@ def test_parity_config_matrix(shape, w, o, multipass, mode, validate,
     assert both.mean() > 0.4
     assert rms(u, gu, ~both) < 0.01
     assert rms(v, gv, ~both) < 0.01
+
+
+def test_ensemble_honors_window_weight():
+    """EnsemblePIV applies the Gaussian taper when configured (consistency
+    with the engine; tapered windows still recover the flow)."""
+    from torchpiv_tpu.models.ensemble_corr import EnsemblePIV
+
+    pairs = [particle_pair((256, 256), displacement=(2.5, -1.5),
+                           seed=500 + i, density=0.01) for i in range(8)]
+    fa = jnp.asarray(np.stack([p[0] for p in pairs]))
+    fb = jnp.asarray(np.stack([p[1] for p in pairs]))
+    cfg = PIVConfig(frame_shape=(256, 256), wind_size=32, overlap=16,
+                    multipass=1, window_weight="gaussian")
+    u, v, inval = jax.jit(EnsemblePIV(cfg))(fa, fb)
+    u, inval = np.asarray(u), np.asarray(inval)
+    sel = ~inval
+    sel[:2] = sel[-2:] = False
+    sel[:, :2] = sel[:, -2:] = False
+    assert abs(u[sel].mean() - 2.5) < 0.1

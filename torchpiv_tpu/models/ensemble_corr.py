@@ -43,9 +43,14 @@ class EnsemblePIV:
         n_rows, n_cols = eng.field_shapes[0]
         dt = jnp.dtype(cfg.dtype)
 
+        wgt = eng._window_weight(0)  # optional anti-leakage taper
+
         def corr_one(fa, fb):
             aa = mean_normalize(extract_windows(fa, w, o), dt)
             bb = mean_normalize(extract_windows(fb, w, o), dt)
+            if wgt is not None:
+                aa = aa * wgt
+                bb = bb * wgt
             return eng._correlate(aa, bb)
 
         corr = jnp.mean(jax.vmap(corr_one)(batch_a, batch_b), axis=0)
