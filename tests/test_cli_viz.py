@@ -177,3 +177,17 @@ def test_cli_warmup_populates_cache(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     files = list(cache.rglob("*")) if cache.exists() else []
     assert files, "compile cache dir is empty after warmup"
+
+
+def test_cli_run_checkpoint(folder, tmp_path, monkeypatch):
+    """`tpiv run --checkpoint` writes/clears the resume file."""
+    monkeypatch.setenv("HOME", str(tmp_path))
+    ck = tmp_path / "run.ckpt.npz"
+    rc = cli_main([
+        "run", folder, "--wind-size", "32", "--overlap", "16",
+        "--save", "Dont save", "--checkpoint", str(ck),
+        "--checkpoint-every", "1",
+    ])
+    assert rc == 0
+    # completed run clears its checkpoint (resume state only for interrupts)
+    assert not ck.exists()

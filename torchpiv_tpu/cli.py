@@ -104,6 +104,8 @@ def cmd_run(args) -> int:
     runner = PIVRunner(
         params,
         on_progress=on_progress,
+        checkpoint_path=args.checkpoint,
+        checkpoint_every=args.checkpoint_every,
         batch_size=args.batch_size,
         validate=not args.no_validate,
         background=args.background,
@@ -381,6 +383,11 @@ def main(argv=None) -> int:
     p_run.add_argument("--folder-mode", choices=["pairs", "sequential"],
                        default="pairs")
     p_run.add_argument("--batch-size", type=int, default=4)
+    p_run.add_argument("--checkpoint", default=None, metavar="PATH",
+                       help="checkpoint file: interrupted runs resume by "
+                            "pair index with identical statistics")
+    p_run.add_argument("--checkpoint-every", type=int, default=50,
+                       metavar="N", help="pairs between checkpoint writes")
     p_run.set_defaults(fn=cmd_run)
 
     p_on = sub.add_parser("online", help="streaming analysis of a growing folder")
