@@ -191,3 +191,35 @@ def test_cli_run_checkpoint(folder, tmp_path, monkeypatch):
     assert rc == 0
     # completed run clears its checkpoint (resume state only for interrupts)
     assert not ck.exists()
+
+
+def test_render_field_vectors(tmp_path, rng):
+    """Quiver overlay renders decimated arrows (new Vectors view)."""
+    y, x = np.mgrid[0:80, 0:100].astype(float)
+    data = {"x[mm]": x, "y[mm]": y, "Vx[m/s]": np.sin(x / 9),
+            "Vy[m/s]": np.cos(y / 9)}
+    out = str(tmp_path / "vec.png")
+    ax = viz.render_field(data, "Vy[m/s]", vectors=True, out_path=out)
+    assert os.path.exists(out)
+
+
+def test_gui_vectors_checkbox():
+    import importlib
+
+    import qt_shim
+    from torchpiv_tpu.utils.database import Database
+
+    saved = qt_shim.install()
+    try:
+        import torchpiv_tpu.gui.app as app
+
+        app = importlib.reload(app)
+        y, x = np.mgrid[0:8, 0:10].astype(float)
+        Database().set({"x[mm]": x, "y[mm]": y, "Vx[m/s]": x, "Vy[m/s]": y})
+        win = app.MainWindow()
+        win.vectors_cb.click()
+        assert win.field.vectors
+        win.field.redraw()
+    finally:
+        qt_shim.uninstall(saved)
+        importlib.reload(app)

@@ -347,8 +347,8 @@ def cmd_view(args) -> int:
         return 1
     out = args.out or f"{db.name}_{key[:key.find('[')]}.png".replace("/", "_")
     viz.render_field(
-        data, key, streamlines=args.streamlines, out_path=out,
-        vmin=args.vmin, vmax=args.vmax,
+        data, key, streamlines=args.streamlines, vectors=args.vectors,
+        out_path=out, vmin=args.vmin, vmax=args.vmax,
     )
     print(out)
     return 0
@@ -406,6 +406,8 @@ def main(argv=None) -> int:
     p_view.add_argument("--field", default="Vy[m/s]")
     p_view.add_argument("--out", default=None)
     p_view.add_argument("--streamlines", action="store_true")
+    p_view.add_argument("--vectors", action="store_true",
+                        help="decimated quiver overlay")
     p_view.add_argument("--vmin", type=float, default=None)
     p_view.add_argument("--vmax", type=float, default=None)
     p_view.set_defaults(fn=cmd_view)

@@ -97,6 +97,7 @@ if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
             self.key = "Vy[m/s]"
             self.vmin = self.vmax = None
             self.streamlines = False
+            self.vectors = False
             self.show_grid = False
             self.show_axes = True
             self.profile_index = 0
@@ -151,6 +152,7 @@ if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
                 vmin=self.vmin,
                 vmax=self.vmax,
                 streamlines=self.streamlines,
+                vectors=self.vectors,
                 profile=prof,
                 show_grid=self.show_grid,
                 show_axes=self.show_axes,
@@ -320,6 +322,9 @@ if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
             self.stream_cb = QtWidgets.QCheckBox("Streamlines")
             self.stream_cb.toggled.connect(self._set_stream)
             vform.addRow(self.stream_cb)
+            self.vectors_cb = QtWidgets.QCheckBox("Vectors")
+            self.vectors_cb.toggled.connect(self._set_vectors)
+            vform.addRow(self.vectors_cb)
             self.field_combo = QtWidgets.QComboBox()
             self.field_combo.currentTextChanged.connect(self._set_key)
             vform.addRow("Field", self.field_combo)
@@ -376,6 +381,10 @@ if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
         # -- view plumbing ---------------------------------------------
         def _set_stream(self, on):
             self.field.streamlines = on
+            self.refresh_views()
+
+        def _set_vectors(self, on):
+            self.field.vectors = on
             self.refresh_views()
 
         def _set_key(self, key):

@@ -64,6 +64,7 @@ def render_field(
     vmin: Optional[float] = None,
     vmax: Optional[float] = None,
     streamlines: bool = False,
+    vectors: bool = False,
     profile: Optional[Tuple[int, bool]] = None,
     show_grid: bool = False,
     show_axes: bool = True,
@@ -95,6 +96,15 @@ def render_field(
             x, y, data["Vx[m/s]"], data["Vy[m/s]"]
         )
         ax.streamplot(XI, YI, UI, VI, color="k", density=1.2, linewidth=0.7)
+    if vectors:
+        # decimated quiver overlay (standard PIV vector view; keeps at
+        # most ~32 arrows per axis so dense grids stay readable)
+        U = np.asarray(data["Vx[m/s]"])
+        V = np.asarray(data["Vy[m/s]"])
+        sr = max(1, U.shape[0] // 32)
+        sc = max(1, U.shape[1] // 32)
+        ax.quiver(x[::sr, ::sc], y[::sr, ::sc], U[::sr, ::sc], V[::sr, ::sc],
+                  color="k", scale_units="width", width=0.0022)
     if profile is not None:
         index, horizontal = profile
         if horizontal:

@@ -199,6 +199,11 @@ class OfflinePIV:
         from .utils.compile_cache import enable_compile_cache
 
         enable_compile_cache()
+        # scipy.interpolate costs ~1 s to import and the first drained
+        # pair would pay it inline; warm it while the engine compiles
+        threading.Thread(
+            target=lambda: __import__("scipy.interpolate"),
+            name="piv-scipy-warmup", daemon=True).start()
         cfg = PIVConfig(frame_shape=tuple(frame_shape), **self._engine_kwargs)
         self._engine = MultipassPIV(cfg)
 
