@@ -407,3 +407,61 @@ def test_shift_variant_parity(variant):
     assert d.max() < 1e-4
     int_win = (vx == np.round(vx)) & (vy == np.round(vy))
     assert d.reshape(n, -1).max(1)[int_win].max() == 0.0
+
+
+@pytest.mark.parametrize("w,frame", [(64, 256), (128, 384)])
+def test_shift_kernel_at_lane_boundary(rng, w, frame):
+    """w=64 (production) and w=128 — the LARGEST window the kernel accepts
+    (s_col + w + 1 = 127 + 129 = 256 exactly fills the lane block).  A
+    silent wrap at the boundary would corrupt the right edge of windows
+    whose tx mod 128 is large; parity vs the XLA shift pins it."""
+    H = W = frame
+    ov = w // 2
+    fr = rng.integers(0, 255, (H, W)).astype(np.float32)
+    n_rows = (H - w) // (w - ov) + 1
+    n_cols = (W - w) // (w - ov) + 1
+    N = n_rows * n_cols
+    # shift magnitudes chosen to push tx mod 128 through all phases
+    vx = rng.uniform(-w / 4, w / 4, N).astype(np.float32)
+    vy = rng.uniform(-w / 4, w / 4, N).astype(np.float32)
+    r0, c0 = per_window_origins((H, W), w, ov)
+    ref = np.asarray(cws_shift(jnp.asarray(fr), jnp.asarray(r0),
+                               jnp.asarray(c0), w, jnp.asarray(vx),
+                               jnp.asarray(vy)))
+    out = np.asarray(shift_windows_pallas(
+        jnp.asarray(fr), jnp.asarray(vx), jnp.asarray(vy),
+        frame_shape=(H, W), wind_size=w, overlap=ov, interpret=True))
+    assert np.abs(out - ref).max() < 0.05
+
+
+def test_def_kernel_at_tile_limit(rng):
+    """DEF at the exact T=129 tile limit (w=124, M=2, bilinear) and the
+    bicubic T=128 case (w=120, M=2): the widest tiles the guard admits
+    must still match the XLA dense path (no lane wrap)."""
+    from torchpiv_tpu.kernels.def_pallas import def_windows_pallas
+    from torchpiv_tpu.ops.shifts import bicubic_cws_shift
+
+    H = W = 372
+    for w, interp in ((124, "bilinear"), (120, "bicubic")):
+        ov = w // 2
+        step = w - ov
+        fr = rng.integers(0, 255, (H, W)).astype(np.float32)
+        n_rows = (H - w) // step + 1
+        n_cols = (W - w) // step + 1
+        N = n_rows * n_cols
+        vx = rng.uniform(-3, 3, N).astype(np.float32)
+        vy = rng.uniform(-3, 3, N).astype(np.float32)
+        zero = np.zeros(N, np.float32)
+        out = np.asarray(def_windows_pallas(
+            jnp.asarray(fr), jnp.asarray(vx), jnp.asarray(vy),
+            jnp.asarray(zero), jnp.asarray(zero), jnp.asarray(zero),
+            jnp.asarray(zero),
+            frame_shape=(H, W), wind_size=w, overlap=ov, margin=2,
+            interp=interp, interpret=True))
+        # zero gradients -> DEF == plain per-window shift
+        r0, c0 = per_window_origins((H, W), w, ov)
+        resample = (bicubic_cws_shift if interp == "bicubic" else cws_shift)
+        ref = np.asarray(resample(jnp.asarray(fr), jnp.asarray(r0),
+                                  jnp.asarray(c0), w, jnp.asarray(vx),
+                                  jnp.asarray(vy)))
+        assert np.abs(out - ref).max() < 0.05, interp
