@@ -70,11 +70,16 @@ def main():
     engine = MultipassPIV(cfg)
 
     def batched(fa, fb):
+        # packed [B, 3, R, C] output — ONE device->host buffer per
+        # dispatch instead of three.  Each output buffer pays a fixed
+        # per-dispatch round trip on the tunnel (~20 ms); packing measured
+        # 12.3 -> 10.7 ms/pair end-to-end, bit-identical fields (and it is
+        # what the production OfflinePIV dispatches too).
         def step(carry, ab):
             u, v, inval = engine(ab[0], ab[1])
             if inval is None:
                 inval = jnp.zeros(u.shape, bool)
-            return carry, (u, v, inval)
+            return carry, jnp.stack([u, v, inval.astype(jnp.float32)])
 
         _, out = jax.lax.scan(step, 0, (fa, fb))
         return out
@@ -103,10 +108,9 @@ def main():
 
     # warmup / compile — including the D2H transfer programs and host tail
     t0 = time.perf_counter()
-    u, v, iv = fn(jnp.asarray(host_batches[0][0]), jnp.asarray(host_batches[0][1]))
-    finalize_fields(
-        np.asarray(u)[0], np.asarray(v)[0], np.asarray(iv)[0], x, y, 1.0, 1.0
-    )
+    arr = np.asarray(
+        fn(jnp.asarray(host_batches[0][0]), jnp.asarray(host_batches[0][1])))
+    finalize_fields(arr[0, 0], arr[0, 1], arr[0, 2] > 0.5, x, y, 1.0, 1.0)
     log(f"compile+first batch: {time.perf_counter() - t0:.1f} s")
 
     # measure tunnel H2D bandwidth while staging the input batches on device
@@ -132,10 +136,11 @@ def main():
         done = 0
         results = None
         pending = [fn(a, b_) for a, b_ in dev_batches]
-        for u, v, iv in pending:
-            u_h, v_h, iv_h = np.asarray(u), np.asarray(v), np.asarray(iv)
-            for i in range(u_h.shape[0]):
-                results = finalize_fields(u_h[i], v_h[i], iv_h[i], x, y, 1.0, 1.0)
+        for out in pending:
+            arr = np.asarray(out)
+            for i in range(arr.shape[0]):
+                results = finalize_fields(
+                    arr[i, 0], arr[i, 1], arr[i, 2] > 0.5, x, y, 1.0, 1.0)
                 done += 1
         wall = time.perf_counter() - t0
         assert results is not None

@@ -226,7 +226,12 @@ class OfflinePIV:
         )
 
         def batched(fa, fb):
-            # One dispatch per batch: scan the fused per-pair graph.
+            # One dispatch per batch: scan the fused per-pair graph.  The
+            # three per-pair results are PACKED into one [B, 3, R, C]
+            # output buffer: on network-attached devices each output
+            # buffer costs a fixed per-dispatch round trip (~20 ms on the
+            # dev tunnel), and one buffer instead of three measured
+            # 12.3 -> 10.7 ms/pair end-to-end (bit-identical fields).
             def step(carry, ab):
                 a, b = ab
                 if bg is not None:  # saturating uint8 background subtract
@@ -235,7 +240,8 @@ class OfflinePIV:
                 u, v, inval = self._engine(a, b)
                 if inval is None:
                     inval = jnp.zeros(u.shape, dtype=bool)
-                return carry, (u, v, inval)
+                return carry, jnp.stack(
+                    [u, v, inval.astype(jnp.float32)])
 
             _, out = jax.lax.scan(step, 0, (fa, fb))
             return out
@@ -347,7 +353,7 @@ class OfflinePIV:
                                  jnp.tile(jnp.asarray(batch_b[-1:]),
                                           (pad, 1, 1))])
                         out = self._batched_fn(batch_a, batch_b)
-                        if not put_interruptible(pending_q, (ids, *out)):
+                        if not put_interruptible(pending_q, (ids, out)):
                             break
                         load_t = time.perf_counter()
             except BaseException as e:  # noqa: BLE001 - forwarded to caller
@@ -367,12 +373,18 @@ class OfflinePIV:
                             break
                         if stop.is_set():
                             continue  # discard; keep consuming until DONE
-                        ids, u_b, v_b, inval_b = item
+                        ids, payload = item
                         t0 = time.perf_counter()
                         # np.asarray blocks on this batch's results while
                         # the feeder's next batches compute/transfer
-                        u_b, v_b, inval_b = map(
-                            np.asarray, (u_b, v_b, inval_b))
+                        if isinstance(payload, tuple):
+                            # mesh path: three sharded buffers (u, v, iv)
+                            u_b, v_b, inval_b = map(np.asarray, payload)
+                        else:
+                            # single-device path: one packed [B, 3, R, C]
+                            arr = np.asarray(payload)
+                            u_b, v_b = arr[:, 0], arr[:, 1]
+                            inval_b = arr[:, 2] > 0.5
                         futs = [
                             pool.submit(
                                 finalize_fields, u_b[i], v_b[i],
@@ -491,7 +503,18 @@ class OnlinePIV:
         enable_compile_cache()
         cfg = PIVConfig(frame_shape=frame_shape, **self._engine_kwargs)
         self._engine = MultipassPIV(cfg)
-        self._fn = jax.jit(self._engine)
+        eng = self._engine
+
+        def single(a, b):
+            # packed [3, R, C] output: one device->host buffer per pair
+            # (fixed per-buffer dispatch overhead on tunnel-attached
+            # devices; see OfflinePIV.batched)
+            u, v, iv = eng(a, b)
+            if iv is None:
+                iv = jnp.zeros(u.shape, bool)
+            return jnp.stack([u, v, iv.astype(jnp.float32)])
+
+        self._fn = jax.jit(single)
 
     def _finalize(self, u, v, inval):
         x, y = self._engine.final_coordinates
@@ -532,7 +555,8 @@ class OnlinePIV:
                                 u, v, iv = eng(ab[0], ab[1])
                                 if iv is None:
                                     iv = jnp.zeros(u.shape, bool)
-                                return c, (u, v, iv)
+                                return c, jnp.stack(
+                                    [u, v, iv.astype(jnp.float32)])
 
                             _, out = jax.lax.scan(step, 0, (fa, fb))
                             return out
@@ -540,17 +564,17 @@ class OnlinePIV:
                         self._fn_batch = jax.jit(batched)
                     fa = jnp.asarray(np.stack([p[0] for p in chunk]))
                     fb = jnp.asarray(np.stack([p[1] for p in chunk]))
-                    u_b, v_b, iv_b = self._fn_batch(fa, fb)
-                    u_b, v_b, iv_b = map(np.asarray, (u_b, v_b, iv_b))
+                    arr = np.asarray(self._fn_batch(fa, fb))
                     for i in range(len(chunk)):
-                        res = self._finalize(u_b[i], v_b[i], iv_b[i])
+                        res = self._finalize(
+                            arr[i, 0], arr[i, 1], arr[i, 2] > 0.5)
                         if res is not None:
                             yield res
                 while backlog:
                     frame_a, frame_b = backlog.pop(0)
-                    u, v, inval = self._fn(
-                        jnp.asarray(frame_a), jnp.asarray(frame_b))
-                    res = self._finalize(u, v, inval)
+                    arr = np.asarray(self._fn(
+                        jnp.asarray(frame_a), jnp.asarray(frame_b)))
+                    res = self._finalize(arr[0], arr[1], arr[2] > 0.5)
                     if res is not None:
                         yield res
 
@@ -606,11 +630,13 @@ class VideoPIV:
         self._engine = MultipassPIV(cfg)
 
         def batched(fa, fb):
+            # packed [B, 3, R, C] output: one device->host buffer per
+            # dispatch (see OfflinePIV.batched)
             def step(carry, ab):
                 u, v, inval = self._engine(ab[0], ab[1])
                 if inval is None:
                     inval = jnp.zeros(u.shape, dtype=bool)
-                return carry, (u, v, inval)
+                return carry, jnp.stack([u, v, inval.astype(jnp.float32)])
 
             _, out = jax.lax.scan(step, 0, (fa, fb))
             return out
@@ -641,8 +667,8 @@ class VideoPIV:
                 pad = self._batch - B
                 fa = np.concatenate([fa, np.tile(fa[-1:], (pad, 1, 1))])
                 fb = np.concatenate([fb, np.tile(fb[-1:], (pad, 1, 1))])
-            u_b, v_b, inval_b = map(
-                np.asarray, self._fn(jnp.asarray(fa), jnp.asarray(fb)))
+            arr = np.asarray(self._fn(jnp.asarray(fa), jnp.asarray(fb)))
+            u_b, v_b, inval_b = arr[:, 0], arr[:, 1], arr[:, 2] > 0.5
             for i in range(B):
                 inval = inval_b[i] if tail_validates else None
                 res = finalize_fields(
