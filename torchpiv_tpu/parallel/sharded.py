@@ -114,6 +114,19 @@ class ShardedPIV:
         s_in = NamedSharding(self.mesh, P(self.pair_axis, None, None))
         return jax.jit(self, in_shardings=(s_in, s_in))
 
+    def jit_packed(self):
+        """Like :meth:`jit` but returns ONE packed ``[B, 3, R, C]`` f32
+        buffer instead of three — one device->host transfer per dispatch
+        (each output buffer pays a fixed round trip on network-attached
+        hosts; see ``OfflinePIV``'s batched dispatch)."""
+        s_in = NamedSharding(self.mesh, P(self.pair_axis, None, None))
+
+        def packed(a, b):
+            u, v, inval = self(a, b)
+            return jnp.stack([u, v, inval.astype(jnp.float32)], axis=1)
+
+        return jax.jit(packed, in_shardings=(s_in, s_in))
+
     # ---- local (per-device) program -------------------------------------
     def _local_batch(self, a_local, b_local):
         if not self.window_axis:

@@ -216,7 +216,8 @@ class OfflinePIV:
             npairs = self._mesh.shape[sharded.pair_axis]
             if self._batch % npairs:
                 self._batch = -(-self._batch // npairs) * npairs
-            self._batched_fn = sharded.jit()
+            # packed single-buffer results, same as the single-device path
+            self._batched_fn = sharded.jit_packed()
             return
 
         bg = (
@@ -378,10 +379,12 @@ class OfflinePIV:
                         # np.asarray blocks on this batch's results while
                         # the feeder's next batches compute/transfer
                         if isinstance(payload, tuple):
-                            # mesh path: three sharded buffers (u, v, iv)
+                            # defensive: a custom _batched_fn returning the
+                            # classic (u, v, inval) triple still drains
                             u_b, v_b, inval_b = map(np.asarray, payload)
                         else:
-                            # single-device path: one packed [B, 3, R, C]
+                            # production paths (single-device AND mesh):
+                            # one packed [B, 3, R, C] buffer per dispatch
                             arr = np.asarray(payload)
                             u_b, v_b = arr[:, 0], arr[:, 1]
                             inval_b = arr[:, 2] > 0.5
