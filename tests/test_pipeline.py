@@ -367,3 +367,22 @@ def test_threaded_pipeline_yields_in_pair_order(pair_folder):
     assert len(means) == len(expect)
     for got, want in zip(means, expect):
         assert abs(got - want) < 150, (means, expect)
+
+
+def test_prefetcher_ramp_first_batch(pair_folder):
+    """PairPrefetcher emits a small first batch (ramp-up), then full-size
+    batches; OfflinePIV pads to the nearest jit shape so both sizes
+    compile once each."""
+    from torchpiv_tpu.io.dataset import PIVDataset
+    from torchpiv_tpu.io.prefetch import PairPrefetcher
+
+    folder, shifts = pair_folder  # 3 pairs
+    ds = PIVDataset(folder, ".bmp", "pairs")
+    sizes = [len(ids) for _, _, ids in
+             PairPrefetcher(ds, batch_size=2, device_put=False,
+                            first_batch_size=1)]
+    assert sizes == [1, 2]
+    # ramp disabled -> plain chunking
+    sizes = [len(ids) for _, _, ids in
+             PairPrefetcher(ds, batch_size=2, device_put=False)]
+    assert sizes == [2, 1]

@@ -249,12 +249,15 @@ def cmd_warmup(args) -> int:
         _, out = jax.lax.scan(step, 0, (fa, fb))
         return out
 
-    fa = jnp.zeros((batch, h, w), jnp.uint8)
+    fn = jax.jit(batched)
     t0 = time.perf_counter()
-    u, _, _ = jax.jit(batched)(fa, fa)
-    np.asarray(u)
+    sizes = sorted({min(4, batch), batch})  # ramp-up size + full batch
+    for b in sizes:
+        fa = jnp.zeros((b, h, w), jnp.uint8)
+        u, _, _ = fn(fa, fa)
+        np.asarray(u)
     print(f"engine compiled + cached in {time.perf_counter() - t0:.1f} s "
-          f"(frame {h}x{w}, wind {args.wind_size}, batch {batch}, "
+          f"(frame {h}x{w}, wind {args.wind_size}, batch sizes {sizes}, "
           f"{args.multipass}-pass {args.multipass_mode}); subsequent "
           f"processes deserialize from the cache")
     return 0

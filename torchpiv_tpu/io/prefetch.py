@@ -36,12 +36,17 @@ class PairPrefetcher:
         device_put: bool = True,
         num_threads: int = 4,
         depth: int = 2,
+        first_batch_size: int | None = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.device_put = device_put
         self.num_threads = num_threads
         self.depth = max(1, depth)
+        # ramp-up: a smaller FIRST batch so its H2D transfer (which has
+        # nothing to overlap with) exposes less, and the first field
+        # arrives sooner; None/==batch_size disables
+        self.first_batch_size = first_batch_size or batch_size
 
     def __iter__(
         self,
@@ -53,9 +58,10 @@ class PairPrefetcher:
             return
         with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
             futures = collections.deque()
-            batches = [
+            b0 = max(1, min(self.first_batch_size, self.batch_size, n))
+            batches = [list(range(0, b0))] + [
                 list(range(i, min(i + self.batch_size, n)))
-                for i in range(0, n, self.batch_size)
+                for i in range(b0, n, self.batch_size)
             ]
 
             def load_batch(idxs):

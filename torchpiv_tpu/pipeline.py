@@ -185,6 +185,12 @@ class OfflinePIV:
             self._background = np.asarray(background, dtype=np.uint8)
         self._engine: Optional[MultipassPIV] = None
         self._batched_fn = None
+        # ramp-up: the FIRST dispatch uses a small batch so its H2D (which
+        # has nothing to overlap with) exposes less and the first field
+        # arrives sooner; jit specialises the same batched fn per shape.
+        # Mesh mode keeps uniform batches (they must divide the pair axis).
+        self._first_batch = (self._batch if mesh is not None
+                             else min(4, self._batch))
         # Build the engine from the first *readable* pair (the reference
         # crashes if pair 0 is unreadable, PIVbackend.py:853).
         for i in range(len(self._dataset)):
@@ -280,6 +286,7 @@ class OfflinePIV:
             # in mesh mode jit distributes host batches per its in_shardings;
             # pre-committing them to one device would conflict
             device_put=self._mesh is None,
+            first_batch_size=self._first_batch,
         )
         # With in-graph ("fused") infill the engine already filled the
         # invalid vectors on device — no host infill tail.
@@ -343,8 +350,13 @@ class OfflinePIV:
                             batch_b = np.where(
                                 batch_b > bgv, batch_b - bgv, 0)
                         B = len(ids)
-                        if B < self._batch:  # pad tail to the jit shape
-                            pad = self._batch - B
+                        # pad to the nearest jit shape: the small ramp-up
+                        # size when the batch fits it (first batch, short
+                        # tails), else the full batch size
+                        target = (self._first_batch
+                                  if B <= self._first_batch else self._batch)
+                        if B < target:
+                            pad = target - B
                             batch_a = jnp.concatenate(
                                 [jnp.asarray(batch_a),
                                  jnp.tile(jnp.asarray(batch_a[-1:]),
