@@ -248,3 +248,38 @@ def test_peak_width_map_tracks_particle_diameter():
         expect = dia / 2.354 * np.sqrt(2.0)
         assert abs(meds[dia] - expect) < 0.4, (dia, meds[dia], expect)
     assert meds[4.0] > meds[2.0] * 1.5
+
+
+def test_uncertainty_map_tracks_noise_and_error():
+    """First-order fit-propagation uncertainty (beyond the reference):
+    responds to image noise where the actual error does, and stays within
+    a small factor of the actual RMS error of a single-pass field at the
+    same geometry (measured conservative ~3x at low noise)."""
+    import jax
+    import jax.numpy as jnp
+
+    from torchpiv_tpu.models import MultipassPIV, PIVConfig
+    from torchpiv_tpu.stats.quality import uncertainty_map
+    from torchpiv_tpu.utils.synthetic import particle_pair
+
+    disp = (0.3, -0.2)  # sub-pixel so the single pass recovers it fully
+    cfg = PIVConfig(frame_shape=(256, 256), wind_size=32, overlap=16,
+                    multipass=1)
+    eng = jax.jit(MultipassPIV(cfg))
+    res = {}
+    for noise in (1.0, 60.0):
+        fa, fb = particle_pair((256, 256), displacement=disp,
+                               noise=noise, seed=4)
+        su, sv = uncertainty_map(fa, fb, wind_size=32, overlap=16)
+        assert su.shape == sv.shape == (15, 15)
+        assert np.isfinite(su).mean() > 0.9
+        u, _, inval = eng(jnp.asarray(fa), jnp.asarray(fb))
+        u, inval = np.asarray(u), np.asarray(inval)
+        err = np.sqrt(np.mean((u[~inval] - disp[0]) ** 2))
+        res[noise] = (float(np.nanmedian(su)), float(err))
+    # monotone: heavy sensor noise raises both predicted and actual
+    assert res[60.0][0] > 1.1 * res[1.0][0]
+    assert res[60.0][1] > res[1.0][1]
+    # calibration: prediction within a small factor of the actual error
+    for pred, err in res.values():
+        assert 0.3 * err < pred < 6.0 * err, (pred, err)

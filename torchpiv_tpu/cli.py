@@ -271,7 +271,7 @@ def cmd_qc(args) -> int:
 
     from .io.dataset import PIVDataset
     from .stats.quality import (peak_locking_degree, peak_width_map,
-                                snr_map)
+                                snr_map, uncertainty_map)
 
     ds = PIVDataset(args.folder, args.file_fmt, folder_mode=args.folder_mode)
     if len(ds) == 0:
@@ -297,6 +297,12 @@ def cmd_qc(args) -> int:
                  else "defocus / oversized particle images"))
         print(f"pair {i}: particle-image diameter d_tau ~ {d_tau:.1f} px "
               f"({note})")
+        su, sv = uncertainty_map(fa, fb, wind_size=args.wind_size,
+                                 overlap=args.overlap)
+        sig = np.nanmedian(np.hypot(su, sv))
+        print(f"pair {i}: sub-pixel uncertainty median "
+              f"{sig:.3f} px  p95 "
+              f"{np.nanquantile(np.hypot(su, sv), 0.95):.3f} px")
     # peak locking from a quick single-pass field on the first pair
     import jax
     import jax.numpy as jnp

@@ -3,7 +3,7 @@ measurement-quality diagnostics (peak locking, SNR maps)."""
 
 from .ensemble import EnsembleAccumulator, compute_statistics
 from .quality import (fractional_histogram, peak_locking_degree,
-                      peak_width_map, snr_map)
+                      peak_width_map, snr_map, uncertainty_map)
 
 __all__ = [
     "EnsembleAccumulator",
@@ -12,4 +12,5 @@ __all__ = [
     "peak_locking_degree",
     "peak_width_map",
     "snr_map",
+    "uncertainty_map",
 ]
