@@ -223,3 +223,15 @@ def test_gui_vectors_checkbox():
     finally:
         qt_shim.uninstall(saved)
         importlib.reload(app)
+
+
+def test_cli_run_smooth(folder, tmp_path, monkeypatch):
+    monkeypatch.setenv("TORCHPIV_TPU_CONFIG_DIR", str(tmp_path / "cfg"))
+    rc = cli_main([
+        "run", folder, "--device", "cpu", "--wind-size", "64",
+        "--overlap", "32", "--save", "Save statistics",
+        "--save-dir", str(tmp_path / "out"), "--smooth",
+    ])
+    assert rc == 0
+    assert any(f.endswith("_statistics.txt")
+               for f in os.listdir(tmp_path / "out"))

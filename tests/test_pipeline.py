@@ -386,3 +386,30 @@ def test_prefetcher_ramp_first_batch(pair_folder):
     sizes = [len(ids) for _, _, ids in
              PairPrefetcher(ds, batch_size=2, device_put=False)]
     assert sizes == [2, 1]
+
+
+def test_runner_smooth_postprocessing(pair_folder, tmp_path):
+    """smooth=True applies robust smoothn to each yielded field before
+    accumulation (stats/smoothing.py; beyond the reference)."""
+    folder, _ = pair_folder
+    params = PIVParams(
+        wind_size=64, overlap=32, multipass=1, multipass_mode="CWS",
+        scale=1.0, dt=1.0, device="cpu", file_fmt=".bmp", folder=folder,
+        folder_mode="pairs", save_opt="Dont save", save_dir=str(tmp_path),
+    )
+    rough = PIVRunner(params, batch_size=2).run()
+    smoothed = PIVRunner(params, batch_size=2, smooth=True).run()
+    assert smoothed is not None and rough is not None
+    ru, su = rough["Vx[m/s]"], smoothed["Vx[m/s]"]
+    assert su.shape == ru.shape
+    # same flow recovered, but with smaller spatial roughness
+    assert abs(np.mean(su) - np.mean(ru)) < 0.1 * max(1.0, abs(np.mean(ru)))
+
+    def roughness(f):
+        return float(np.mean(np.abs(np.diff(f, axis=0)))
+                     + np.mean(np.abs(np.diff(f, axis=1))))
+
+    assert roughness(su) < roughness(ru)
+    # fixed-parameter form also accepted
+    fixed = PIVRunner(params, batch_size=2, smooth=10.0).run()
+    assert fixed is not None

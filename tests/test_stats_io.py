@@ -283,3 +283,60 @@ def test_uncertainty_map_tracks_noise_and_error():
     # calibration: prediction within a small factor of the actual error
     for pred, err in res.values():
         assert 0.3 * err < pred < 6.0 * err, (pred, err)
+
+
+# ---- robust field smoothing (stats/smoothing.py, beyond the reference) ----
+
+def test_smooth_field_denoises_and_fills():
+    from torchpiv_tpu.stats.smoothing import smooth_field
+    rng = np.random.default_rng(0)
+    gx, gy = np.meshgrid(np.linspace(0, 1, 40), np.linspace(0, 1, 30))
+    truth = np.sin(2 * np.pi * gx) * np.cos(2 * np.pi * gy)
+    noisy = truth + rng.normal(0, 0.3, truth.shape)
+    z, s = smooth_field(noisy)
+    assert s > 0
+    assert (np.sqrt(np.mean((z - truth) ** 2))
+            < 0.4 * np.sqrt(np.mean((noisy - truth) ** 2)))
+    # NaN holes come back filled with the smooth surface
+    hole = noisy.copy()
+    hole[5:8, 5:9] = np.nan
+    z2, _ = smooth_field(hole)
+    assert np.isfinite(z2).all()
+    assert np.sqrt(np.mean((z2[5:8, 5:9] - truth[5:8, 5:9]) ** 2)) < 0.15
+    # mask convention matches the engine's inval (True = exclude)
+    mask = np.zeros(truth.shape, bool)
+    mask[0, :] = True
+    z3, _ = smooth_field(noisy, mask=mask)
+    assert np.isfinite(z3).all()
+
+
+def test_smooth_field_robust_rejects_outlier():
+    from torchpiv_tpu.stats.smoothing import smooth_field
+    rng = np.random.default_rng(1)
+    gx, gy = np.meshgrid(np.linspace(0, 1, 40), np.linspace(0, 1, 30))
+    truth = np.sin(2 * np.pi * gx) * np.cos(2 * np.pi * gy)
+    noisy = truth + rng.normal(0, 0.1, truth.shape)
+    noisy[10, 20] += 15.0  # one spurious vector that survived validation
+    z_rob, _ = smooth_field(noisy, robust=True)
+    z_plain, _ = smooth_field(noisy, robust=False)
+    err_rob = abs(z_rob[10, 20] - truth[10, 20])
+    err_plain = abs(z_plain[10, 20] - truth[10, 20])
+    assert err_rob < 0.1
+    assert err_rob < 0.25 * err_plain
+
+
+def test_smooth_vector_field_and_degenerate():
+    from torchpiv_tpu.stats.smoothing import (smooth_field,
+                                              smooth_vector_field)
+    rng = np.random.default_rng(2)
+    truth = np.outer(np.linspace(0, 2, 20), np.ones(25))
+    u = truth + rng.normal(0, 0.2, truth.shape)
+    v = -truth + rng.normal(0, 0.2, truth.shape)
+    zu, zv = smooth_vector_field(u, v)
+    assert zu.shape == u.shape and zv.shape == v.shape
+    assert np.sqrt(np.mean((zu - truth) ** 2)) < 0.15
+    assert np.sqrt(np.mean((zv + truth) ** 2)) < 0.15
+    # all-invalid field: returned unchanged, s = 0
+    allnan = np.full((5, 5), np.nan)
+    z, s = smooth_field(allnan)
+    assert s == 0.0 and z.shape == (5, 5)

@@ -109,6 +109,8 @@ def cmd_run(args) -> int:
         batch_size=args.batch_size,
         validate=not args.no_validate,
         background=args.background,
+        smooth=(False if args.smooth is None
+                else True if args.smooth == "auto" else float(args.smooth)),
         engine_options=engine_options or None,
     )
     table = runner.run()
@@ -395,6 +397,10 @@ def main(argv=None) -> int:
     p_run.add_argument("--checkpoint", default=None, metavar="PATH",
                        help="checkpoint file: interrupted runs resume by "
                             "pair index with identical statistics")
+    p_run.add_argument(
+        "--smooth", nargs="?", const="auto", default=None, metavar="S",
+        help="robust smoothn post-smoothing of each field "
+             "(no value = GCV-chosen parameter, or a fixed float)")
     p_run.add_argument("--checkpoint-every", type=int, default=50,
                        metavar="N", help="pairs between checkpoint writes")
     p_run.set_defaults(fn=cmd_run)

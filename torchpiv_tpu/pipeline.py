@@ -718,6 +718,7 @@ class PIVRunner:
         on_failed: Optional[Callable[[], None]] = None,
         checkpoint_path: Optional[str] = None,
         checkpoint_every: int = 50,
+        smooth: bool | float = False,
         **offline_kwargs,
     ):
         self.params = params
@@ -729,6 +730,9 @@ class PIVRunner:
         self.is_running = True
         self.checkpoint_path = checkpoint_path
         self.checkpoint_every = checkpoint_every
+        # robust smoothn post-smoothing of each field (stats/smoothing.py);
+        # True = GCV-chosen parameter per pair, a float = fixed parameter
+        self.smooth = smooth
         self._offline_kwargs = offline_kwargs
 
     def stop(self) -> None:
@@ -779,6 +783,11 @@ class PIVRunner:
                 time.sleep(0)
             if not self.is_running:
                 break
+            if self.smooth:
+                from .stats.smoothing import smooth_vector_field
+
+                s = None if self.smooth is True else float(self.smooth)
+                u, v = smooth_vector_field(u, v, s=s, robust=True)
             acc.add(u, v)
             done += 1
             self.on_progress(int(done / total * 100))

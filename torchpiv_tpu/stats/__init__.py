@@ -1,9 +1,11 @@
 """Ensemble statistics (L4): means, Reynolds stresses, vorticity/shear;
-measurement-quality diagnostics (peak locking, SNR maps)."""
+measurement-quality diagnostics (peak locking, SNR maps, uncertainty);
+robust field smoothing (smoothn)."""
 
 from .ensemble import EnsembleAccumulator, compute_statistics
 from .quality import (fractional_histogram, peak_locking_degree,
                       peak_width_map, snr_map, uncertainty_map)
+from .smoothing import smooth_field, smooth_vector_field
 
 __all__ = [
     "EnsembleAccumulator",
@@ -11,6 +13,8 @@ __all__ = [
     "fractional_histogram",
     "peak_locking_degree",
     "peak_width_map",
+    "smooth_field",
+    "smooth_vector_field",
     "snr_map",
     "uncertainty_map",
 ]
