@@ -235,3 +235,26 @@ def test_cli_run_smooth(folder, tmp_path, monkeypatch):
     assert rc == 0
     assert any(f.endswith("_statistics.txt")
                for f in os.listdir(tmp_path / "out"))
+
+
+def test_cli_pod(tmp_path):
+    from torchpiv_tpu.utils.persistence import save_binary
+    rng = np.random.default_rng(5)
+    gx, gy = np.meshgrid(np.linspace(0, 1, 12), np.linspace(0, 1, 10))
+    mode = np.sin(2 * np.pi * gx)
+    src = tmp_path / "fields"
+    for i in range(6):
+        a = 2.0 * np.sin(0.5 * i)
+        save_binary("run_pair.npy", str(src),
+                    {"x": gx, "y": gy,
+                     "u": a * mode + rng.normal(0, 0.01, gx.shape),
+                     "v": rng.normal(0, 0.01, gx.shape)})
+    out = tmp_path / "pod"
+    rc = cli_main(["pod", str(src), "--modes", "3", "--out", str(out)])
+    assert rc == 0
+    assert (out / "pod_mode0.npy").exists()
+    assert (out / "pod_coeffs.txt").exists()
+    # degenerate: too few files
+    empty = tmp_path / "none"
+    empty.mkdir()
+    assert cli_main(["pod", str(empty)]) == 1

@@ -340,3 +340,46 @@ def test_smooth_vector_field_and_degenerate():
     allnan = np.full((5, 5), np.nan)
     z, s = smooth_field(allnan)
     assert s == 0.0 and z.shape == (5, 5)
+
+
+# ---- snapshot POD (stats/pod.py, beyond the reference) ----
+
+def test_pod_recovers_planted_modes():
+    from torchpiv_tpu.stats.pod import compute_pod
+    rng = np.random.default_rng(3)
+    R, C, N = 20, 25, 40
+    gx, gy = np.meshgrid(np.linspace(0, 1, C), np.linspace(0, 1, R))
+    m1u = np.sin(2 * np.pi * gx)
+    m2v = np.cos(2 * np.pi * gy)
+    t = np.arange(N)
+    a1, a2 = 3.0 * np.sin(0.3 * t), 1.5 * np.cos(0.2 * t)
+    u = 2.0 + a1[:, None, None] * m1u + rng.normal(0, 0.05, (N, R, C))
+    v = -1.0 + a2[:, None, None] * m2v + rng.normal(0, 0.05, (N, R, C))
+    pod = compute_pod(u, v, n_modes=5)
+    assert pod.energy_fraction[:2].sum() > 0.95
+    assert abs(float(pod.mean_u.mean()) - 2.0) < 0.1
+
+    def corr(a, b):
+        return abs(np.corrcoef(a.ravel(), b.ravel())[0, 1])
+
+    assert corr(pod.modes_u[0], m1u) > 0.99
+    assert corr(pod.modes_v[1], m2v) > 0.99
+    # modes are orthonormal over (u, v) jointly
+    phi0 = np.concatenate([pod.modes_u[0].ravel(), pod.modes_v[0].ravel()])
+    phi1 = np.concatenate([pod.modes_u[1].ravel(), pod.modes_v[1].ravel()])
+    assert abs(phi0 @ phi0 - 1.0) < 1e-8
+    assert abs(phi0 @ phi1) < 1e-8
+    # low-order reconstruction lands near the snapshot
+    ru, rv = pod.reconstruct(7, n_modes=2)
+    assert np.sqrt(np.mean((ru - u[7]) ** 2)) < 0.1
+    # NaN / mask handling keeps everything finite
+    u2 = u.copy()
+    u2[3, 5, 5] = np.nan
+    mask = np.zeros((R, C), bool)
+    mask[0, 0] = True
+    pod2 = compute_pod(u2, v, n_modes=2, mask=mask)
+    assert np.isfinite(pod2.modes_u).all()
+    assert np.isfinite(pod2.coeffs).all()
+    import pytest
+    with pytest.raises(ValueError):
+        compute_pod(u[0], v[0])

@@ -326,6 +326,55 @@ def cmd_qc(args) -> int:
     return 0
 
 
+def cmd_pod(args) -> int:
+    """Snapshot POD over saved per-pair binary fields (stats/pod.py;
+    turbulence post-analysis the reference lacks).  Input: a folder of
+    ``*.npy`` files as written by ``--save 'Save all binary'`` (each
+    ``[4, R, C]`` = x, y, u, v)."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from .stats.pod import compute_pod
+    from .utils.persistence import natural_keys, save_binary, save_table
+
+    files = sorted(glob.glob(os.path.join(args.folder, "*.npy")),
+                   key=natural_keys)
+    stacks_u, stacks_v = [], []
+    x = y = None
+    for f in files:
+        arr = np.load(f)
+        if arr.ndim != 3 or arr.shape[0] != 4:
+            print(f"skipping {f}: not a [4, R, C] pair file",
+                  file=sys.stderr)
+            continue
+        x, y = arr[0], arr[1]
+        stacks_u.append(arr[2])
+        stacks_v.append(arr[3])
+    if len(stacks_u) < 2:
+        print("need >= 2 saved pair files for POD", file=sys.stderr)
+        return 1
+    pod = compute_pod(np.stack(stacks_u), np.stack(stacks_v),
+                      n_modes=args.modes)
+    print(f"{len(stacks_u)} snapshots, {pod.modes_u.shape[1]}x"
+          f"{pod.modes_u.shape[2]} grid")
+    cum = 0.0
+    for m, frac in enumerate(pod.energy_fraction):
+        cum += float(frac)
+        print(f"mode {m}: energy {frac:.1%}  (cumulative {cum:.1%})")
+    if args.out:
+        for m in range(pod.modes_u.shape[0]):
+            save_binary(f"pod_mode{m}.npy", args.out,
+                        {"x": x, "y": y,
+                         "u": pod.modes_u[m], "v": pod.modes_v[m]})
+        save_table("pod_coeffs.txt", args.out,
+                   {f"a{m}[.]": pod.coeffs[:, m]
+                    for m in range(pod.coeffs.shape[1])})
+        print(f"modes + temporal coefficients written to {args.out}")
+    return 0
+
+
 def cmd_watch(args) -> int:
     """Print new frame pairs as they appear (the working counterpart of the
     reference's standalone watchman.py watchdog script)."""
@@ -473,6 +522,15 @@ def main(argv=None) -> int:
                         help="must match the run's batch size (the scan "
                              "length is part of the compiled graph)")
     p_warm.set_defaults(fn=cmd_warmup)
+
+    p_pod = sub.add_parser(
+        "pod", help="snapshot POD of saved per-pair binary fields")
+    p_pod.add_argument("folder")
+    p_pod.add_argument("--modes", type=int, default=8,
+                       help="number of modes to report (default 8)")
+    p_pod.add_argument("--out", default=None, metavar="DIR",
+                       help="write mode fields + temporal coefficients here")
+    p_pod.set_defaults(fn=cmd_pod)
 
     p_qc = sub.add_parser(
         "qc", help="measurement-quality report (SNR map, peak locking)")

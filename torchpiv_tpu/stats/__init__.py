@@ -1,14 +1,17 @@
 """Ensemble statistics (L4): means, Reynolds stresses, vorticity/shear;
 measurement-quality diagnostics (peak locking, SNR maps, uncertainty);
-robust field smoothing (smoothn)."""
+robust field smoothing (smoothn); snapshot POD."""
 
 from .ensemble import EnsembleAccumulator, compute_statistics
+from .pod import PODResult, compute_pod
 from .quality import (fractional_histogram, peak_locking_degree,
                       peak_width_map, snr_map, uncertainty_map)
 from .smoothing import smooth_field, smooth_vector_field
 
 __all__ = [
     "EnsembleAccumulator",
+    "PODResult",
+    "compute_pod",
     "compute_statistics",
     "fractional_histogram",
     "peak_locking_degree",
