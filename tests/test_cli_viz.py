@@ -258,3 +258,20 @@ def test_cli_pod(tmp_path):
     empty = tmp_path / "none"
     empty.mkdir()
     assert cli_main(["pod", str(empty)]) == 1
+
+
+def test_cli_run_with_mask(folder, tmp_path, monkeypatch):
+    from torchpiv_tpu.io.decode import imwrite_gray
+    monkeypatch.setenv("TORCHPIV_TPU_CONFIG_DIR", str(tmp_path / "cfg"))
+    mask = np.zeros((256, 256), np.uint8)
+    mask[:64, :] = 255
+    mask_path = str(tmp_path / "mask.bmp")
+    imwrite_gray(mask_path, mask)
+    rc = cli_main([
+        "run", folder, "--device", "cpu", "--wind-size", "64",
+        "--overlap", "32", "--mask", mask_path,
+        "--save", "Save statistics", "--save-dir", str(tmp_path / "out"),
+    ])
+    assert rc == 0
+    assert any(f.endswith("_statistics.txt")
+               for f in os.listdir(tmp_path / "out"))

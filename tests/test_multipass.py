@@ -392,3 +392,65 @@ def test_ensemble_honors_window_weight():
     sel[:2] = sel[-2:] = False
     sel[:, :2] = sel[:, -2:] = False
     assert abs(u[sel].mean() - 2.5) < 0.1
+
+
+# ---- static region-of-interest mask (beyond the reference) ----
+
+def test_frame_mask_engine():
+    """frame_mask: masked windows come back invalid with zero displacement,
+    while windows away from the mask match the unmasked engine."""
+    from scipy.ndimage import binary_dilation
+
+    fa, fb = particle_pair((256, 256), displacement=(3.0, -1.5), seed=1)
+    mask = np.zeros((256, 256), bool)
+    mask[96:160, :] = True  # a wall band across the frame
+    cfg = PIVConfig(frame_shape=(256, 256), wind_size=32, overlap=16,
+                    multipass=2, multipass_mode="CWS")
+    engm = MultipassPIV(cfg, frame_mask=mask)
+    eng0 = MultipassPIV(cfg)
+    um, vm, im = map(np.asarray, jax.jit(engm)(jnp.asarray(fa),
+                                               jnp.asarray(fb)))
+    u0, v0, i0 = map(np.asarray, jax.jit(eng0)(jnp.asarray(fa),
+                                               jnp.asarray(fb)))
+    wm = engm.window_masked[-1]
+    assert 0 < wm.sum() < wm.size
+    assert im[wm].all()
+    assert (um[wm] == 0).all() and (vm[wm] == 0).all()
+    # away from the band (3 window rows clear) the mask is nearly
+    # invisible: the spline predictor has global support, so zeroing the
+    # band perturbs far vectors at the sub-0.1 px level at most
+    far = ~binary_dilation(wm, iterations=3)
+    du = np.abs(um[far] - u0[far])
+    dv = np.abs(vm[far] - v0[far])
+    assert np.median(du) < 1e-3 and np.median(dv) < 1e-3
+    assert np.quantile(du, 0.95) < 0.05 and np.quantile(dv, 0.95) < 0.05
+    assert du.max() < 0.15 and dv.max() < 0.15
+    assert (im[far] == i0[far]).mean() > 0.99
+
+
+def test_frame_mask_without_validation_and_errors():
+    fa, fb = particle_pair((128, 128), displacement=(2.0, -1.0), seed=2)
+    mask = np.zeros((128, 128), bool)
+    mask[:, :48] = True
+    cfg = PIVConfig(frame_shape=(128, 128), wind_size=32, overlap=16,
+                    multipass=2, validate=False)
+    eng = MultipassPIV(cfg, frame_mask=mask)
+    u, v, inval = jax.jit(eng)(jnp.asarray(fa), jnp.asarray(fb))
+    assert inval is not None  # the mask IS the inval field here
+    assert np.asarray(inval)[eng.window_masked[-1]].all()
+    with pytest.raises(ValueError):
+        MultipassPIV(cfg, frame_mask=np.zeros((64, 64), bool))
+
+
+def test_frame_mask_threshold():
+    """mask_threshold controls when a straddling window flips invalid."""
+    H = W = 128
+    mask = np.zeros((H, W), bool)
+    mask[:, :40] = True  # windows at col origin 32 are 8/32 = 25% masked
+    cfg = PIVConfig(frame_shape=(H, W), wind_size=32, overlap=16)
+    strict = MultipassPIV(cfg, frame_mask=mask, mask_threshold=0.2)
+    loose = MultipassPIV(cfg, frame_mask=mask, mask_threshold=0.5)
+    assert strict.window_masked[0].sum() > loose.window_masked[0].sum()
+    # fully-masked windows flagged under both
+    assert strict.window_masked[0][:, 0].all()
+    assert loose.window_masked[0][:, 0].all()

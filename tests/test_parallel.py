@@ -288,3 +288,28 @@ def test_offline_piv_over_mesh_applies_background(tmp_path):
         d = np.abs(u0 - u1)
         assert np.median(d) < 1e-3
         assert (d > 0.05).mean() < 0.01
+
+
+def test_window_sharded_frame_mask(batch):
+    """The sharded path applies the engine's static ROI mask identically
+    to the single-device engine (pixel zeroing + per-shard window-row
+    invalidation)."""
+    fa, fb = batch
+    mask = np.zeros((256, 256), bool)
+    mask[96:160, :] = True
+    eng = MultipassPIV(
+        PIVConfig(frame_shape=(256, 256), wind_size=64, overlap=32,
+                  multipass=2, multipass_mode="CWS"),
+        frame_mask=mask)
+    ru, rv, ri = jax.jit(jax.vmap(eng))(fa[:2], fb[:2])
+    mesh = make_mesh({"pairs": 2, "windows": 4})
+    sharded = ShardedPIV(eng, mesh)
+    u, v, inval = jax.jit(sharded)(fa[:2], fb[:2])
+    wm = eng.window_masked[-1]
+    assert np.asarray(inval)[:, wm].all()
+    assert (np.asarray(u)[:, wm] == 0).all()
+    agree = np.asarray(inval) == np.asarray(ri)
+    assert agree.mean() > 0.99
+    both = ~(np.asarray(inval) | np.asarray(ri)) & agree
+    du = np.abs(np.asarray(u) - np.asarray(ru))[both]
+    assert np.sqrt(np.mean(du**2)) < 0.01

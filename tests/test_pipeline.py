@@ -413,3 +413,32 @@ def test_runner_smooth_postprocessing(pair_folder, tmp_path):
     # fixed-parameter form also accepted
     fixed = PIVRunner(params, batch_size=2, smooth=10.0).run()
     assert fixed is not None
+
+
+def test_offline_piv_frame_mask(pair_folder, tmp_path):
+    """engine_options['frame_mask'] accepts an array or a mask-image path;
+    masked windows are flagged invalid inside the engine and infilled like
+    outliers in the yielded fields."""
+    from torchpiv_tpu.io.decode import imwrite_gray
+
+    folder, shifts = pair_folder
+    mask = np.zeros((256, 256), np.uint8)
+    mask[:, 96:160] = 255
+    mask_path = str(tmp_path / "mask.bmp")
+    imwrite_gray(mask_path, mask)
+
+    out = list(OfflinePIV(folder, device="cpu", file_fmt=".bmp",
+                          wind_size=64, overlap=32, multipass=2,
+                          engine_options={"frame_mask": mask_path})())
+    assert len(out) == 3
+    x, y, u, v = out[0]
+    assert np.isfinite(u).all()  # masked windows infilled like outliers
+    # free-stream columns still recover the planted flow (physical units
+    # with scale=dt=1: px * 1000)
+    assert abs(np.mean(u[:, :2]) / 1000 - shifts[0][0]) < 0.1
+    # unreadable mask path fails loudly
+    import pytest
+    with pytest.raises(ValueError):
+        list(OfflinePIV(folder, device="cpu", file_fmt=".bmp",
+                        wind_size=64, overlap=32,
+                        engine_options={"frame_mask": "/nonexistent.bmp"})())

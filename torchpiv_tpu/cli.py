@@ -49,6 +49,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         help="sub-window anti-leakage taper before correlation",
     )
     p.add_argument(
+        "--mask", default=None, metavar="IMAGE",
+        help="region-of-interest mask image (non-zero pixels = excluded, "
+             "e.g. walls/model); masked windows are flagged invalid",
+    )
+    p.add_argument(
         "--cws-interp", choices=["bilinear", "bicubic"], default="bilinear",
         help="CWS/DEF window resampling kernel (bicubic = quality mode)",
     )
@@ -101,6 +106,8 @@ def cmd_run(args) -> int:
         engine_options["cws_interp"] = args.cws_interp
     if args.subpixel != "gauss3":
         engine_options["subpixel"] = args.subpixel
+    if args.mask:
+        engine_options["frame_mask"] = args.mask
     runner = PIVRunner(
         params,
         on_progress=on_progress,
@@ -135,6 +142,8 @@ def cmd_online(args) -> int:
         engine_options["cws_interp"] = args.cws_interp
     if args.subpixel != "gauss3":
         engine_options["subpixel"] = args.subpixel
+    if args.mask:
+        engine_options["frame_mask"] = args.mask
     piv = OnlinePIV(
         folder=args.folder,
         device=args.device,

@@ -186,7 +186,12 @@ class MultipassPIV:
     ``jax.vmap`` over a leading pair axis for batched throughput.
     """
 
-    def __init__(self, config: PIVConfig):
+    def __init__(
+        self,
+        config: PIVConfig,
+        frame_mask: Optional[np.ndarray] = None,
+        mask_threshold: float = 0.5,
+    ):
         self.config = config
         self.schedule = config.pass_schedule()
         H, W = config.frame_shape
@@ -194,6 +199,34 @@ class MultipassPIV:
         self.coords = [get_coordinates((H, W), w, o) for w, o in self.schedule]
         self.field_shapes = [get_field_shape((H, W), w, o) for w, o in self.schedule]
         self.origins = [per_window_origins((H, W), w, o) for w, o in self.schedule]
+
+        # Static region-of-interest mask (beyond the reference): ``True``
+        # marks excluded pixels (walls, model surfaces).  Masked pixels are
+        # zeroed before window extraction so they cannot bias the
+        # correlation of straddling windows, and any window whose masked
+        # fraction reaches ``mask_threshold`` is flagged invalid on every
+        # pass (its displacement forced to 0 so the predictor upsample
+        # cannot leak garbage into neighbours).  Downstream, masked windows
+        # behave exactly like validation failures: infill fills them and
+        # ``inval`` reports them.
+        self.frame_mask = None
+        self.window_masked: List[Optional[np.ndarray]] = [
+            None for _ in self.schedule]
+        if frame_mask is not None:
+            fm = np.asarray(frame_mask).astype(bool)
+            if fm.shape != (H, W):
+                raise ValueError(
+                    f"frame_mask shape {fm.shape} != frame {config.frame_shape}")
+            self.frame_mask = fm
+            ii = np.zeros((H + 1, W + 1), np.int64)
+            ii[1:, 1:] = fm.astype(np.int64).cumsum(0).cumsum(1)
+            for p, (w, o) in enumerate(self.schedule):
+                r0, c0 = self.origins[p]
+                cnt = (ii[r0 + w, c0 + w] - ii[r0, c0 + w]
+                       - ii[r0 + w, c0] + ii[r0, c0])
+                self.window_masked[p] = (
+                    cnt >= mask_threshold * w * w
+                ).reshape(self.field_shapes[p])
 
         # Spline upsample operators between consecutive pass grids.
         self.upsamplers = []
@@ -203,6 +236,23 @@ class MultipassPIV:
             Ay, Ax = upsample_matrices(y0[:, 0], x0[0, :], y1[:, 0], x1[0, :])
             dt = jnp.dtype(config.dtype)
             self.upsamplers.append((jnp.asarray(Ay, dt), jnp.asarray(Ax, dt)))
+
+    def _masked_frame(self, frame):
+        """Zero the excluded pixels (no-op without a mask)."""
+        if self.frame_mask is None:
+            return frame
+        return jnp.where(jnp.asarray(self.frame_mask),
+                         jnp.zeros((), frame.dtype), frame)
+
+    def _apply_window_mask(self, p, u, v, inval):
+        """Force pass-p masked windows invalid with zero displacement."""
+        if self.window_masked[p] is None:
+            return u, v, inval
+        m = jnp.asarray(self.window_masked[p])
+        u = jnp.where(m, 0.0, u)
+        v = jnp.where(m, 0.0, v)
+        inval = m if inval is None else (inval | m)
+        return u, v, inval
 
     def _correlate(self, aa, bb, dc_normalize=False):
         """Raw circular cross-correlation (min subtraction happens in
@@ -440,6 +490,8 @@ class MultipassPIV:
         w, o = self.schedule[0]
         n_rows, n_cols = self.field_shapes[0]
         dt = jnp.dtype(cfg.dtype)
+        frame_a = self._masked_frame(frame_a)
+        frame_b = self._masked_frame(frame_b)
 
         # Pass 1 through the fused kernel only when forced: at w=64 the
         # XLA chain (reshape-assembled windows + DC-normalised matmul DFTs)
@@ -481,7 +533,7 @@ class MultipassPIV:
         v = v.reshape(n_rows, n_cols)
         if inval is not None:
             inval = inval.reshape(n_rows, n_cols)
-        return u, v, inval
+        return self._apply_window_mask(0, u, v, inval)
 
     def _refine_pass(self, p, frame_a, frame_b, u, v, inval):
         """One CWS/DWS refinement pass from grid p-1 to grid p, in-graph."""
@@ -502,11 +554,16 @@ class MultipassPIV:
                 precision="highest",
             )
 
+        frame_a = self._masked_frame(frame_a)
+        frame_b = self._masked_frame(frame_b)
         u0 = up(u)
         v0 = up(v)
 
-        validate = inval is not None
-        if validate:
+        # "validate" drives the peak-ratio test inside the pass; an inval
+        # field can exist without it (frame_mask with validate=False), and
+        # either way it zeroes the predictor like the reference does.
+        validate = self.config.validate
+        if inval is not None:
             val0 = up(inval) >= 0.5
 
         fused_result = None
@@ -514,7 +571,7 @@ class MultipassPIV:
             # Half-shift from the PRE-zeroed predictor (reference :705-713).
             u2 = u0 / 2.0
             v2 = v0 / 2.0
-            if validate:
+            if inval is not None:
                 u0 = jnp.where(val0, 0.0, u0)
                 v0 = jnp.where(val0, 0.0, v0)
             if self._use_fused():
@@ -539,7 +596,7 @@ class MultipassPIV:
             # gradient bias of pure-translation CWS in shear/rotation.
             u2 = u0 / 2.0
             v2 = v0 / 2.0
-            if validate:
+            if inval is not None:
                 u0 = jnp.where(val0, 0.0, u0)
                 v0 = jnp.where(val0, 0.0, v0)
             step = w - o
@@ -596,7 +653,7 @@ class MultipassPIV:
                 bb = resample(frame_b, jnp.asarray(row0w),
                               jnp.asarray(col0w), w, du_d, dv_d, dt)
         else:  # DWS: predictor zeroed BEFORE rounding (reference :779-786)
-            if validate:
+            if inval is not None:
                 u0 = jnp.where(val0, 0.0, u0)
                 v0 = jnp.where(val0, 0.0, v0)
             u2 = jnp.rint(u0 / 2.0)
@@ -651,7 +708,7 @@ class MultipassPIV:
             mask_v = mask_v | new_inval
         u = jnp.where(mask_u, u0, u_new)
         v = jnp.where(mask_v, v0, v_new)
-        return u, v, new_inval
+        return self._apply_window_mask(p, u, v, new_inval)
 
     def __call__(self, frame_a: jnp.ndarray, frame_b: jnp.ndarray):
         """Full multipass: raw frames -> (u, v, invalid) on the final grid."""

@@ -146,6 +146,8 @@ class ShardedPIV:
         wa = self.window_axis
         wr = jax.lax.axis_index(wa)
         H, W = cfg.frame_shape
+        frame_a = eng._masked_frame(frame_a)
+        frame_b = eng._masked_frame(frame_b)
 
         # ---- pass 1 on the local window-row block ----
         w, o = eng.schedule[0]
@@ -178,6 +180,7 @@ class ShardedPIV:
             if inval is not None
             else jnp.zeros((rloc, C), dt)
         )
+        u, v, inval = self._mask_local(0, u, v, inval, wr)
 
         # ---- refinement passes ----
         for p in range(1, len(eng.schedule)):
@@ -211,6 +214,20 @@ class ShardedPIV:
                 inval_full.astype(dt), (org, 0), (rloc, Cf))
 
         return u, v, inval.astype(jnp.int8)
+
+    def _mask_local(self, p, u, v, inval, wr):
+        """Apply the engine's pass-p window mask on this shard's row block
+        (inval carried as float dt in the sharded path)."""
+        wm = self.engine.window_masked[p]
+        if wm is None:
+            return u, v, inval
+        rloc, origins, _ = self.layouts[p]
+        org = jnp.asarray(origins)[wr]
+        m = jax.lax.dynamic_slice(
+            jnp.asarray(wm), (org, 0), (rloc, wm.shape[1]))
+        u = jnp.where(m, 0.0, u)
+        v = jnp.where(m, 0.0, v)
+        return u, v, jnp.maximum(inval, m.astype(inval.dtype))
 
     def _gather_full(self, field, p):
         """all_gather a locally-computed block field into the full [R, C]."""
@@ -250,7 +267,10 @@ class ShardedPIV:
         u0 = up(u_full)
         v0 = up(v_full)
         validate = cfg.validate
-        if validate:
+        # the inval field also carries the static window mask, which must
+        # zero the predictor even when peak-ratio validation is off
+        has_inval = validate or eng.frame_mask is not None
+        if has_inval:
             val0 = up(val_full) >= 0.5
 
         # Local window origins (global pixel coordinates, traced values).
@@ -300,7 +320,7 @@ class ShardedPIV:
         if cfg.multipass_mode == "CWS":
             u2 = u0 / 2.0
             v2 = v0 / 2.0
-            if validate:
+            if has_inval:
                 u0 = jnp.where(val0, 0.0, u0)
                 v0 = jnp.where(val0, 0.0, v0)
             aa = shift(frame_a, -u2.reshape(-1), -v2.reshape(-1))
@@ -314,7 +334,7 @@ class ShardedPIV:
             v0f = up(v_full, Ay)
             u2f = u0f / 2.0
             v2f = v0f / 2.0
-            if validate:
+            if has_inval:
                 u0 = jnp.where(val0, 0.0, u0)
                 v0 = jnp.where(val0, 0.0, v0)
             dudy_f, dudx_f = jnp.gradient(u2f, step, step)
@@ -366,7 +386,7 @@ class ShardedPIV:
                 aa = resample(frame_a, r0w, c0w, w, -du_d, -dv_d, dt)
                 bb = resample(frame_b, r0w, c0w, w, du_d, dv_d, dt)
         else:  # DWS
-            if validate:
+            if has_inval:
                 u0 = jnp.where(val0, 0.0, u0)
                 v0 = jnp.where(val0, 0.0, v0)
             u2 = jnp.rint(u0 / 2.0)
@@ -395,4 +415,4 @@ class ShardedPIV:
             out_inval = jnp.zeros((rloc, Cf), dt)
         u = jnp.where(mask_u, u0, u_new)
         v = jnp.where(mask_v, v0, v_new)
-        return u, v, out_inval
+        return self._mask_local(p, u, v, out_inval, wr)

@@ -112,12 +112,30 @@ def finalize_fields(
     return x * scale, y * scale, u, v
 
 
+def resolve_frame_mask(mask):
+    """Normalise a region-of-interest mask argument: ``None``, a [H, W]
+    bool-like array (True = excluded), or the path of a mask image whose
+    non-zero pixels are excluded (beyond the reference — it has no ROI
+    support)."""
+    if mask is None:
+        return None
+    if isinstance(mask, str):
+        arr = imread_gray(mask)
+        if arr is None:
+            raise ValueError(f"unreadable mask image: {mask}")
+        return arr > 0
+    return np.asarray(mask).astype(bool)
+
+
 class OfflinePIV:
     """Folder -> generator of (x, y, u, v) fields.  The reference API.
 
     Extra (keyword-only) knobs beyond the reference signature: ``batch_size``
     (pairs per device dispatch), ``validate``/``val_ratio``, and any
-    ``PIVConfig`` field via ``engine_options``.
+    ``PIVConfig`` field via ``engine_options``.  ``engine_options`` also
+    accepts ``frame_mask``: a [H, W] bool array (True = excluded region,
+    e.g. walls) or the path of a mask image (non-zero = excluded) — masked
+    windows are flagged invalid and infilled like outliers.
     """
 
     def __init__(
@@ -153,6 +171,8 @@ class OfflinePIV:
         self._dataset = PIVDataset(folder, file_fmt, folder_mode)
         if skip_pairs:  # resume support: pairs are consumed in sorted order
             self._dataset.img_pairs = self._dataset.img_pairs[skip_pairs:]
+        engine_options = dict(engine_options or {})
+        self._frame_mask = engine_options.pop("frame_mask", None)
         self._engine_kwargs = dict(
             wind_size=wind_size,
             overlap=overlap,
@@ -161,7 +181,7 @@ class OfflinePIV:
             multipass_scale=multipass_scale,
             validate=validate,
             val_ratio=val_ratio,
-            **(engine_options or {}),
+            **engine_options,
         )
         # Pallas kernels compile only for TPU; the engine's "auto" checks
         # the GLOBAL default backend, which is tpu even when the user asks
@@ -211,7 +231,8 @@ class OfflinePIV:
             target=lambda: __import__("scipy.interpolate"),
             name="piv-scipy-warmup", daemon=True).start()
         cfg = PIVConfig(frame_shape=tuple(frame_shape), **self._engine_kwargs)
-        self._engine = MultipassPIV(cfg)
+        self._engine = MultipassPIV(
+            cfg, frame_mask=resolve_frame_mask(self._frame_mask))
 
         if self._mesh is not None:
             # Multi-chip: shard the batch over the mesh (pairs axis, plus
@@ -485,6 +506,8 @@ class OnlinePIV:
             folder, file_fmt, poll_interval, idle_timeout
         )
         self._catchup = max(1, catchup_batch)
+        engine_options = dict(engine_options or {})
+        self._frame_mask = engine_options.pop("frame_mask", None)
         self._engine_kwargs = dict(
             wind_size=wind_size,
             overlap=overlap,
@@ -492,7 +515,7 @@ class OnlinePIV:
             multipass_mode=multipass_mode,
             multipass_scale=multipass_scale,
             validate=validate,
-            **(engine_options or {}),
+            **engine_options,
         )
         if self._device.platform != "tpu":
             self._engine_kwargs.setdefault("use_pallas", "off")
@@ -517,7 +540,8 @@ class OnlinePIV:
 
         enable_compile_cache()
         cfg = PIVConfig(frame_shape=frame_shape, **self._engine_kwargs)
-        self._engine = MultipassPIV(cfg)
+        self._engine = MultipassPIV(
+            cfg, frame_mask=resolve_frame_mask(self._frame_mask))
         eng = self._engine
 
         def single(a, b):
