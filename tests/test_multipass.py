@@ -454,3 +454,35 @@ def test_frame_mask_threshold():
     # fully-masked windows flagged under both
     assert strict.window_masked[0][:, 0].all()
     assert loose.window_masked[0][:, 0].all()
+
+
+def test_frame_mask_threshold_zero_means_any_pixel():
+    """Review regression: mask_threshold=0 must mean 'any masked pixel',
+    not 'every window'."""
+    mask = np.zeros((128, 128), bool)
+    mask[0, 0] = True  # a single masked pixel
+    cfg = PIVConfig(frame_shape=(128, 128), wind_size=32, overlap=16)
+    eng = MultipassPIV(cfg, frame_mask=mask, mask_threshold=0.0)
+    wm = eng.window_masked[0]
+    assert wm[0, 0] and wm.sum() == 1
+    with pytest.raises(ValueError):
+        MultipassPIV(cfg, frame_mask=mask, mask_threshold=1.5)
+
+
+def test_offline_piv_mask_threshold_option(tmp_path):
+    """Review regression: engine_options['mask_threshold'] must reach the
+    engine instead of exploding in PIVConfig."""
+    from torchpiv_tpu.io.decode import imwrite_gray
+    from torchpiv_tpu.pipeline import OfflinePIV
+
+    fa, fb = particle_pair((128, 128), displacement=(2.0, -1.0), seed=3)
+    imwrite_gray(str(tmp_path / "p0_a.bmp"), fa)
+    imwrite_gray(str(tmp_path / "p0_b.bmp"), fb)
+    mask = np.zeros((128, 128), bool)
+    mask[:, :40] = True
+    piv = OfflinePIV(str(tmp_path), device="cpu", file_fmt=".bmp",
+                     wind_size=32, overlap=16,
+                     engine_options={"frame_mask": mask,
+                                     "mask_threshold": 0.2})
+    out = list(piv())
+    assert len(out) == 1

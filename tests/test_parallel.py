@@ -313,3 +313,19 @@ def test_window_sharded_frame_mask(batch):
     both = ~(np.asarray(inval) | np.asarray(ri)) & agree
     du = np.abs(np.asarray(u) - np.asarray(ru))[both]
     assert np.sqrt(np.mean(du**2)) < 0.01
+
+
+def test_window_sharded_mask_with_median_filter_no_validation(batch):
+    """Review regression: the sharded median-filter path must keep the
+    ROI-mask invalidation when peak-ratio validation is off."""
+    fa, fb = batch
+    mask = np.zeros((256, 256), bool)
+    mask[96:160, :] = True
+    eng = MultipassPIV(
+        PIVConfig(frame_shape=(256, 256), wind_size=64, overlap=32,
+                  multipass=2, validate=False, median_filter="median"),
+        frame_mask=mask)
+    mesh = make_mesh({"pairs": 1, "windows": 4})
+    u, v, inval = jax.jit(ShardedPIV(eng, mesh))(fa[:1], fb[:1])
+    wm = eng.window_masked[-1]
+    assert np.asarray(inval)[:, wm].all()

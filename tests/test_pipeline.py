@@ -432,7 +432,17 @@ def test_offline_piv_frame_mask(pair_folder, tmp_path):
                           engine_options={"frame_mask": mask_path})())
     assert len(out) == 3
     x, y, u, v = out[0]
-    assert np.isfinite(u).all()  # masked windows infilled like outliers
+    assert np.isfinite(u).all()
+    # masked windows are reported as exactly zero displacement (walls);
+    # the tail flips rows to the physical y-axis, so flip the mask too
+    from torchpiv_tpu.models import MultipassPIV, PIVConfig
+    eng = MultipassPIV(
+        PIVConfig(frame_shape=(256, 256), wind_size=64, overlap=32,
+                  multipass=2),
+        frame_mask=mask > 0)
+    wm = np.flip(eng.window_masked[-1], axis=0)
+    assert wm.any()
+    assert (u[wm] == 0).all() and (v[wm] == 0).all()
     # free-stream columns still recover the planted flow (physical units
     # with scale=dt=1: px * 1000)
     assert abs(np.mean(u[:, :2]) / 1000 - shifts[0][0]) < 0.1

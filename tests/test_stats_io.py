@@ -417,3 +417,25 @@ def test_spatial_spectrum_sinusoid_and_parseval():
     import pytest
     with pytest.raises(ValueError):
         spatial_spectrum(u[:, :3], dx)
+
+
+def test_spectra_and_smoothing_argument_validation():
+    """Review regressions: 3-D stack axis selection and s<=0 rejection."""
+    import pytest
+
+    from torchpiv_tpu.stats.smoothing import smooth_field
+    from torchpiv_tpu.stats.spectra import spatial_spectrum
+    rng = np.random.default_rng(7)
+    stack = rng.normal(0, 1, (3, 16, 64))
+    # rows of the stack: axis=1 and axis=-2 must agree
+    k1, p1 = spatial_spectrum(stack, 1.0, axis=1)
+    k2, p2 = spatial_spectrum(stack, 1.0, axis=-2)
+    assert np.allclose(p1, p2)
+    assert len(k1) == 16 // 2 + 1
+    # the snapshot axis is not a grid axis
+    with pytest.raises(ValueError):
+        spatial_spectrum(stack, 1.0, axis=0)
+    with pytest.raises(ValueError):
+        smooth_field(stack[0], s=-1.0)
+    with pytest.raises(ValueError):
+        smooth_field(stack[0], s=0.0)

@@ -116,8 +116,7 @@ def cmd_run(args) -> int:
         batch_size=args.batch_size,
         validate=not args.no_validate,
         background=args.background,
-        smooth=(False if args.smooth is None
-                else True if args.smooth == "auto" else float(args.smooth)),
+        smooth=_parse_smooth(args.smooth),
         engine_options=engine_options or None,
     )
     table = runner.run()
@@ -128,6 +127,24 @@ def cmd_run(args) -> int:
     print(f"processed fields; statistics columns: {list(table.keys())}",
           file=sys.stderr)
     return 0
+
+
+def _parse_smooth(value):
+    """--smooth [S]: absent -> off, bare flag -> GCV auto, else a positive
+    float smoothing parameter (validated here so a bad value is a clean
+    CLI error, not a traceback from the smoother)."""
+    if value is None:
+        return False
+    if value == "auto":
+        return True
+    try:
+        s = float(value)
+    except ValueError:
+        raise SystemExit(f"tpiv: --smooth expects a number, got {value!r}")
+    if s <= 0:
+        raise SystemExit("tpiv: --smooth must be > 0 (omit the value for "
+                         "automatic GCV selection)")
+    return s
 
 
 def cmd_online(args) -> int:

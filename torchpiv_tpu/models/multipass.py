@@ -213,6 +213,8 @@ class MultipassPIV:
         self.window_masked: List[Optional[np.ndarray]] = [
             None for _ in self.schedule]
         if frame_mask is not None:
+            if not 0.0 <= mask_threshold <= 1.0:
+                raise ValueError("mask_threshold must be in [0, 1]")
             fm = np.asarray(frame_mask).astype(bool)
             if fm.shape != (H, W):
                 raise ValueError(
@@ -224,8 +226,10 @@ class MultipassPIV:
                 r0, c0 = self.origins[p]
                 cnt = (ii[r0 + w, c0 + w] - ii[r0, c0 + w]
                        - ii[r0 + w, c0] + ii[r0, c0])
+                # threshold 0 means "any masked pixel", not "every window"
+                need = max(1, int(np.ceil(mask_threshold * w * w)))
                 self.window_masked[p] = (
-                    cnt >= mask_threshold * w * w
+                    cnt >= need
                 ).reshape(self.field_shapes[p])
 
         # Spline upsample operators between consecutive pass grids.

@@ -200,7 +200,11 @@ class ShardedPIV:
             if cfg.median_filter is not None:
                 inval_full = apply_median_filter(
                     u_full, v_full,
-                    inval_full if cfg.validate else None,
+                    # inval also carries the static ROI mask: keep it even
+                    # when peak-ratio validation is off (engine parity)
+                    inval_full
+                    if (cfg.validate or eng.frame_mask is not None)
+                    else None,
                     cfg.median_filter, cfg.median_threshold,
                 )
             if cfg.infill == "fused":

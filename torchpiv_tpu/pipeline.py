@@ -88,13 +88,25 @@ def finalize_fields(
     y: np.ndarray,
     scale: float,
     dt: float,
+    static_mask: Optional[np.ndarray] = None,
 ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
     """The reference's per-pair tail (PIVbackend.py:884-900): NaN the invalid
     vectors, border-interp + Delaunay infill (skip pair if >half invalid),
     flip to physical y-axis, convert to mm and m/s.  Returns None when the
-    pair must be skipped."""
+    pair must be skipped.
+
+    ``static_mask`` marks windows excluded by a region-of-interest mask
+    (walls): they are reported as ZERO displacement rather than infilled,
+    and do not count toward the reference's >50%-invalid skip quirk — a
+    large static mask is not a measurement failure."""
     u = np.array(u, dtype=np.float64)
     v = np.array(v, dtype=np.float64)
+    if static_mask is not None:
+        static_mask = np.asarray(static_mask, dtype=bool)
+        u[static_mask] = 0.0
+        v[static_mask] = 0.0
+        if invalid is not None:
+            invalid = np.asarray(invalid) & ~static_mask
     if invalid is not None:
         invalid = np.asarray(invalid)
         u[invalid] = np.nan
@@ -134,8 +146,9 @@ class OfflinePIV:
     (pairs per device dispatch), ``validate``/``val_ratio``, and any
     ``PIVConfig`` field via ``engine_options``.  ``engine_options`` also
     accepts ``frame_mask``: a [H, W] bool array (True = excluded region,
-    e.g. walls) or the path of a mask image (non-zero = excluded) — masked
-    windows are flagged invalid and infilled like outliers.
+    e.g. walls) or the path of a mask image (non-zero = excluded), plus
+    ``mask_threshold`` — masked windows are reported with zero displacement
+    and excluded from the >50%-invalid skip accounting.
     """
 
     def __init__(
@@ -173,6 +186,7 @@ class OfflinePIV:
             self._dataset.img_pairs = self._dataset.img_pairs[skip_pairs:]
         engine_options = dict(engine_options or {})
         self._frame_mask = engine_options.pop("frame_mask", None)
+        self._mask_threshold = engine_options.pop("mask_threshold", 0.5)
         self._engine_kwargs = dict(
             wind_size=wind_size,
             overlap=overlap,
@@ -232,7 +246,8 @@ class OfflinePIV:
             name="piv-scipy-warmup", daemon=True).start()
         cfg = PIVConfig(frame_shape=tuple(frame_shape), **self._engine_kwargs)
         self._engine = MultipassPIV(
-            cfg, frame_mask=resolve_frame_mask(self._frame_mask))
+            cfg, frame_mask=resolve_frame_mask(self._frame_mask),
+            mask_threshold=self._mask_threshold)
 
         if self._mesh is not None:
             # Multi-chip: shard the batch over the mesh (pairs axis, plus
@@ -425,7 +440,8 @@ class OfflinePIV:
                             pool.submit(
                                 finalize_fields, u_b[i], v_b[i],
                                 inval_b[i] if tail_validates else None,
-                                x, y, self._scale, self._dt)
+                                x, y, self._scale, self._dt,
+                                self._engine.window_masked[-1])
                             for i in range(len(ids))
                         ]
                         for pid, fut in zip(ids, futs):
@@ -508,6 +524,7 @@ class OnlinePIV:
         self._catchup = max(1, catchup_batch)
         engine_options = dict(engine_options or {})
         self._frame_mask = engine_options.pop("frame_mask", None)
+        self._mask_threshold = engine_options.pop("mask_threshold", 0.5)
         self._engine_kwargs = dict(
             wind_size=wind_size,
             overlap=overlap,
@@ -541,7 +558,8 @@ class OnlinePIV:
         enable_compile_cache()
         cfg = PIVConfig(frame_shape=frame_shape, **self._engine_kwargs)
         self._engine = MultipassPIV(
-            cfg, frame_mask=resolve_frame_mask(self._frame_mask))
+            cfg, frame_mask=resolve_frame_mask(self._frame_mask),
+            mask_threshold=self._mask_threshold)
         eng = self._engine
 
         def single(a, b):
@@ -562,6 +580,7 @@ class OnlinePIV:
             np.asarray(v),
             np.asarray(inval) if inval is not None else None,
             x, y, self._scale, self._dt,
+            static_mask=self._engine.window_masked[-1],
         )
 
     def __call__(self) -> Generator:
@@ -711,7 +730,8 @@ class VideoPIV:
             for i in range(B):
                 inval = inval_b[i] if tail_validates else None
                 res = finalize_fields(
-                    u_b[i], v_b[i], inval, x, y, self._scale, self._dt)
+                    u_b[i], v_b[i], inval, x, y, self._scale, self._dt,
+                    self._engine.window_masked[-1])
                 if res is not None:
                     yield res
 

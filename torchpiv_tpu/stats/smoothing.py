@@ -68,6 +68,9 @@ def smooth_field(
     re-weighting steps (Garcia 2010 sec. 3.2) so outliers that survived
     validation do not bias the surface.
     """
+    if s is not None and s <= 0:
+        raise ValueError("smoothing parameter s must be > 0 "
+                         "(gamma = 1/(1 + s*lambda^2) requires it)")
     y = np.asarray(y, dtype=np.float64)
     w = np.isfinite(y).astype(np.float64)
     if mask is not None:
@@ -153,9 +156,18 @@ def smooth_vector_field(
     under-smoothed); returns ``(u_smooth, v_smooth)``.
     """
     if s is None:
-        _, su = smooth_field(u, mask=mask, robust=robust)
-        _, sv = smooth_field(v, mask=mask, robust=robust)
+        zu, su = smooth_field(u, mask=mask, robust=robust)
+        zv, sv = smooth_field(v, mask=mask, robust=robust)
         s = max(su, sv)
+        # only the component whose own GCV choice lost re-runs at the
+        # shared parameter (halves the per-pair host cost vs smoothing
+        # both components twice)
+        if s > 0:
+            if su < s:
+                zu, _ = smooth_field(u, mask=mask, s=s, robust=robust)
+            elif sv < s:
+                zv, _ = smooth_field(v, mask=mask, s=s, robust=robust)
+        return zu, zv
     zu, _ = smooth_field(u, mask=mask, s=s, robust=robust)
     zv, _ = smooth_field(v, mask=mask, s=s, robust=robust)
     return zu, zv

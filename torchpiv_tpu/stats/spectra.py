@@ -35,14 +35,28 @@ def spatial_spectrum(
     outlier rates validation leaves behind, not for gappy fields.
     """
     f = np.asarray(f, dtype=np.float64)
+    # resolve `axis` to a grid axis BEFORE promoting 2-D input, so that
+    # axis=0 on an [N,R,C] stack (the snapshot axis) is rejected instead of
+    # silently transforming the wrong dimension
     if f.ndim == 2:
+        if axis in (0, -2):
+            along_rows = True
+        elif axis in (1, -1):
+            along_rows = False
+        else:
+            raise ValueError("axis selects a GRID axis: -1/1 (cols) or "
+                             "-2/0 (rows) for [R,C] input")
         f = f[None]
-    if f.ndim != 3:
+    elif f.ndim == 3:
+        if axis in (1, -2):
+            along_rows = True
+        elif axis in (2, -1):
+            along_rows = False
+        else:
+            raise ValueError("axis selects a GRID axis of the [N,R,C] "
+                             "stack: -1/2 (cols) or -2/1 (rows)")
+    else:
         raise ValueError(f"expected [R,C] or [N,R,C], got shape {f.shape}")
-    if axis not in (-1, -2, f.ndim - 1, f.ndim - 2, 0, 1):
-        raise ValueError("axis selects a GRID axis: -1 (cols) or -2 (rows)")
-    # normalise to transform along the last axis
-    along_rows = axis in (-2, 0)
     if along_rows:
         f = np.swapaxes(f, -1, -2)
     bad = ~np.isfinite(f)
