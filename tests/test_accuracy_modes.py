@@ -52,3 +52,36 @@ def test_peak_locking_bias_below_budget():
         u, v, sel, x, y = _run({}, fa, fb)
         worst = max(worst, abs(float(np.mean(u[sel] - d[0]))))
     assert worst < 0.05, worst
+
+
+def test_smoothing_on_sparse_noisy_flow():
+    """Pin the docs/ACCURACY.md post-smoothing claim: on sparse noisy
+    seeding, robust GCV smoothn cuts the shear-flow RMS by >=30%."""
+    import jax
+    import jax.numpy as jnp
+
+    from torchpiv_tpu.models import MultipassPIV, PIVConfig
+    from torchpiv_tpu.stats.smoothing import smooth_vector_field
+    from torchpiv_tpu.utils.synthetic import particle_pair, shear_flow
+
+    du_dy = 0.03
+    flow = shear_flow(1.0, du_dy)
+    fa, fb = particle_pair((512, 512), displacement=flow, density=0.01,
+                           noise=20.0, seed=400)
+    cfg = PIVConfig(frame_shape=(512, 512), wind_size=64, overlap=32,
+                    multipass=2)
+    eng = MultipassPIV(cfg)
+    u, v, inval = map(np.asarray,
+                      jax.jit(eng)(jnp.asarray(fa), jnp.asarray(fb)))
+    x, y = eng.final_coordinates
+    ut = 1.0 + du_dy * y
+    sel = ~inval
+    sel[:3] = sel[-3:] = False
+    sel[:, :3] = sel[:, -3:] = False
+
+    def rms(uu, vv):
+        return float(np.sqrt(np.mean((uu[sel] - ut[sel]) ** 2
+                                     + vv[sel] ** 2)))
+
+    us, vs = smooth_vector_field(u, v, mask=inval, robust=True)
+    assert rms(us, vs) < 0.7 * rms(u, v)

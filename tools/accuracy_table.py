@@ -124,13 +124,58 @@ HEADER = (
     "|---|---|---|---|---|---|---|")
 
 
+def eval_smoothing(cfg_kw):
+    """Effect of robust smoothn post-smoothing (stats/smoothing.py) on the
+    spatially-varying flows: returns {flow: (raw_rms, smooth_rms)} px."""
+    from torchpiv_tpu.stats.smoothing import smooth_vector_field
+
+    du_dy = 0.03
+    om = 0.006
+    flows = {
+        "shear": (shear_flow(1.0, du_dy),
+                  lambda x, y: (1.0 + du_dy * y, np.zeros_like(y))),
+        "vortex": (vortex_flow(om),
+                   lambda x, y: (-om * (y - 256.0), om * (x - 256.0))),
+    }
+    # well-seeded (the table's protocol) AND sparse/noisy seeding, where
+    # the error is random rather than bias and smoothing actually pays
+    cases = [("", DENSITY, 2.0), ("sparse-", 0.01, 20.0),
+             ("verysparse-", 0.005, 30.0)]
+    out = {}
+    for prefix, dens, noise in cases:
+        for name, (flow, truth) in flows.items():
+            fa, fb = particle_pair(SHAPE, displacement=flow, density=dens,
+                                   noise=noise, seed=400)
+            u, v, inval, x, y = run_engine(cfg_kw, fa, fb)
+            ut, vt = truth(x, y)
+            sel = interior_sel(inval)
+
+            def rms(uu, vv):
+                return float(np.sqrt(np.mean((uu[sel] - ut[sel]) ** 2
+                                             + (vv[sel] - vt[sel]) ** 2)))
+
+            us, vs = smooth_vector_field(u, v, mask=inval, robust=True)
+            out[prefix + name] = (rms(u, v), rms(us, vs))
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--write", action="store_true",
                     help="update docs/ACCURACY.md")
     ap.add_argument("--configs", default=None,
                     help="comma-separated subset of config names")
+    ap.add_argument("--smoothing", action="store_true",
+                    help="measure the smoothn post-smoothing effect only")
     args = ap.parse_args()
+
+    if args.smoothing:
+        for name, kw in CONFIGS[:1]:  # reference-parity mode
+            res = eval_smoothing(kw)
+            for flow, (raw, sm) in res.items():
+                print(f"{name} {flow}: raw RMS {raw:.4f} px -> smoothed "
+                      f"{sm:.4f} px ({100 * (1 - sm / raw):.0f}% lower)")
+        return
 
     rows = []
     sel = args.configs.split(",") if args.configs else None
