@@ -275,3 +275,13 @@ def test_cli_run_with_mask(folder, tmp_path, monkeypatch):
     assert rc == 0
     assert any(f.endswith("_statistics.txt")
                for f in os.listdir(tmp_path / "out"))
+
+
+def test_cli_run_preprocess(folder, tmp_path, monkeypatch):
+    monkeypatch.setenv("TORCHPIV_TPU_CONFIG_DIR", str(tmp_path / "cfg"))
+    rc = cli_main([
+        "run", folder, "--device", "cpu", "--wind-size", "64",
+        "--overlap", "32", "--preprocess", "stretch",
+        "--save", "Save statistics", "--save-dir", str(tmp_path / "out"),
+    ])
+    assert rc == 0

@@ -452,3 +452,17 @@ def test_offline_piv_frame_mask(pair_folder, tmp_path):
         list(OfflinePIV(folder, device="cpu", file_fmt=".bmp",
                         wind_size=64, overlap=32,
                         engine_options={"frame_mask": "/nonexistent.bmp"})())
+
+
+def test_offline_piv_preprocess(pair_folder):
+    """preprocess='clahe' conditions frames in the decode stage and the
+    pipeline still recovers the planted flow."""
+    folder, shifts = pair_folder
+    out = list(OfflinePIV(folder, device="cpu", file_fmt=".bmp",
+                          wind_size=64, overlap=32, multipass=2,
+                          preprocess="clahe")())
+    assert len(out) == 3
+    _, _, u, v = out[0]
+    assert abs(np.mean(u) / 1000 - shifts[0][0]) < 0.1
+    with pytest.raises(ValueError):
+        OfflinePIV(folder, device="cpu", preprocess="bogus")

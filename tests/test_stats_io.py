@@ -439,3 +439,62 @@ def test_spectra_and_smoothing_argument_validation():
         smooth_field(stack[0], s=-1.0)
     with pytest.raises(ValueError):
         smooth_field(stack[0], s=0.0)
+
+
+# ---- frame preprocessing (io/preprocess.py, beyond the reference) ----
+
+def test_clahe_and_stretch_properties():
+    from torchpiv_tpu.io.preprocess import (clahe, percentile_stretch,
+                                            resolve_preprocess)
+    rng = np.random.default_rng(8)
+    # uneven illumination: bright left, dim right
+    g = np.linspace(1.0, 0.1, 128)[None, :]
+    f = np.clip(rng.normal(120, 40, (96, 128)) * g, 0, 255).astype(np.uint8)
+    out = clahe(f)
+    assert out.dtype == np.uint8 and out.shape == f.shape
+    # equalisation lifts the dim side's contrast toward the bright side's;
+    # the default clip limit is conservative, a higher one gains more
+    def gain(o):
+        return ((o[:, 96:].std() / max(o[:, :32].std(), 1e-9))
+                / (f[:, 96:].std() / max(f[:, :32].std(), 1e-9)))
+
+    assert gain(out) > 1.3
+    assert gain(clahe(f, clip_limit=8.0)) > 2.0
+    # a constant frame stays constant-ish (clip limit kills amplification)
+    flat = np.full((64, 64), 7, np.uint8)
+    assert np.ptp(clahe(flat)) == 0
+    s = percentile_stretch(f)
+    assert s.dtype == np.uint8 and s.min() == 0 and s.max() == 255
+    # degenerate constant frame passes through
+    assert (percentile_stretch(flat) == flat).all()
+    # resolver contract
+    assert resolve_preprocess("none") is None
+    assert resolve_preprocess(None) is None
+    assert resolve_preprocess("clahe") is clahe
+    fn = resolve_preprocess(lambda x: x)
+    assert callable(fn)
+    import pytest
+    with pytest.raises(ValueError):
+        resolve_preprocess("bogus")
+    with pytest.raises(ValueError):
+        clahe(f.astype(np.float32))
+
+
+def test_preprocessed_pairs_wrapper():
+    from torchpiv_tpu.io.preprocess import PreprocessedPairs
+
+    class FakeDS:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            if i == 1:
+                return None, None  # unreadable pair passes through
+            f = np.full((8, 8), 10, np.uint8)
+            return f, f
+
+    ds = PreprocessedPairs(FakeDS(), lambda f: f + 1)
+    assert len(ds) == 2
+    a, b = ds[0]
+    assert (a == 11).all() and (b == 11).all()
+    assert ds[1] == (None, None)

@@ -45,6 +45,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         help="temporal-minimum background subtraction before analysis",
     )
     p.add_argument(
+        "--preprocess", choices=["none", "clahe", "stretch"], default="none",
+        help="frame conditioning before analysis (CLAHE / percentile "
+             "contrast stretch, for uneven illumination or low contrast)",
+    )
+    p.add_argument(
         "--window-weight", choices=["none", "gaussian"], default="none",
         help="sub-window anti-leakage taper before correlation",
     )
@@ -116,6 +121,7 @@ def cmd_run(args) -> int:
         batch_size=args.batch_size,
         validate=not args.no_validate,
         background=args.background,
+        preprocess=args.preprocess,
         smooth=_parse_smooth(args.smooth),
         engine_options=engine_options or None,
     )
@@ -174,6 +180,7 @@ def cmd_online(args) -> int:
         multipass_scale=args.multipass_scale,
         validate=not args.no_validate,
         idle_timeout=args.idle_timeout,
+        preprocess=args.preprocess,
         engine_options=engine_options or None,
     )
     import numpy as np

@@ -34,6 +34,7 @@ import numpy as np
 from .io.dataset import PIVDataset
 from .io.decode import imread_gray
 from .io.prefetch import PairPrefetcher
+from .io.preprocess import PreprocessedPairs, resolve_preprocess
 from .io.watch import StreamingPairSource
 from .models.multipass import MultipassPIV, PIVConfig
 from .ops.infill import fill_missing_values, interpolate_borders
@@ -172,6 +173,7 @@ class OfflinePIV:
         skip_pairs: int = 0,
         mesh=None,
         background="none",
+        preprocess="none",
         engine_options: Optional[dict] = None,
     ) -> None:
         self._wind_size = wind_size
@@ -184,6 +186,13 @@ class OfflinePIV:
         self._dataset = PIVDataset(folder, file_fmt, folder_mode)
         if skip_pairs:  # resume support: pairs are consumed in sorted order
             self._dataset.img_pairs = self._dataset.img_pairs[skip_pairs:]
+        # frame conditioning (CLAHE / percentile stretch, io/preprocess.py)
+        # wraps the dataset so it runs in the prefetcher's decode threads;
+        # anything downstream (background estimate, engine) sees the
+        # conditioned frames
+        pp = resolve_preprocess(preprocess)
+        if pp is not None:
+            self._dataset = PreprocessedPairs(self._dataset, pp)
         engine_options = dict(engine_options or {})
         self._frame_mask = engine_options.pop("frame_mask", None)
         self._mask_threshold = engine_options.pop("mask_threshold", 0.5)
@@ -513,10 +522,12 @@ class OnlinePIV:
         poll_interval: float = 0.2,
         idle_timeout: Optional[float] = None,
         catchup_batch: int = 4,
+        preprocess="none",
         engine_options: Optional[dict] = None,
     ) -> None:
         self._dt = dt
         self._scale = scale
+        self._preprocess = resolve_preprocess(preprocess)
         self._device = DeviceMap.resolve(device)
         self._source = StreamingPairSource(
             folder, file_fmt, poll_interval, idle_timeout
@@ -548,6 +559,9 @@ class OnlinePIV:
         frame_b = imread_gray(name_b)
         if frame_a is None or frame_b is None:
             return None
+        if self._preprocess is not None:
+            frame_a = self._preprocess(frame_a)
+            frame_b = self._preprocess(frame_b)
         return frame_a, frame_b
 
     def _ensure_engine(self, frame_shape):
