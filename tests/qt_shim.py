@@ -257,6 +257,9 @@ class QLineEdit(_QWidgetBase):
     def text(self):
         return self._text
 
+    def setPlaceholderText(self, t):
+        self._placeholder = str(t)
+
 
 class QLabel(QLineEdit):
     pass

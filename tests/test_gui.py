@@ -378,3 +378,40 @@ def test_movable_profile_line(gui):
     Ev.inaxes = None
     win.field._on_mouse(Ev)
     assert win.field.profile_index == 4
+
+
+def test_runner_extras_mask_preprocess_smooth(gui, tmp_path):
+    """The extras beyond the reference form (mask image, preprocess,
+    smoothn) flow from the SettingsForm into the PIVRunner."""
+    from torchpiv_tpu.io.decode import imwrite_gray
+    from torchpiv_tpu.utils.database import Database
+
+    frames = str(tmp_path / "frames")
+    _write_pairs(frames)
+    mask = np.zeros((128, 128), np.uint8)
+    mask[:32, :] = 255
+    mask_path = str(tmp_path / "mask.bmp")
+    imwrite_gray(mask_path, mask)
+
+    win = gui.MainWindow()
+    win.params.folder = frames
+    win.params.wind_size = 32
+    win.params.overlap = 16
+    win.params.multipass = 1
+    win.params.save_opt = "Dont save"
+    win.settings.wind.setValue(32)
+    win.settings.ovl.setValue(16)
+    win.settings.mp.setValue(1)
+    win.settings.save_dir.setText(str(tmp_path / "out"))
+    win.settings.mask_path.setText(mask_path)
+    win.settings.preprocess.setCurrentText("stretch")
+    win.settings.smooth_cb.setChecked(True)
+
+    win.start_btn.click()
+    win.thread.wait()  # the shim runs the deferred worker here
+    table = Database().get()
+    assert "Vx[m/s]" in table
+    # the masked band comes back as zero displacement (flipped rows)
+    u = table["Vx[m/s]"]
+    assert (u[-2:] == 0).all()
+    assert win.start_btn.text() == "Start PIV"

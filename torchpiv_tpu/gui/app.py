@@ -56,7 +56,8 @@ if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
         output = QtCore.pyqtSignal(dict)
         failed = QtCore.pyqtSignal()
 
-        def __init__(self, params: PIVParams = None, target=None):
+        def __init__(self, params: PIVParams = None, target=None,
+                     **runner_kwargs):
             super().__init__()
             self.runner = None
             self._target = target
@@ -68,6 +69,7 @@ if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
                     on_output=self.output.emit,
                     on_finished=self.finished.emit,
                     on_failed=self.failed.emit,
+                    **runner_kwargs,
                 )
 
         def stop(self):
@@ -239,6 +241,13 @@ if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
             self.folder_mode = QtWidgets.QComboBox()
             self.folder_mode.addItems(["pairs", "sequential"])
             self.folder_mode.setCurrentText(params.folder_mode or "pairs")
+            # extras beyond the reference form (runner options, not part
+            # of the reference-parity 14-key settings.json)
+            self.mask_path = QtWidgets.QLineEdit("")
+            self.mask_path.setPlaceholderText("none")
+            self.preprocess = QtWidgets.QComboBox()
+            self.preprocess.addItems(["none", "clahe", "stretch"])
+            self.smooth_cb = QtWidgets.QCheckBox("smoothn (GCV)")
             for label, widget in [
                 ("File format", self.fmt), ("Window size [px]", self.wind),
                 ("Overlap [px]", self.ovl), ("Multipass mode", self.mode),
@@ -247,6 +256,9 @@ if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
                 ("Multipass count", self.mp), ("Multipass scale", self.mp_scale),
                 ("Save directory", self.save_dir), ("Regime", self.regime),
                 ("Folder mode", self.folder_mode),
+                ("Mask image", self.mask_path),
+                ("Preprocess", self.preprocess),
+                ("Smooth fields", self.smooth_cb),
             ]:
                 form.addRow(label, widget)
             confirm = QtWidgets.QPushButton("Confirm")
@@ -474,7 +486,16 @@ if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
                 # stub) — here it runs the working OnlinePIV stream
                 self._launch(WorkerBridge(target=self._online_worker()))
                 return
-            self._launch(WorkerBridge(self.params))
+            s = self.settings
+            extra = {}
+            if s.mask_path.text().strip():
+                extra["engine_options"] = {
+                    "frame_mask": s.mask_path.text().strip()}
+            if s.preprocess.currentText() != "none":
+                extra["preprocess"] = s.preprocess.currentText()
+            if s.smooth_cb.isChecked():
+                extra["smooth"] = True
+            self._launch(WorkerBridge(self.params, **extra))
 
         def _launch(self, bridge):
             self.thread = QtCore.QThread()

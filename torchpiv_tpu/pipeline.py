@@ -674,6 +674,7 @@ class VideoPIV:
         batch_size: int = 4,
         validate: bool = True,
         max_pairs: Optional[int] = None,
+        preprocess="none",
         engine_options: Optional[dict] = None,
     ) -> None:
         from .io.video import VideoPairSource
@@ -683,6 +684,10 @@ class VideoPIV:
         self._batch = max(1, batch_size)
         self._device = DeviceMap.resolve(device)
         self._source = VideoPairSource(path, folder_mode, max_pairs)
+        self._preprocess = resolve_preprocess(preprocess)
+        engine_options = dict(engine_options or {})
+        frame_mask = engine_options.pop("frame_mask", None)
+        mask_threshold = engine_options.pop("mask_threshold", 0.5)
         vkw = dict(
             frame_shape=self._source.frame_shape,
             wind_size=wind_size,
@@ -691,7 +696,7 @@ class VideoPIV:
             multipass_mode=multipass_mode,
             multipass_scale=multipass_scale,
             validate=validate,
-            **(engine_options or {}),
+            **engine_options,
         )
         if self._device.platform != "tpu":
             vkw.setdefault("use_pallas", "off")
@@ -699,7 +704,9 @@ class VideoPIV:
 
         enable_compile_cache()
         cfg = PIVConfig(**vkw)
-        self._engine = MultipassPIV(cfg)
+        self._engine = MultipassPIV(
+            cfg, frame_mask=resolve_frame_mask(frame_mask),
+            mask_threshold=mask_threshold)
 
         def batched(fa, fb):
             # packed [B, 3, R, C] output: one device->host buffer per
@@ -752,6 +759,9 @@ class VideoPIV:
         with jax.default_device(self._device):
             batch = []
             for pair in self._source:
+                if self._preprocess is not None:
+                    pair = (self._preprocess(pair[0]),
+                            self._preprocess(pair[1]))
                 batch.append(pair)
                 if len(batch) == self._batch:
                     yield from flush(batch)
@@ -845,7 +855,17 @@ class PIVRunner:
                 from .stats.smoothing import smooth_vector_field
 
                 s = None if self.smooth is True else float(self.smooth)
-                u, v = smooth_vector_field(u, v, s=s, robust=True)
+                # statically-masked windows (ROI) are zero by contract:
+                # exclude them from the fit and keep them at zero, so the
+                # smoother cannot bleed wall zeros into the flow (or vice
+                # versa).  Yielded fields are row-flipped; flip the mask.
+                wm = (piv_gen.engine.window_masked[-1]
+                      if piv_gen.engine is not None else None)
+                wm = np.flip(wm, axis=0) if wm is not None else None
+                u, v = smooth_vector_field(u, v, mask=wm, s=s, robust=True)
+                if wm is not None:
+                    u[wm] = 0.0
+                    v[wm] = 0.0
             acc.add(u, v)
             done += 1
             self.on_progress(int(done / total * 100))
