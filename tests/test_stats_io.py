@@ -498,3 +498,36 @@ def test_preprocessed_pairs_wrapper():
     a, b = ds[0]
     assert (a == 11).all() and (b == 11).all()
     assert ds[1] == (None, None)
+
+
+def test_derived_fields_on_canonical_flows():
+    """Divergence / swirling strength / Okubo-Weiss on analytic flows
+    (stats/derived.py, beyond the reference's W/S columns)."""
+    from torchpiv_tpu.stats.derived import (derived_fields, divergence,
+                                            okubo_weiss, swirling_strength,
+                                            vorticity)
+    y, x = np.mgrid[0:32, 0:32].astype(np.float64)
+    om = 0.1
+    # solid-body rotation: divergence 0, vorticity 2*omega, swirl omega,
+    # Okubo-Weiss < 0 (rotation-dominated)
+    u_rot, v_rot = -om * (y - 16), om * (x - 16)
+    assert np.abs(divergence(u_rot, v_rot)).max() < 1e-10
+    assert np.allclose(vorticity(u_rot, v_rot), 2 * om)
+    assert np.allclose(swirling_strength(u_rot, v_rot)[1:-1, 1:-1], om)
+    assert (okubo_weiss(u_rot, v_rot)[1:-1, 1:-1] < 0).all()
+    # pure shear: swirl is exactly 0 (vorticity is not — the reason
+    # lambda_ci is the standard vortex detector), Okubo-Weiss >= 0
+    u_sh, v_sh = 0.2 * y, np.zeros_like(x)
+    assert np.allclose(swirling_strength(u_sh, v_sh), 0.0)
+    assert np.allclose(vorticity(u_sh, v_sh), -0.2)
+    assert (okubo_weiss(u_sh, v_sh) >= -1e-12).all()
+    # radial source: divergence 2a, no swirl
+    a = 0.05
+    u_src, v_src = a * (x - 16), a * (y - 16)
+    assert np.allclose(divergence(u_src, v_src), 2 * a)
+    assert np.allclose(swirling_strength(u_src, v_src), 0.0)
+    # dict API consistent with the individual functions + grid spacing
+    d = derived_fields(u_rot, v_rot, dx=2.0, dy=2.0)
+    assert set(d) == {"divergence", "vorticity", "swirling_strength",
+                      "okubo_weiss"}
+    assert np.allclose(d["vorticity"], om)  # 2*om / 2.0 spacing

@@ -1,7 +1,10 @@
 """Ensemble statistics (L4): means, Reynolds stresses, vorticity/shear;
 measurement-quality diagnostics (peak locking, SNR maps, uncertainty);
-robust field smoothing (smoothn); snapshot POD; spatial energy spectra."""
+robust field smoothing (smoothn); snapshot POD; spatial energy
+spectra; derived maps (divergence, swirling strength, Okubo-Weiss)."""
 
+from .derived import (derived_fields, divergence, okubo_weiss,
+                      swirling_strength, velocity_gradients, vorticity)
 from .ensemble import EnsembleAccumulator, compute_statistics
 from .pod import PODResult, compute_pod
 from .quality import (fractional_histogram, peak_locking_degree,
@@ -14,13 +17,19 @@ __all__ = [
     "PODResult",
     "compute_pod",
     "compute_statistics",
+    "derived_fields",
+    "divergence",
     "energy_spectrum",
     "fractional_histogram",
     "peak_locking_degree",
     "peak_width_map",
+    "okubo_weiss",
     "smooth_field",
     "smooth_vector_field",
     "snr_map",
     "spatial_spectrum",
+    "swirling_strength",
     "uncertainty_map",
+    "velocity_gradients",
+    "vorticity",
 ]
