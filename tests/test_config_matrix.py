@@ -83,3 +83,28 @@ def test_experimental_knobs_still_trace(kw):
 ])
 def test_spot_combinations_trace(kw):
     _trace(**kw)
+
+
+MASK_COMBOS = list(itertools.product(
+    ["CWS", "DWS", "DEF"],          # multipass_mode
+    [True, False],                  # validate
+    [None, "median"],               # median_filter
+    ["host", "fused"],              # infill
+))
+
+
+@pytest.mark.parametrize("mode,validate,median,infill", MASK_COMBOS)
+def test_frame_mask_matrix_traces(mode, validate, median, infill):
+    """The static ROI mask composes with every pass mode, with and
+    without validation / median filtering / fused infill."""
+    import numpy as np
+
+    mask = np.zeros(FRAME, bool)
+    mask[:64, :] = True
+    cfg = PIVConfig(frame_shape=FRAME, wind_size=32, overlap=16,
+                    multipass=2, multipass_mode=mode, validate=validate,
+                    median_filter=median, infill=infill, use_pallas="on")
+    eng = MultipassPIV(cfg, frame_mask=mask)
+    u, v, inval = jax.eval_shape(eng, F, F)
+    assert u.shape == eng.final_field_shape
+    assert inval is not None  # the mask always yields an inval field
