@@ -285,3 +285,16 @@ def test_cli_run_preprocess(folder, tmp_path, monkeypatch):
         "--save", "Save statistics", "--save-dir", str(tmp_path / "out"),
     ])
     assert rc == 0
+
+
+def test_cli_run_global_filters(folder, tmp_path, monkeypatch):
+    monkeypatch.setenv("TORCHPIV_TPU_CONFIG_DIR", str(tmp_path / "cfg"))
+    rc = cli_main([
+        "run", folder, "--device", "cpu", "--wind-size", "64",
+        "--overlap", "32", "--u-limits=-10,10", "--global-std", "5",
+        "--save", "Save statistics", "--save-dir", str(tmp_path / "out"),
+    ])
+    assert rc == 0
+    import pytest
+    with pytest.raises(SystemExit):
+        cli_main(["run", folder, "--device", "cpu", "--u-limits", "abc"])

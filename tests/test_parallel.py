@@ -329,3 +329,20 @@ def test_window_sharded_mask_with_median_filter_no_validation(batch):
     u, v, inval = jax.jit(ShardedPIV(eng, mesh))(fa[:1], fb[:1])
     wm = eng.window_masked[-1]
     assert np.asarray(inval)[:, wm].all()
+
+
+def test_window_sharded_global_filters(batch):
+    """u_limits/global_std run on the gathered full field in the sharded
+    path and match the single-device engine."""
+    fa, fb = batch
+    eng = MultipassPIV(
+        PIVConfig(frame_shape=(256, 256), wind_size=64, overlap=32,
+                  multipass=2, global_std=4.0, u_limits=(-10.0, 10.0)))
+    ru, rv, ri = jax.jit(jax.vmap(eng))(fa[:2], fb[:2])
+    mesh = make_mesh({"pairs": 2, "windows": 4})
+    u, v, inval = jax.jit(ShardedPIV(eng, mesh))(fa[:2], fb[:2])
+    agree = np.asarray(inval) == np.asarray(ri)
+    assert agree.mean() > 0.99
+    both = ~(np.asarray(inval) | np.asarray(ri)) & agree
+    du = np.abs(np.asarray(u) - np.asarray(ru))[both]
+    assert np.sqrt(np.mean(du**2)) < 0.01

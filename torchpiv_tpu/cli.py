@@ -54,6 +54,16 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         help="sub-window anti-leakage taper before correlation",
     )
     p.add_argument(
+        "--u-limits", default=None, metavar="MIN,MAX",
+        help="global u-displacement bounds in px/frame (vectors outside "
+             "are flagged invalid); use --u-limits=-5,5 for negative mins")
+    p.add_argument(
+        "--v-limits", default=None, metavar="MIN,MAX",
+        help="global v-displacement bounds in px/frame")
+    p.add_argument(
+        "--global-std", type=float, default=None, metavar="K",
+        help="global mean±K·sigma outlier test (typical K: 3-6)")
+    p.add_argument(
         "--mask", default=None, metavar="IMAGE",
         help="region-of-interest mask image (non-zero pixels = excluded, "
              "e.g. walls/model); masked windows are flagged invalid",
@@ -113,6 +123,18 @@ def cmd_run(args) -> int:
         engine_options["subpixel"] = args.subpixel
     if args.mask:
         engine_options["frame_mask"] = args.mask
+    for key, spec in (("u_limits", args.u_limits),
+                      ("v_limits", args.v_limits)):
+        if spec:
+            try:
+                lo, hi = (float(t) for t in spec.split(","))
+            except ValueError:
+                raise SystemExit(
+                    f"tpiv: --{key.replace('_', '-')} expects MIN,MAX, "
+                    f"got {spec!r}")
+            engine_options[key] = (lo, hi)
+    if args.global_std is not None:
+        engine_options["global_std"] = args.global_std
     runner = PIVRunner(
         params,
         on_progress=on_progress,
@@ -167,6 +189,18 @@ def cmd_online(args) -> int:
         engine_options["subpixel"] = args.subpixel
     if args.mask:
         engine_options["frame_mask"] = args.mask
+    for key, spec in (("u_limits", args.u_limits),
+                      ("v_limits", args.v_limits)):
+        if spec:
+            try:
+                lo, hi = (float(t) for t in spec.split(","))
+            except ValueError:
+                raise SystemExit(
+                    f"tpiv: --{key.replace('_', '-')} expects MIN,MAX, "
+                    f"got {spec!r}")
+            engine_options[key] = (lo, hi)
+    if args.global_std is not None:
+        engine_options["global_std"] = args.global_std
     piv = OnlinePIV(
         folder=args.folder,
         device=args.device,

@@ -107,6 +107,13 @@ class PIVConfig:
     # None (reference parity) | "median" | "normmedian" (Westerweel-Scarano).
     median_filter: Optional[str] = None
     median_threshold: float = 2.0
+    # Global validators (standard PIV practice, no reference counterpart;
+    # applied after the final pass, before the median filter, in the
+    # engine's pixel-displacement units): component [min, max] bounds and
+    # a mean +- k*sigma test over currently-valid vectors.
+    u_limits: Optional[Tuple[float, float]] = None
+    v_limits: Optional[Tuple[float, float]] = None
+    global_std: Optional[float] = None
     # CWS/DEF resampling kernel: "bilinear" (reference parity) or
     # "bicubic" (cubic convolution a=-0.5 — the capability of the
     # reference's dead piv_iteration_CWS_Fast, PIVbackend.py:599-675;
@@ -166,6 +173,12 @@ class PIVConfig:
             raise ValueError("subpixel='gauss2d' requires peakfit='xla'")
         if not 1 <= self.def_margin <= 8:
             raise ValueError("def_margin must be in [1, 8]")
+        for name, lim in (("u_limits", self.u_limits),
+                          ("v_limits", self.v_limits)):
+            if lim is not None and (len(lim) != 2 or not lim[0] < lim[1]):
+                raise ValueError(f"{name} must be (min, max) with min < max")
+        if self.global_std is not None and self.global_std <= 0:
+            raise ValueError("global_std must be a positive sigma multiple")
         for p, (w, o) in enumerate(self.pass_schedule()):
             # the reference would crash obscurely when the //scale schedule
             # shrinks a window to nothing (PIVbackend.py:855-857)
@@ -714,11 +727,28 @@ class MultipassPIV:
         v = jnp.where(mask_v, v0, v_new)
         return self._apply_window_mask(p, u, v, new_inval)
 
+    def _apply_global_filters(self, u, v, inval):
+        """Velocity-limits + global mean +- k*sigma tests (PIVConfig
+        ``u_limits``/``v_limits``/``global_std``); static-ROI windows are
+        excluded from the sigma statistics via ``inval``."""
+        cfg = self.config
+        if cfg.u_limits is not None or cfg.v_limits is not None:
+            from ..ops.validation import velocity_limits_test
+
+            extra = velocity_limits_test(u, v, cfg.u_limits, cfg.v_limits)
+            inval = extra if inval is None else (inval | extra)
+        if cfg.global_std is not None:
+            from ..ops.validation import global_std_test
+
+            inval = global_std_test(u, v, cfg.global_std, inval)
+        return inval
+
     def __call__(self, frame_a: jnp.ndarray, frame_b: jnp.ndarray):
         """Full multipass: raw frames -> (u, v, invalid) on the final grid."""
         u, v, inval = self.first_pass(frame_a, frame_b)
         for p in range(1, len(self.schedule)):
             u, v, inval = self._refine_pass(p, frame_a, frame_b, u, v, inval)
+        inval = self._apply_global_filters(u, v, inval)
         if self.config.median_filter is not None:
             from ..ops.validation import apply_median_filter
 

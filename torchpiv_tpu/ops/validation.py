@@ -95,3 +95,46 @@ def apply_median_filter(
     else:
         raise ValueError(f"unknown median_filter {mode!r}")
     return extra if invalid is None else (invalid | extra)
+
+
+def velocity_limits_test(
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    u_limits: Optional[tuple] = None,
+    v_limits: Optional[tuple] = None,
+) -> jnp.ndarray:
+    """Global velocity-limits filter (standard PIV practice, e.g. PIVlab's
+    first validation stage; no reference counterpart): flag vectors whose
+    components fall outside user-set [min, max] bounds, in the engine's
+    pixel-displacement units."""
+    bad = jnp.zeros(u.shape, bool)
+    if u_limits is not None:
+        bad = bad | (u < u_limits[0]) | (u > u_limits[1])
+    if v_limits is not None:
+        bad = bad | (v < v_limits[0]) | (v > v_limits[1])
+    return bad
+
+
+def global_std_test(
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    k: float = 5.0,
+    invalid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Global mean +- k*sigma filter per component (the classic global
+    outlier test), with the statistics computed over currently-VALID
+    vectors only so existing outliers cannot inflate sigma."""
+    w = (jnp.ones(u.shape) if invalid is None
+         else (~invalid).astype(u.dtype))
+    n = jnp.maximum(w.sum(), 1.0)
+
+    def bounds(f):
+        mean = (w * f).sum() / n
+        var = (w * (f - mean) ** 2).sum() / n
+        sd = jnp.sqrt(var)
+        return mean - k * sd, mean + k * sd
+
+    ulo, uhi = bounds(u)
+    vlo, vhi = bounds(v)
+    bad = (u < ulo) | (u > uhi) | (v < vlo) | (v > vhi)
+    return bad if invalid is None else (invalid | bad)

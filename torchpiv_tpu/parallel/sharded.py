@@ -186,10 +186,14 @@ class ShardedPIV:
         for p in range(1, len(eng.schedule)):
             u, v, inval = self._refine_local(p, frame_a, frame_b, u, v, inval, wr)
 
-        # ---- post-pass field ops (median filter, fused infill) ----
-        # Both need cross-shard neighbourhoods, so run them on the gathered
-        # full field (tiny [R, C] tensors) and slice the local block back out.
-        if cfg.median_filter is not None or cfg.infill == "fused":
+        # ---- post-pass field ops (global filters, median filter, fused
+        # infill) ---- all need cross-shard context (global statistics /
+        # neighbourhoods), so run them on the gathered full field (tiny
+        # [R, C] tensors) and slice the local block back out.
+        needs_full = (cfg.median_filter is not None or cfg.infill == "fused"
+                      or cfg.u_limits is not None or cfg.v_limits is not None
+                      or cfg.global_std is not None)
+        if needs_full:
             pl_ = len(eng.schedule) - 1
             Rf, Cf = eng.field_shapes[pl_]
             rloc, origins, _ = self.layouts[pl_]
@@ -197,6 +201,12 @@ class ShardedPIV:
             u_full = self._gather_full(u, pl_)
             v_full = self._gather_full(v, pl_)
             inval_full = self._gather_full(inval, pl_) >= 0.5
+            new_inval = eng._apply_global_filters(
+                u_full, v_full,
+                inval_full if (cfg.validate or eng.frame_mask is not None)
+                else None)
+            if new_inval is not None:
+                inval_full = new_inval
             if cfg.median_filter is not None:
                 inval_full = apply_median_filter(
                     u_full, v_full,
