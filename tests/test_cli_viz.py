@@ -298,3 +298,38 @@ def test_cli_run_global_filters(folder, tmp_path, monkeypatch):
     import pytest
     with pytest.raises(SystemExit):
         cli_main(["run", folder, "--device", "cpu", "--u-limits", "abc"])
+
+
+def test_cli_export_vtk(tmp_path):
+    """save_vtk + tpiv export: structurally valid legacy VTK from both the
+    CSV table and the binary pair formats, with derived scalars."""
+    from torchpiv_tpu.utils.persistence import save_binary, save_table
+
+    gx, gy = np.meshgrid(np.arange(6, dtype=float),
+                         np.arange(5, dtype=float))
+    u = 0.1 * gy
+    v = -0.2 * np.ones_like(gx)
+    save_table("field.txt", str(tmp_path), {"x[mm]": gx, "y[mm]": gy,
+                                            "Vx[m/s]": u, "Vy[m/s]": v})
+    rc = cli_main(["export", str(tmp_path / "field.txt"),
+                   "--out", str(tmp_path / "vtk"), "--derived"])
+    assert rc == 0
+    text = (tmp_path / "vtk" / "field.vtk").read_text()
+    assert "DATASET STRUCTURED_GRID" in text
+    assert "DIMENSIONS 6 5 1" in text
+    assert "POINTS 30 float" in text
+    assert "VECTORS velocity float" in text
+    assert "SCALARS vorticity float 1" in text
+    # 30 point lines + 30 vector lines present
+    assert text.count("\n") > 100
+
+    save_binary("pair.npy", str(tmp_path), {"x": gx, "y": gy,
+                                            "u": u, "v": v})
+    rc = cli_main(["export", str(tmp_path / "pair.npy"),
+                   "--out", str(tmp_path / "vtk")])
+    assert rc == 0
+    assert (tmp_path / "vtk" / "pair.vtk").exists()
+    # degenerate input
+    bad = tmp_path / "bad.npy"
+    np.save(bad, np.zeros((3, 3)))
+    assert cli_main(["export", str(bad)]) == 1

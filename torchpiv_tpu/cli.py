@@ -442,6 +442,42 @@ def cmd_pod(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Convert a saved PIV result (CSV table from ``save_table`` or
+    ``[4, R, C]`` .npy from ``save_binary``) to legacy-ASCII VTK for
+    ParaView/VisIt (beyond the reference's npy/CSV formats).  Derived maps
+    (vorticity, swirling strength) ride along as point scalars."""
+    import os
+
+    import numpy as np
+
+    from .stats.derived import derived_fields
+    from .utils.persistence import load_table, save_vtk
+
+    if args.result.endswith(".npy"):
+        arr = np.load(args.result)
+        if arr.ndim != 3 or arr.shape[0] < 4:
+            print(f"{args.result}: expected a [4, R, C] pair file",
+                  file=sys.stderr)
+            return 1
+        x, y, u, v = arr[0], arr[1], arr[2], arr[3]
+    else:
+        table = load_table(args.result)
+        cols = list(table)
+        if len(cols) < 4:
+            print(f"{args.result}: need at least x, y, u, v columns",
+                  file=sys.stderr)
+            return 1
+        x, y, u, v = (table[c] for c in cols[:4])
+    dx = float(abs(x[0, 1] - x[0, 0])) or 1.0
+    dy = float(abs(y[1, 0] - y[0, 0])) or 1.0
+    scalars = derived_fields(u, v, dx=dx, dy=dy) if args.derived else None
+    base = os.path.splitext(os.path.basename(args.result))[0] + ".vtk"
+    out = save_vtk(base, args.out, x, y, u, v, scalars=scalars)
+    print(f"wrote {out}")
+    return 0
+
+
 def cmd_watch(args) -> int:
     """Print new frame pairs as they appear (the working counterpart of the
     reference's standalone watchman.py watchdog script)."""
@@ -589,6 +625,16 @@ def main(argv=None) -> int:
                         help="must match the run's batch size (the scan "
                              "length is part of the compiled graph)")
     p_warm.set_defaults(fn=cmd_warmup)
+
+    p_exp = sub.add_parser(
+        "export", help="convert a saved result to VTK (ParaView)")
+    p_exp.add_argument("result", help="saved _statistics.txt / pair .txt "
+                                      "table or [4,R,C] pair .npy")
+    p_exp.add_argument("--out", default=".", metavar="DIR")
+    p_exp.add_argument("--derived", action="store_true",
+                       help="attach vorticity/swirl/divergence/Okubo-Weiss "
+                            "point scalars")
+    p_exp.set_defaults(fn=cmd_export)
 
     p_pod = sub.add_parser(
         "pod", help="snapshot POD of saved per-pair binary fields")

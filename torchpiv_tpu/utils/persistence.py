@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Dict
+from typing import Dict, Optional
 
 import numpy as np
 
@@ -91,3 +91,45 @@ def load_table(path: str) -> Dict[str, np.ndarray]:
     data.columns = [c.strip() for c in data.columns]
     grid = find_grid(data[data.keys()[0]].values)
     return reshape_data({k: v.values for k, v in data.items()}, grid)
+
+
+def save_vtk(name: str, path: str, x, y, u, v,
+             scalars: Optional[Dict[str, np.ndarray]] = None) -> str:
+    """Write a velocity field as legacy-ASCII VTK structured grid (beyond
+    the reference; loads directly in ParaView/VisIt).  ``x``/``y`` are the
+    [R, C] coordinate grids, ``u``/``v`` the velocity components; extra
+    per-point scalar maps (e.g. vorticity, uncertainty) go in ``scalars``.
+    Returns the (uniquified) path written.
+    """
+    os.makedirs(path, exist_ok=True)
+    out = uniquify(os.path.join(path, name))
+    x, y, u, v = (np.asarray(a, dtype=np.float64) for a in (x, y, u, v))
+    if not (x.shape == y.shape == u.shape == v.shape) or x.ndim != 2:
+        raise ValueError("save_vtk expects matching [R, C] grids")
+    r, c = x.shape
+    n = r * c
+    with open(out, "w") as f:
+        f.write("# vtk DataFile Version 3.0\n")
+        f.write("torchpiv-tpu velocity field\n")
+        f.write("ASCII\nDATASET STRUCTURED_GRID\n")
+        f.write(f"DIMENSIONS {c} {r} 1\n")
+        f.write(f"POINTS {n} float\n")
+        for i in range(r):
+            for j in range(c):
+                f.write(f"{x[i, j]:.6g} {y[i, j]:.6g} 0\n")
+        f.write(f"POINT_DATA {n}\n")
+        f.write("VECTORS velocity float\n")
+        for i in range(r):
+            for j in range(c):
+                f.write(f"{u[i, j]:.6g} {v[i, j]:.6g} 0\n")
+        for key, field in (scalars or {}).items():
+            field = np.asarray(field, dtype=np.float64)
+            if field.shape != (r, c):
+                raise ValueError(f"scalar {key!r} shape {field.shape} != "
+                                 f"grid {(r, c)}")
+            safe = "".join(ch if ch.isalnum() else "_" for ch in key)
+            f.write(f"SCALARS {safe} float 1\nLOOKUP_TABLE default\n")
+            for i in range(r):
+                for j in range(c):
+                    f.write(f"{field[i, j]:.6g}\n")
+    return out
