@@ -58,9 +58,11 @@ class CameraMapping:
     (typically mm for world, px for image).
     """
 
-    def __init__(self, coef_x: np.ndarray, coef_y: np.ndarray):
+    def __init__(self, coef_x: np.ndarray, coef_y: np.ndarray,
+                 fit_rms_px: float = float("nan")):
         self.coef_x = np.asarray(coef_x, np.float64)
         self.coef_y = np.asarray(coef_y, np.float64)
+        self.fit_rms_px = float(fit_rms_px)
 
     @classmethod
     def fit(
@@ -93,7 +95,23 @@ class CameraMapping:
         sol, *_ = np.linalg.lstsq(A[:, cols], image, rcond=None)
         cx[cols] = sol[:, 0]
         cy[cols] = sol[:, 1]
-        return cls(cx, cy)
+        rms = float(np.sqrt(np.mean((A[:, cols] @ sol - image) ** 2)))
+        return cls(cx, cy, fit_rms_px=rms)
+
+    def save(self, path: str) -> str:
+        """Persist to ``.npz`` (coefficients + fit residual)."""
+        np.savez(path, coef_x=self.coef_x, coef_y=self.coef_y,
+                 fit_rms_px=self.fit_rms_px, format=np.int64(1))
+        return path if path.endswith(".npz") else path + ".npz"
+
+    @classmethod
+    def load(cls, path: str) -> "CameraMapping":
+        with np.load(path) as d:
+            if d["coef_x"].shape != (len(_EXPONENTS),):
+                raise ValueError(
+                    f"{path}: not a torchpiv-tpu camera calibration file")
+            return cls(d["coef_x"], d["coef_y"],
+                       fit_rms_px=float(d["fit_rms_px"]))
 
     def project(self, x, y, z=0.0) -> Tuple[np.ndarray, np.ndarray]:
         """World points -> image points, preserving the input shape."""
@@ -101,6 +119,34 @@ class CameraMapping:
         z = np.broadcast_to(np.asarray(z, np.float64), shape)
         A = _basis(np.broadcast_to(x, shape), np.broadcast_to(y, shape), z)
         return (A @ self.coef_x).reshape(shape), (A @ self.coef_y).reshape(shape)
+
+    def inverse(self, X, Y, z=0.0, iters: int = 8) -> Tuple[np.ndarray, np.ndarray]:
+        """Image points -> in-plane world points at height ``z`` (Newton).
+
+        Starts from the affine part of the mapping (exact for a distortion-
+        free camera) and refines with the local 2x2 in-plane Jacobian; the
+        polynomial is smooth and near-affine over any sane field of view, so
+        a handful of iterations reach float64 roundoff.
+        """
+        shape = np.broadcast(np.asarray(X), np.asarray(Y)).shape
+        X = np.broadcast_to(np.asarray(X, np.float64), shape)
+        Y = np.broadcast_to(np.asarray(Y, np.float64), shape)
+        # affine initialisation from three probe points at this z
+        X0, Y0 = self.project(0.0, 0.0, z)
+        J0 = self.jacobian(0.0, 0.0, z)[..., :, :2]  # [2, 2]
+        rhs = np.stack([X - X0, Y - Y0], axis=-1)[..., None]
+        xy = np.linalg.solve(np.broadcast_to(J0, shape + (2, 2)), rhs)[..., 0]
+        x, y = xy[..., 0], xy[..., 1]
+        for _ in range(iters):
+            Xp, Yp = self.project(x, y, z)
+            r = np.stack([X - Xp, Y - Yp], axis=-1)[..., None]
+            J = self.jacobian(x, y, z)[..., :, :2]
+            step = np.linalg.solve(J, r)[..., 0]
+            x = x + step[..., 0]
+            y = y + step[..., 1]
+            if float(np.nanmax(np.abs(step))) < 1e-12:
+                break
+        return x, y
 
     def jacobian(self, x, y, z=0.0) -> np.ndarray:
         """``[..., 2, 3]`` d(image)/d(world) at the given world points."""
@@ -134,3 +180,42 @@ def dewarp_field(
                     np.asarray(v_px, np.float64)], axis=-1)[..., None]
     sol = np.linalg.solve(J, rhs)[..., 0]
     return sol[..., 0], sol[..., 1]
+
+
+def world_grid(x0: float, y0: float, pitch: float,
+               shape: Tuple[int, int]) -> Tuple[np.ndarray, np.ndarray]:
+    """Regular [R, C] world grid: ``x = x0 + pitch*j``, ``y = y0 + pitch*i``
+    (world y along image rows, matching the engine's row-major coordinate
+    convention — reference PIVbackend.py get_coordinates)."""
+    rows, cols = shape
+    xs = x0 + pitch * np.arange(cols, dtype=np.float64)
+    ys = y0 + pitch * np.arange(rows, dtype=np.float64)
+    return np.meshgrid(xs, ys)
+
+
+def dewarp_image(
+    mapping: CameraMapping,
+    frame: np.ndarray,
+    x0: float,
+    y0: float,
+    pitch: float,
+    shape: Tuple[int, int],
+    z: float = 0.0,
+    order: int = 1,
+) -> np.ndarray:
+    """Resample a raw camera frame onto a regular world grid.
+
+    Pixel ``(i, j)`` of the output shows the world point
+    ``(x0 + pitch*j, y0 + pitch*i, z)``; run PIV on dewarped frame pairs
+    and pixel displacements become world displacements times ``pitch``
+    directly (the per-camera input to stereo workflows that analyse in
+    the common world frame).  ``order``: 1 = bilinear, 3 = cubic spline.
+    Returns a float32 [R, C] image; world points outside the frame are 0.
+    """
+    from scipy.ndimage import map_coordinates
+
+    xg, yg = world_grid(x0, y0, pitch, shape)
+    X, Y = mapping.project(xg, yg, z)
+    return map_coordinates(
+        np.asarray(frame, np.float32), [Y, X], order=order,
+        mode="constant", cval=0.0).astype(np.float32)

@@ -478,6 +478,142 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_calib(args) -> int:
+    """Fit a Soloff camera mapping (calib/mapping.py) from calibration
+    input and save it as ``.npz`` — the per-camera step of the stereo
+    workflow (beyond the reference, which is single-camera pixel-units
+    only).  Input is either dot-target images at known plane heights
+    (``--target img.bmp:z``, repeatable) or explicit point files
+    (``--points pts.csv`` with columns x,y,z,X,Y)."""
+    import numpy as np
+
+    from .calib import CameraMapping, detect_dot_grid
+
+    worlds, images = [], []
+    for spec in args.target or []:
+        path, _, ztxt = spec.rpartition(":")
+        if not path:
+            print(f"--target {spec!r}: expected 'image.bmp:z'",
+                  file=sys.stderr)
+            return 1
+        from .io.decode import imread_gray
+
+        frame = imread_gray(path)
+        if frame is None:
+            print(f"cannot read {path}", file=sys.stderr)
+            return 1
+        try:
+            w, im = detect_dot_grid(
+                frame, spacing=args.spacing, z=float(ztxt),
+                invert=args.invert, min_area=args.min_area)
+        except ValueError as e:
+            print(f"{path}: {e}", file=sys.stderr)
+            return 1
+        print(f"{path}: {len(im)} dots at z={float(ztxt):g}")
+        worlds.append(w)
+        images.append(im)
+    for path in args.points or []:
+        pts = np.loadtxt(path, delimiter=",", skiprows=args.skiprows)
+        if pts.ndim != 2 or pts.shape[1] != 5:
+            print(f"{path}: expected 5 columns x,y,z,X,Y", file=sys.stderr)
+            return 1
+        worlds.append(pts[:, :3])
+        images.append(pts[:, 3:])
+        print(f"{path}: {len(pts)} points")
+    if not worlds:
+        print("need --target and/or --points input", file=sys.stderr)
+        return 1
+    world = np.concatenate(worlds, axis=0)
+    image = np.concatenate(images, axis=0)
+    m = CameraMapping.fit(world, image)
+    if np.ptp(world[:, 2]) == 0:
+        print("WARNING: single z plane — mapping cannot resolve "
+              "out-of-plane motion (fine for dewarp, not for stereo)",
+              file=sys.stderr)
+    m.save(args.out)
+    print(f"fit {len(world)} points, residual {m.fit_rms_px:.4f} px "
+          f"-> {args.out}")
+    return 0
+
+
+def cmd_dewarp(args) -> int:
+    """Resample a folder of raw camera frames onto a regular world grid
+    (calib/mapping.py dewarp_image).  Run PIV on the dewarped frames and
+    displacements are in world units times the grid pitch — the common-
+    grid route into stereo reconstruction."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from .calib import CameraMapping, dewarp_image
+    from .io.decode import imread_gray, imwrite_gray
+    from .utils.persistence import natural_keys
+
+    m = CameraMapping.load(args.calib)
+    files = sorted(glob.glob(os.path.join(args.folder, f"*{args.file_fmt}")),
+                   key=natural_keys)
+    if not files:
+        print(f"no *{args.file_fmt} files in {args.folder}", file=sys.stderr)
+        return 1
+    os.makedirs(args.out, exist_ok=True)
+    shape = (args.height, args.width)
+    for f in files:
+        frame = imread_gray(f)
+        if frame is None:
+            print(f"skipping unreadable {f}", file=sys.stderr)
+            continue
+        out = dewarp_image(m, frame, args.x0, args.y0, args.pitch,
+                           shape, z=args.z,
+                           order=3 if args.cubic else 1)
+        dst = os.path.join(args.out, os.path.basename(f))
+        imwrite_gray(dst, np.clip(np.round(out), 0, 255).astype(np.uint8))
+    print(f"{len(files)} frames -> {args.out}  "
+          f"(world window x0={args.x0:g} y0={args.y0:g} "
+          f"pitch={args.pitch:g}, {args.width}x{args.height})")
+    return 0
+
+
+def cmd_stereo(args) -> int:
+    """Two-camera 3C reconstruction (calib/stereo.py) from two saved PIV
+    tables computed on each camera's RAW frames.  Writes a world-grid
+    table with dx/dy/dz and the per-point 4-equation residual."""
+    from .calib import CameraMapping, reconstruct_from_grids
+    from .calib.stereo import table_to_px_field
+    from .utils.persistence import load_table, save_table, save_vtk
+
+    cam1 = CameraMapping.load(args.calib1)
+    cam2 = CameraMapping.load(args.calib2)
+    f1 = table_to_px_field(load_table(args.table1), args.scale, args.dt)
+    f2 = table_to_px_field(load_table(args.table2), args.scale, args.dt)
+    try:
+        res = reconstruct_from_grids(
+            cam1, cam2, f1, f2, z=args.z,
+            shape=tuple(args.shape) if args.shape else None)
+    except ValueError as e:
+        print(f"stereo reconstruction failed: {e}", file=sys.stderr)
+        return 1
+    import numpy as np
+
+    valid = np.isfinite(res["dz"])
+    print(f"grid {res['x'].shape[0]}x{res['x'].shape[1]}, "
+          f"{int(valid.sum())} valid points, "
+          f"median residual {np.nanmedian(res['residual']):.4f} px")
+    out = save_table(args.out_name, args.out, {
+        "x[world]": res["x"], "y[world]": res["y"],
+        "dx[world]": res["dx"], "dy[world]": res["dy"],
+        "dz[world]": res["dz"], "residual[px]": res["residual"],
+    })
+    print(f"wrote {out}")
+    if args.vtk:
+        vtk = save_vtk(args.out_name.rsplit(".", 1)[0] + ".vtk", args.out,
+                       res["x"], res["y"], res["dx"], res["dy"],
+                       scalars={"dz": res["dz"],
+                                "residual": res["residual"]})
+        print(f"wrote {vtk}")
+    return 0
+
+
 def cmd_watch(args) -> int:
     """Print new frame pairs as they appear (the working counterpart of the
     reference's standalone watchman.py watchdog script)."""
@@ -657,6 +793,63 @@ def main(argv=None) -> int:
     p_qc.add_argument("--pairs", type=int, default=4,
                       help="max pairs to scan (default 4)")
     p_qc.set_defaults(fn=cmd_qc)
+
+    p_cal = sub.add_parser(
+        "calib", help="fit a Soloff camera mapping from target images/points")
+    p_cal.add_argument("--target", action="append", metavar="IMG:Z",
+                       help="dot-target image at plane height Z (repeat "
+                            "for multiple planes)")
+    p_cal.add_argument("--points", action="append", metavar="CSV",
+                       help="explicit correspondences: columns x,y,z,X,Y")
+    p_cal.add_argument("--spacing", type=float, default=1.0,
+                       help="physical dot pitch of the target (world units)")
+    p_cal.add_argument("--invert", action="store_true",
+                       help="dark dots on a bright target")
+    p_cal.add_argument("--min-area", type=int, default=4,
+                       help="min dot area in px (noise rejection)")
+    p_cal.add_argument("--skiprows", type=int, default=0,
+                       help="header rows to skip in --points files")
+    p_cal.add_argument("--out", default="camera.npz")
+    p_cal.set_defaults(fn=cmd_calib)
+
+    p_dw = sub.add_parser(
+        "dewarp", help="resample raw frames onto a regular world grid")
+    p_dw.add_argument("folder")
+    p_dw.add_argument("--calib", required=True, help="camera .npz")
+    p_dw.add_argument("--file-fmt", default=".bmp")
+    p_dw.add_argument("--x0", type=float, required=True,
+                      help="world x of output column 0")
+    p_dw.add_argument("--y0", type=float, required=True,
+                      help="world y of output row 0")
+    p_dw.add_argument("--pitch", type=float, required=True,
+                      help="world units per output pixel")
+    p_dw.add_argument("--width", type=int, required=True)
+    p_dw.add_argument("--height", type=int, required=True)
+    p_dw.add_argument("--z", type=float, default=0.0)
+    p_dw.add_argument("--cubic", action="store_true",
+                      help="cubic-spline resampling (default bilinear)")
+    p_dw.add_argument("--out", default="./dewarped")
+    p_dw.set_defaults(fn=cmd_dewarp)
+
+    p_st = sub.add_parser(
+        "stereo", help="two-camera 3C reconstruction from saved tables")
+    p_st.add_argument("table1", help="camera-1 pair table (raw-frame run)")
+    p_st.add_argument("table2", help="camera-2 pair table")
+    p_st.add_argument("--calib1", required=True)
+    p_st.add_argument("--calib2", required=True)
+    p_st.add_argument("--z", type=float, default=0.0,
+                      help="measurement-plane height")
+    p_st.add_argument("--scale", type=float, default=1.0,
+                      help="the scale (mm/px) the PIV runs used")
+    p_st.add_argument("--dt", type=float, default=1.0,
+                      help="the dt the PIV runs used")
+    p_st.add_argument("--shape", type=int, nargs=2, metavar=("R", "C"),
+                      default=None, help="world grid size (default: cam1's)")
+    p_st.add_argument("--out", default="./Out")
+    p_st.add_argument("--out-name", default="stereo_3c.txt")
+    p_st.add_argument("--vtk", action="store_true",
+                      help="also write a VTK file with dz/residual scalars")
+    p_st.set_defaults(fn=cmd_stereo)
 
     args = parser.parse_args(argv)
     logging.basicConfig(

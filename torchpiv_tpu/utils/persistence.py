@@ -89,6 +89,9 @@ def load_table(path: str) -> Dict[str, np.ndarray]:
 
     data = pd.read_csv(path, sep=None, engine="python")
     data.columns = [c.strip() for c in data.columns]
+    # the ', ' separator leaves a leading space that stops ' nan' parsing
+    # as float (object column); coerce every column back to numeric
+    data = data.apply(pd.to_numeric, errors="coerce")
     grid = find_grid(data[data.keys()[0]].values)
     return reshape_data({k: v.values for k, v in data.items()}, grid)
 
