@@ -478,6 +478,61 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_temporal(args) -> int:
+    """Temporal analysis of a time-resolved run (stats/temporal.py; the
+    reference has no time-domain tooling at all).  Input: a folder of
+    ``[4, R, C]`` per-pair binaries; reports run-convergence numbers and,
+    for each ``--point r,c`` probe, the dominant frequency and integral
+    time scale; ``--out`` writes probe PSD + running-mean tables."""
+    import numpy as np
+
+    from .stats.temporal import (convergence_report, integral_time_scale,
+                                 load_pair_stack, probe_series,
+                                 running_mean, welch_psd)
+    from .utils.persistence import save_table
+
+    try:
+        stack = load_pair_stack(args.folder)
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    u, v = stack["u"], stack["v"]
+    rep = convergence_report(u, v, fs=args.fs)
+    print(f"{int(rep['snapshots'])} snapshots @ {args.fs:g} Hz")
+    print(f"integral time scale: {rep['integral_time_scale_s']:.4g} s  "
+          f"-> {rep['effective_samples']:.0f} independent samples")
+    print(f"mean speed {rep['mean_speed']:.4g}  "
+          f"relative SEM {rep['relative_sem']:.2%}")
+    points = []
+    for spec in args.point or []:
+        r, _, c = spec.partition(",")
+        points.append((int(r), int(c)))
+    if not points:
+        points = [(u.shape[1] // 2, u.shape[2] // 2)]
+    series = probe_series(u, v, points)
+    tables = {}
+    for name, s in series.items():
+        freqs, psd = welch_psd(s, fs=args.fs, nperseg=args.nperseg)
+        psd = np.atleast_2d(psd.T).T
+        for p, (r, c) in enumerate(points):
+            fpk = freqs[1:][int(np.nanargmax(psd[1:, p]))] if len(freqs) > 1 \
+                else 0.0
+            tis = integral_time_scale(s[:, p], fs=args.fs)
+            print(f"probe ({r},{c}) {name}: peak {fpk:.4g} Hz, "
+                  f"T_int {tis:.4g} s")
+            tables[f"psd_{name}_{r}_{c}[1]"] = psd[:, p]
+        tables.setdefault("f[Hz]", freqs)
+    if args.out:
+        out = save_table("temporal_psd.txt", args.out, tables)
+        rm = running_mean(np.hypot(series["u"], series["v"]))
+        cols = {"n[1]": np.arange(1, rm.shape[0] + 1, dtype=np.float64)}
+        for p, (r, c) in enumerate(points):
+            cols[f"runmean_speed_{r}_{c}[1]"] = rm[:, p]
+        out2 = save_table("temporal_convergence.txt", args.out, cols)
+        print(f"wrote {out}\nwrote {out2}")
+    return 0
+
+
 def cmd_calib(args) -> int:
     """Fit a Soloff camera mapping (calib/mapping.py) from calibration
     input and save it as ``.npz`` — the per-camera step of the stereo
@@ -793,6 +848,19 @@ def main(argv=None) -> int:
     p_qc.add_argument("--pairs", type=int, default=4,
                       help="max pairs to scan (default 4)")
     p_qc.set_defaults(fn=cmd_qc)
+
+    p_tmp = sub.add_parser(
+        "temporal", help="time-resolved analysis of saved binary fields")
+    p_tmp.add_argument("folder", help="folder of [4,R,C] .npy pair files")
+    p_tmp.add_argument("--fs", type=float, default=1.0,
+                       help="pair acquisition rate, Hz")
+    p_tmp.add_argument("--point", action="append", metavar="R,C",
+                       help="probe grid index (repeatable; default centre)")
+    p_tmp.add_argument("--nperseg", type=int, default=None,
+                       help="Welch segment length (default min(256, T))")
+    p_tmp.add_argument("--out", default=None, metavar="DIR",
+                       help="write PSD + running-mean tables here")
+    p_tmp.set_defaults(fn=cmd_temporal)
 
     p_cal = sub.add_parser(
         "calib", help="fit a Soloff camera mapping from target images/points")
