@@ -70,6 +70,35 @@ def test_offline_piv_physical_units(pair_folder):
     assert abs(np.median(v) - expected_v) / abs(expected_v) < 0.1
 
 
+def test_offline_piv_transfer_log(pair_folder):
+    """In-run H2D accounting: with ``transfer_log`` set, every device-put
+    batch records a (t0, t1, nbytes) interval — bench.py's drift-proof
+    achieved-vs-bound check depends on this plumbing."""
+    folder, shifts = pair_folder
+    piv = OfflinePIV(folder, device="cpu", file_fmt=".bmp", wind_size=64,
+                     overlap=32, batch_size=2)
+    piv.transfer_log = tlog = []
+    results = list(piv())
+    assert len(results) == len(shifts)
+    assert len(tlog) == 2  # 3 pairs at batch 2 -> batches of 2 and 1
+    for t0, t1, nbytes in tlog:
+        assert t1 >= t0
+    # each frame is 256x256 uint8, two frames per pair
+    assert sum(nb for _, _, nb in tlog) == len(shifts) * 2 * 256 * 256
+
+
+def test_bench_merge_intervals():
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from bench import _merge_intervals
+
+    assert _merge_intervals([]) == []
+    assert _merge_intervals([(0, 2), (1, 3), (5, 6)]) == [(0, 3), (5, 6)]
+    # containment and exact-touch both merge
+    assert _merge_intervals([(0, 10), (2, 3), (10, 12)]) == [(0, 12)]
+
+
 def test_sequential_folder_mode(pair_folder):
     folder, _ = pair_folder
     piv = OfflinePIV(folder, device="cpu", file_fmt=".bmp", wind_size=64,

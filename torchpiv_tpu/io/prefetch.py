@@ -37,6 +37,7 @@ class PairPrefetcher:
         num_threads: int = 4,
         depth: int = 2,
         first_batch_size: int | None = None,
+        transfer_log: list | None = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -47,6 +48,16 @@ class PairPrefetcher:
         # nothing to overlap with) exposes less, and the first field
         # arrives sooner; None/==batch_size disables
         self.first_batch_size = first_batch_size or batch_size
+        # Optional in-run transfer accounting: when a list is supplied,
+        # each device_put'ed batch appends ``(t_start, t_end, n_bytes)``
+        # (perf_counter seconds, transfer blocked-until-ready).  Shared
+        # links (e.g. a network tunnel to the device) drift on minute
+        # scales, so any throughput *bound* must be computed from the
+        # bandwidth observed DURING the run — bench.py merges these
+        # intervals for its achieved-vs-bound check.  Logging blocks the
+        # decode worker until the batch is device-resident; concurrent
+        # workers keep the link busy, so pipelining is preserved.
+        self.transfer_log = transfer_log
 
     def __iter__(
         self,
@@ -82,7 +93,18 @@ class PairPrefetcher:
                     a = np.stack([a for _, a, _ in keep])
                     b = np.stack([b for _, _, b in keep])
                 if self.device_put:
-                    a, b = jax.device_put(a), jax.device_put(b)
+                    if self.transfer_log is not None:
+                        import time
+
+                        nbytes = a.nbytes + b.nbytes
+                        t0 = time.perf_counter()
+                        a, b = jax.device_put(a), jax.device_put(b)
+                        a.block_until_ready()
+                        b.block_until_ready()
+                        self.transfer_log.append(
+                            (t0, time.perf_counter(), nbytes))
+                    else:
+                        a, b = jax.device_put(a), jax.device_put(b)
                 return a, b, ids
 
             it = iter(batches)

@@ -228,6 +228,11 @@ class OfflinePIV:
             self._background = np.asarray(background, dtype=np.uint8)
         self._engine: Optional[MultipassPIV] = None
         self._batched_fn = None
+        # In-run H2D accounting (``io.prefetch.PairPrefetcher``): set to a
+        # list BEFORE calling the instance and each device-placed batch
+        # appends ``(t_start, t_end, n_bytes)``.  bench.py uses this for a
+        # drift-proof achieved-vs-bound check; None (default) disables.
+        self.transfer_log: Optional[list] = None
         # ramp-up: the FIRST dispatch uses a small batch so its H2D (which
         # has nothing to overlap with) exposes less and the first field
         # arrives sooner; jit specialises the same batched fn per shape.
@@ -332,6 +337,8 @@ class OfflinePIV:
             # pre-committing them to one device would conflict
             device_put=self._mesh is None,
             first_batch_size=self._first_batch,
+            transfer_log=(self.transfer_log
+                          if self._mesh is None else None),
         )
         # With in-graph ("fused") infill the engine already filled the
         # invalid vectors on device — no host infill tail.
