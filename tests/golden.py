@@ -51,6 +51,21 @@ def correlate_fft(a, b):
     return np.fft.fftshift(f, axes=(-2, -1))
 
 
+def correlate_rpc(a, b, diameter=2.8):
+    """Robust phase correlation oracle (Eckstein & Vlachos 2008): phase-
+    normalised cross-spectrum weighted by the energy spectrum of an ideal
+    Gaussian particle image (float64, full-spectrum FFT)."""
+    n = a.shape[-1]
+    prod = np.conj(np.fft.fft2(a)) * np.fft.fft2(b)
+    mag = np.abs(prod)
+    eps = 1e-8 * mag.mean(axis=(-2, -1), keepdims=True) + 1e-30
+    kf = np.fft.fftfreq(n) * n  # signed integer frequencies
+    k2 = kf[:, None] ** 2 + kf[None, :] ** 2
+    w = np.exp(-(np.pi * diameter / n) ** 2 / 4.0 * k2)
+    f = np.fft.ifft2(prod / (mag + eps) * w).real
+    return np.fft.fftshift(f, axes=(-2, -1))
+
+
 def _second_peak_index(cor_flat, m, d, k, wind):
     cor = cor_flat.copy()
     n = cor.shape[0]

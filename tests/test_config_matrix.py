@@ -58,6 +58,31 @@ def test_correlator_matrix_traces(correlator, precision):
 
 
 @pytest.mark.parametrize("kw", [
+    dict(correlator="fft"),
+    dict(correlator="matmul"),
+    dict(multipass_mode="DEF", use_pallas="on"),
+    dict(cws_interp="bicubic", subpixel="gauss2d"),
+    dict(window_weight="gaussian", median_filter="normmedian"),
+    dict(infill="fused", peakfit="pallas"),
+])
+def test_rpc_matrix_traces(kw):
+    """correlation='rpc' composes with both correlator backends and the
+    quality knobs (it is an elementwise insert on the spectrum product)."""
+    _trace(correlation="rpc", **kw)
+
+
+def test_rpc_rejects_fused_and_bad_diameter():
+    with pytest.raises(ValueError):
+        _trace(correlation="rpc", fused="split")
+    with pytest.raises(ValueError):
+        _trace(correlation="rpc", fused="on")
+    with pytest.raises(ValueError):
+        _trace(correlation="rpc", rpc_diameter=0.0)
+    with pytest.raises(ValueError):
+        _trace(correlation="nope")
+
+
+@pytest.mark.parametrize("kw", [
     dict(fused="on"),
     dict(fused="split"),
     dict(peakfit="pallas"),

@@ -201,6 +201,48 @@ def test_correlate_matmul_matches_fft(rng):
         np.testing.assert_allclose(ours / scale, theirs / scale, atol=2e-5)
 
 
+def test_rpc_matches_golden_oracle(rng):
+    """Robust phase correlation: both correlator backends vs the float64
+    full-spectrum numpy oracle (golden.correlate_rpc) — pins the phase
+    normalisation, the spectral filter, and that |.|-normalisation
+    preserves the Hermitian symmetry the half-spectrum inverse relies on."""
+    from torchpiv_tpu.ops.correlate import correlate_matmul, rpc_filter
+
+    for n in (32, 64):
+        a = rng.normal(1.0, 0.2, (7, n, n)).astype(np.float32)
+        b = rng.normal(1.0, 0.2, (7, n, n)).astype(np.float32)
+        pf = rpc_filter(n, 2.8)
+        ref = golden.correlate_rpc(a.astype(np.float64), b.astype(np.float64))
+        s = np.abs(ref).max()
+        # tolerance note: a spectral bin whose magnitude is below the f32
+        # FFT noise floor normalises to a unit phasor whose PHASE is
+        # precision-dependent; its worst-case contribution is
+        # filter(k)/n^2 per bin (~1e-5 at n=64) — measured worst 9.6e-6
+        # over 20 random trials, so 5e-5 pins semantics with headroom.
+        ours = np.asarray(correlate_fft(
+            jnp.asarray(a), jnp.asarray(b), phase_filter=pf))
+        np.testing.assert_allclose(ours / s, ref / s, rtol=0, atol=5e-5)
+        ours = np.asarray(correlate_matmul(
+            jnp.asarray(a), jnp.asarray(b), precision="highest",
+            phase_filter=pf))
+        np.testing.assert_allclose(ours / s, ref / s, rtol=0, atol=5e-5)
+
+
+def test_rpc_scale_invariance(rng):
+    """Phase normalisation cancels any per-window intensity scale (the
+    property that makes RPC robust to illumination)."""
+    from torchpiv_tpu.ops.correlate import rpc_filter
+
+    a = rng.normal(1.0, 0.2, (3, 32, 32)).astype(np.float32)
+    b = rng.normal(1.0, 0.2, (3, 32, 32)).astype(np.float32)
+    pf = rpc_filter(32, 2.8)
+    base = np.asarray(correlate_fft(
+        jnp.asarray(a), jnp.asarray(b), phase_filter=pf))
+    scaled = np.asarray(correlate_fft(
+        jnp.asarray(a * 7.5), jnp.asarray(b * 0.3), phase_filter=pf))
+    np.testing.assert_allclose(scaled, base, rtol=0, atol=1e-5)
+
+
 class TestSAD:
     def test_fast_sad_locates_integer_shift(self):
         rng = np.random.default_rng(6)

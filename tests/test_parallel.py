@@ -242,6 +242,7 @@ def test_window_sharded_pallas_production_windows():
     dict(subpixel="gauss2d"),
     dict(window_weight="gaussian", subpixel="gauss2d"),
     dict(multipass_mode="DEF", cws_interp="bicubic"),
+    dict(correlation="rpc"),
 ])
 def test_window_sharded_quality_knobs_match_single_device(batch, kw):
     """window_weight / gauss2d must produce the SAME fields sharded as on

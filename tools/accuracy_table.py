@@ -159,6 +159,33 @@ def eval_smoothing(cfg_kw):
     return out
 
 
+def eval_rpc():
+    """SCC vs RPC across stationary-background contamination amplitudes
+    (utils.synthetic.contaminated_pair): the regime where phase
+    normalisation pays.  Returns {amp: {corr: (rms, bias)}} px, 3-seed
+    means, uniform displacement (3.3, -2.1)."""
+    from torchpiv_tpu.utils.synthetic import contaminated_pair
+
+    d = (3.3, -2.1)
+    out = {}
+    for amp in (0.0, 40.0, 80.0, 120.0):
+        out[amp] = {}
+        for corr in ("scc", "rpc"):
+            errs, biases = [], []
+            for i in range(3):
+                fa, fb = contaminated_pair(
+                    SHAPE, displacement=d, bg_amplitude=amp,
+                    density=DENSITY, noise=2.0, seed=500 + i)
+                u, v, inval, x, y = run_engine(dict(correlation=corr),
+                                               fa, fb)
+                sel = interior_sel(inval)
+                errs.append(np.sqrt(np.mean((u[sel] - d[0]) ** 2
+                                            + (v[sel] - d[1]) ** 2)))
+                biases.append(abs(np.mean(u[sel]) - d[0]))
+            out[amp][corr] = (float(np.mean(errs)), float(np.mean(biases)))
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--write", action="store_true",
@@ -167,7 +194,20 @@ def main():
                     help="comma-separated subset of config names")
     ap.add_argument("--smoothing", action="store_true",
                     help="measure the smoothn post-smoothing effect only")
+    ap.add_argument("--rpc", action="store_true",
+                    help="measure SCC vs RPC under stationary-background "
+                         "contamination only")
     args = ap.parse_args()
+
+    if args.rpc:
+        res = eval_rpc()
+        print("| bg amplitude | SCC RMS | SCC bias | RPC RMS | RPC bias |")
+        print("|---|---|---|---|---|")
+        for amp, row in res.items():
+            s, r = row["scc"], row["rpc"]
+            print(f"| {amp:.0f} | {s[0]:.4f} | {s[1]:.4f} | "
+                  f"{r[0]:.4f} | {r[1]:.4f} |")
+        return
 
     if args.smoothing:
         for name, kw in CONFIGS[:1]:  # reference-parity mode

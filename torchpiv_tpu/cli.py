@@ -77,6 +77,16 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         help="sub-pixel peak estimator (gauss2d = 9-point 2-D fit, lower "
              "bias on tilted elliptical peaks)",
     )
+    p.add_argument(
+        "--correlation", choices=["scc", "rpc"], default="scc",
+        help="correlation estimator: scc = standard cross-correlation "
+             "(default), rpc = robust phase correlation — use for images "
+             "contaminated by stationary reflections/glare",
+    )
+    p.add_argument(
+        "--rpc-diameter", type=float, default=2.8, metavar="PX",
+        help="RPC matched-filter particle image diameter in px",
+    )
     p.add_argument("-v", "--verbose", action="store_true")
 
 
@@ -112,29 +122,7 @@ def cmd_run(args) -> int:
             last["pct"] = pct
             print(f"\rprogress: {pct:3d}%", end="", file=sys.stderr, flush=True)
 
-    engine_options = {}
-    if args.median_filter != "none":
-        engine_options["median_filter"] = args.median_filter
-    if args.window_weight != "none":
-        engine_options["window_weight"] = args.window_weight
-    if args.cws_interp != "bilinear":
-        engine_options["cws_interp"] = args.cws_interp
-    if args.subpixel != "gauss3":
-        engine_options["subpixel"] = args.subpixel
-    if args.mask:
-        engine_options["frame_mask"] = args.mask
-    for key, spec in (("u_limits", args.u_limits),
-                      ("v_limits", args.v_limits)):
-        if spec:
-            try:
-                lo, hi = (float(t) for t in spec.split(","))
-            except ValueError:
-                raise SystemExit(
-                    f"tpiv: --{key.replace('_', '-')} expects MIN,MAX, "
-                    f"got {spec!r}")
-            engine_options[key] = (lo, hi)
-    if args.global_std is not None:
-        engine_options["global_std"] = args.global_std
+    engine_options = _engine_options(args)
     runner = PIVRunner(
         params,
         on_progress=on_progress,
@@ -155,6 +143,40 @@ def cmd_run(args) -> int:
     print(f"processed fields; statistics columns: {list(table.keys())}",
           file=sys.stderr)
     return 0
+
+
+def _engine_options(args) -> dict:
+    """Collect the non-default engine knobs shared by run/online/video
+    into an ``engine_options`` dict (empty entries omitted so the
+    ``PIVConfig`` defaults stay in charge)."""
+    engine_options = {}
+    if args.median_filter != "none":
+        engine_options["median_filter"] = args.median_filter
+    if args.window_weight != "none":
+        engine_options["window_weight"] = args.window_weight
+    if args.cws_interp != "bilinear":
+        engine_options["cws_interp"] = args.cws_interp
+    if args.subpixel != "gauss3":
+        engine_options["subpixel"] = args.subpixel
+    if getattr(args, "correlation", "scc") != "scc":
+        engine_options["correlation"] = args.correlation
+        if args.rpc_diameter != 2.8:
+            engine_options["rpc_diameter"] = args.rpc_diameter
+    if args.mask:
+        engine_options["frame_mask"] = args.mask
+    for key, spec in (("u_limits", args.u_limits),
+                      ("v_limits", args.v_limits)):
+        if spec:
+            try:
+                lo, hi = (float(t) for t in spec.split(","))
+            except ValueError:
+                raise SystemExit(
+                    f"tpiv: --{key.replace('_', '-')} expects MIN,MAX, "
+                    f"got {spec!r}")
+            engine_options[key] = (lo, hi)
+    if args.global_std is not None:
+        engine_options["global_std"] = args.global_std
+    return engine_options
 
 
 def _parse_smooth(value):
@@ -178,29 +200,7 @@ def _parse_smooth(value):
 def cmd_online(args) -> int:
     from .pipeline import OnlinePIV
 
-    engine_options = {}
-    if args.median_filter != "none":
-        engine_options["median_filter"] = args.median_filter
-    if args.window_weight != "none":
-        engine_options["window_weight"] = args.window_weight
-    if args.cws_interp != "bilinear":
-        engine_options["cws_interp"] = args.cws_interp
-    if args.subpixel != "gauss3":
-        engine_options["subpixel"] = args.subpixel
-    if args.mask:
-        engine_options["frame_mask"] = args.mask
-    for key, spec in (("u_limits", args.u_limits),
-                      ("v_limits", args.v_limits)):
-        if spec:
-            try:
-                lo, hi = (float(t) for t in spec.split(","))
-            except ValueError:
-                raise SystemExit(
-                    f"tpiv: --{key.replace('_', '-')} expects MIN,MAX, "
-                    f"got {spec!r}")
-            engine_options[key] = (lo, hi)
-    if args.global_std is not None:
-        engine_options["global_std"] = args.global_std
+    engine_options = _engine_options(args)
     piv = OnlinePIV(
         folder=args.folder,
         device=args.device,

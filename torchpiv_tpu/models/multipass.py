@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.correlate import correlate_fft, correlate_matmul
+from ..ops.correlate import correlate_fft, correlate_matmul, rpc_filter
 from ..ops.geometry import get_coordinates, get_field_shape
 from ..ops.infill import fused_infill
 from ..ops.peakfit import correlation_to_displacement
@@ -132,6 +132,18 @@ class PIVConfig:
     # explicit mean normalisation (the DC-fold shortcut assumes unweighted
     # windows) and the XLA chain (fused kernel rejects the combination).
     window_weight: Optional[str] = None
+    # Correlation estimator (beyond the reference, which is SCC-only):
+    #   "scc" — standard cross-correlation (reference parity);
+    #   "rpc" — robust phase correlation (Eckstein & Vlachos 2008): the
+    #     cross-spectrum is normalised to unit magnitude per frequency bin
+    #     and weighted by the energy spectrum of an ideal Gaussian particle
+    #     image of diameter ``rpc_diameter`` px (matched filter).  Robust
+    #     to broadband image noise and illumination; an elementwise insert
+    #     on the spectrum product in the XLA chain (ops/correlate.py), so
+    #     it composes with every pass mode — the experimental fused-pass
+    #     kernels reject it.
+    correlation: str = "scc"  # "scc" | "rpc"
+    rpc_diameter: float = 2.8
 
     def pass_schedule(self) -> List[Tuple[int, int]]:
         """Per-pass (wind_size, overlap), shrunk by int floor-division per
@@ -165,6 +177,16 @@ class PIVConfig:
                              "pass kernel; use fused='off'")
         if self.correlator not in ("auto", "fft", "matmul"):
             raise ValueError(f"unknown correlator {self.correlator!r}")
+        if self.correlation not in ("scc", "rpc"):
+            raise ValueError(f"unknown correlation {self.correlation!r}")
+        if self.correlation == "rpc":
+            if self.fused in ("split", "on"):
+                raise ValueError("correlation='rpc' runs in the XLA chain; "
+                                 "the fused pass kernels do not support it "
+                                 "(use fused='off')")
+            if not self.rpc_diameter > 0:
+                raise ValueError("rpc_diameter must be a positive particle "
+                                 "image diameter in px")
         if self.dft_precision not in ("default", "high", "highest"):
             raise ValueError(f"unknown dft_precision {self.dft_precision!r}")
         if self.subpixel not in ("gauss3", "gauss2d"):
@@ -274,12 +296,22 @@ class MultipassPIV:
     def _correlate(self, aa, bb, dc_normalize=False):
         """Raw circular cross-correlation (min subtraction happens in
         ``_peakfit`` so the fused kernel can fold it in; ``dc_normalize``
-        folds the first-pass mean normalisation into the spectrum product)."""
-        c = self.config.correlator
+        folds the first-pass mean normalisation into the spectrum product).
+
+        ``correlation="rpc"`` swaps the spectrum product for robust phase
+        correlation (unit-magnitude phasors x matched Gaussian filter) —
+        an elementwise insert between the forward and inverse transforms
+        in either correlator backend."""
+        cfg = self.config
+        pf = None
+        if cfg.correlation == "rpc":
+            pf = rpc_filter(aa.shape[-1], cfg.rpc_diameter)
+        c = cfg.correlator
         if c == "matmul" or (c == "auto" and jax.default_backend() == "tpu"):
             return correlate_matmul(aa, bb, dc_normalize,
-                                    precision=self.config.dft_precision)
-        return correlate_fft(aa, bb, dc_normalize)
+                                    precision=cfg.dft_precision,
+                                    phase_filter=pf)
+        return correlate_fft(aa, bb, dc_normalize, phase_filter=pf)
 
     def _peakfit(self, corr, validate):
         """Min-subtraction + sub-pixel fit + validation on raw corr maps."""

@@ -17,7 +17,8 @@ import numpy as np
 
 
 def correlate_fft(
-    images_a: jnp.ndarray, images_b: jnp.ndarray, dc_normalize: bool = False
+    images_a: jnp.ndarray, images_b: jnp.ndarray, dc_normalize: bool = False,
+    phase_filter: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Batched circular cross-correlation via rFFT over the last two dims.
 
@@ -30,16 +31,64 @@ def correlate_fft(
     corr(a, b) * w^4 / (A00 * B00)`` with ``A00 = sum(a)`` the DC
     coefficient — one scalar multiply per window instead of materialising a
     normalised copy of the whole window tensor.
+
+    ``phase_filter`` (an ``[n, n//2+1]`` real array) switches the product to
+    robust phase correlation (see ``rpc_filter``): the cross-spectrum is
+    normalised to unit magnitude per frequency bin, then weighted by the
+    filter.  Any per-window scale (so also ``dc_normalize``) cancels.
     """
     fa = jnp.fft.rfft2(images_a)
     fb = jnp.fft.rfft2(images_b)
     prod = jnp.conj(fa) * fb
-    if dc_normalize:
+    if phase_filter is not None:
+        prod = _phase_normalize(prod) * phase_filter
+    elif dc_normalize:
         n2 = float(images_a.shape[-2] * images_a.shape[-1])
         dc = jnp.real(fa[..., :1, :1]) * jnp.real(fb[..., :1, :1])
         prod = prod * (n2 * n2 / dc)
     corr = jnp.fft.irfft2(prod, s=images_a.shape[-2:])
     return jnp.fft.fftshift(corr, axes=(-2, -1))
+
+
+def _phase_normalize(prod: jnp.ndarray) -> jnp.ndarray:
+    """Cross-spectrum -> unit-magnitude phasors, guarded per window.
+
+    The guard epsilon is RELATIVE to each window's mean spectral magnitude
+    (absolute epsilons are meaningless across grey-level scales); bins that
+    are structurally zero (e.g. uniform windows) stay zero instead of
+    amplifying to unit magnitude.
+    """
+    mag = jnp.abs(prod)
+    eps = 1e-8 * jnp.mean(mag, axis=(-2, -1), keepdims=True) + 1e-30
+    return prod / (mag + eps)
+
+
+@lru_cache(maxsize=8)
+def _rpc_filter_np(n: int, diameter: float) -> np.ndarray:
+    """[n, n//2+1] spectral energy filter of an ideal Gaussian particle
+    image of effective diameter ``diameter`` px (rows full spectrum in
+    natural DFT order, columns rfft half spectrum).
+
+    RPC (Eckstein & Vlachos, Meas. Sci. Technol. 19, 2008): phase-only
+    correlation whitens the spectrum, turning the correlation peak into a
+    delta plus amplified high-frequency noise; weighting the phasors by the
+    expected particle-image energy spectrum restores a Gaussian-shaped peak
+    (matched filter) while keeping the phase normalisation's robustness to
+    illumination and window-overlap bias.  A particle image
+    ``exp(-8 r^2 / d^2)`` has energy spectrum ``exp(-omega^2 d^2 / 16)``
+    with ``omega = 2 pi k / n``.
+    """
+    k_row = ((np.arange(n) + n // 2) % n) - n // 2  # signed frequencies
+    k_col = np.arange(n // 2 + 1)
+    k2 = (k_row.astype(np.float64) ** 2)[:, None] + \
+        (k_col.astype(np.float64) ** 2)[None, :]
+    w = np.exp(-(np.pi * diameter / n) ** 2 / 4.0 * k2)
+    return w.astype(np.float32)
+
+
+def rpc_filter(n: int, diameter: float = 2.8) -> jnp.ndarray:
+    """The RPC spectral filter as a device array (see ``_rpc_filter_np``)."""
+    return jnp.asarray(_rpc_filter_np(n, float(diameter)))
 
 
 @lru_cache(maxsize=8)
@@ -82,7 +131,7 @@ def _dft_matrices_half(n: int):
 
 def correlate_matmul(
     images_a: jnp.ndarray, images_b: jnp.ndarray, dc_normalize: bool = False,
-    precision: str = "high",
+    precision: str = "high", phase_filter: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Cross-correlation with the DFTs computed as dense matmuls on the MXU.
 
@@ -126,7 +175,13 @@ def correlate_matmul(
     A = dft2_half(images_a.reshape(-1, n, n).astype(jnp.float32))
     B = dft2_half(images_b.reshape(-1, n, n).astype(jnp.float32))
     C = jnp.conj(A) * B  # inherits the half-spectrum symmetry
-    if dc_normalize:
+    if phase_filter is not None:
+        # robust phase correlation: |.|-normalisation and the (symmetric,
+        # real) filter both preserve the Hermitian column symmetry the
+        # half-spectrum inverse (Mh) relies on; per-window scales (so also
+        # dc_normalize) cancel in the normalisation.
+        C = _phase_normalize(C) * phase_filter
+    elif dc_normalize:
         # mean normalisation as one per-window scalar on the spectrum
         # product: A00 = sum(a), mean_a = A00 / n^2.
         dc = jnp.real(A[..., :1, :1]) * jnp.real(B[..., :1, :1])

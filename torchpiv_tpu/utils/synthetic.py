@@ -105,3 +105,42 @@ def shear_flow(u0: float = 1.0, du_dy: float = 0.004):
         return u0 + du_dy * ys, np.zeros_like(xs)
 
     return disp
+
+
+def static_background(
+    shape: Tuple[int, int],
+    amplitude: float,
+    seed: int = 0,
+    smoothness: int = 12,
+) -> np.ndarray:
+    """Stationary textured background (wall reflections / laser glare):
+    a smooth non-negative random field, meant to be ADDED to both frames
+    of a pair.  Such frame-correlated contamination plants a spurious
+    zero-displacement peak in standard cross-correlation; it is the regime
+    where robust phase correlation (``PIVConfig(correlation="rpc")``)
+    materially beats SCC (see docs/ACCURACY.md)."""
+    from scipy.ndimage import uniform_filter
+
+    rng = np.random.default_rng(seed)
+    f = rng.normal(0.0, 1.0, shape)
+    for _ in range(3):
+        f = uniform_filter(f, smoothness, mode="reflect")
+    f = f / np.abs(f).max() * amplitude
+    return f - f.min()
+
+
+def contaminated_pair(
+    shape: Tuple[int, int],
+    displacement=(3.3, -2.1),
+    bg_amplitude: float = 80.0,
+    seed: int = 0,
+    **pair_kwargs,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """A ``particle_pair`` with a stationary background added to both
+    frames (amplitude in grey levels), clipped back to uint8."""
+    fa, fb = particle_pair(shape, displacement=displacement, seed=seed,
+                           **pair_kwargs)
+    bg = static_background(shape, bg_amplitude, seed=seed + 7919)
+    fa = np.clip(fa.astype(np.float64) + bg, 0, 255).astype(np.uint8)
+    fb = np.clip(fb.astype(np.float64) + bg, 0, 255).astype(np.uint8)
+    return fa, fb
