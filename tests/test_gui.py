@@ -415,3 +415,36 @@ def test_runner_extras_mask_preprocess_smooth(gui, tmp_path):
     u = table["Vx[m/s]"]
     assert (u[-2:] == 0).all()
     assert win.start_btn.text() == "Start PIV"
+
+
+def test_correlation_combo_flows_into_engine(gui, tmp_path, monkeypatch):
+    """The Correlation combo (scc/rpc) flows from the SettingsForm into
+    the runner's engine_options."""
+    frames = str(tmp_path / "frames")
+    _write_pairs(frames)
+
+    win = gui.MainWindow()
+    win.params.folder = frames
+    win.params.wind_size = 32
+    win.params.overlap = 16
+    win.params.multipass = 1
+    win.params.save_opt = "Dont save"
+    win.settings.wind.setValue(32)
+    win.settings.ovl.setValue(16)
+    win.settings.mp.setValue(1)
+    win.settings.save_dir.setText(str(tmp_path / "out"))
+    win.settings.correlation.setCurrentText("rpc")
+
+    seen = {}
+    import torchpiv_tpu.pipeline as pl
+
+    orig = pl.OfflinePIV.__init__
+
+    def spy(self, *a, **kw):
+        seen.update(kw.get("engine_options") or {})
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(pl.OfflinePIV, "__init__", spy)
+    win.start_btn.click()
+    win.thread.wait()
+    assert seen.get("correlation") == "rpc"

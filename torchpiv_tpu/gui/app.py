@@ -247,6 +247,8 @@ if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
             self.mask_path.setPlaceholderText("none")
             self.preprocess = QtWidgets.QComboBox()
             self.preprocess.addItems(["none", "clahe", "stretch"])
+            self.correlation = QtWidgets.QComboBox()
+            self.correlation.addItems(["scc", "rpc"])
             self.smooth_cb = QtWidgets.QCheckBox("smoothn (GCV)")
             for label, widget in [
                 ("File format", self.fmt), ("Window size [px]", self.wind),
@@ -258,6 +260,7 @@ if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
                 ("Folder mode", self.folder_mode),
                 ("Mask image", self.mask_path),
                 ("Preprocess", self.preprocess),
+                ("Correlation", self.correlation),
                 ("Smooth fields", self.smooth_cb),
             ]:
                 form.addRow(label, widget)
@@ -488,9 +491,13 @@ if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
                 return
             s = self.settings
             extra = {}
+            eopts = {}
             if s.mask_path.text().strip():
-                extra["engine_options"] = {
-                    "frame_mask": s.mask_path.text().strip()}
+                eopts["frame_mask"] = s.mask_path.text().strip()
+            if s.correlation.currentText() != "scc":
+                eopts["correlation"] = s.correlation.currentText()
+            if eopts:
+                extra["engine_options"] = eopts
             if s.preprocess.currentText() != "none":
                 extra["preprocess"] = s.preprocess.currentText()
             if s.smooth_cb.isChecked():
