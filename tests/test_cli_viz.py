@@ -333,3 +333,38 @@ def test_cli_export_vtk(tmp_path):
     bad = tmp_path / "bad.npy"
     np.save(bad, np.zeros((3, 3)))
     assert cli_main(["export", str(bad)]) == 1
+
+
+def test_doctor_reports_all_checks(capsys, monkeypatch, tmp_path):
+    """tpiv doctor runs every check on CPU and exits 0 when healthy."""
+    monkeypatch.setenv("TORCHPIV_CACHE_DIR", str(tmp_path / "cache"))
+    rc = cli_main(["doctor", "--device", "cpu", "--bandwidth-mb", "1"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    for name in ("jax devices", "versions", "compile cache",
+                 "native decoder", "h2d bandwidth", "dispatch latency",
+                 "engine smoke"):
+        assert name in out, out
+    assert "7/7 checks passed" in out
+    assert "= truth (3.3, -2.1)" in out
+
+
+def test_doctor_no_engine_and_failure_exit(capsys, monkeypatch, tmp_path):
+    """--no-engine skips the smoke test; a failing check flips the exit
+    code and is named in the summary."""
+    monkeypatch.setenv("TORCHPIV_CACHE_DIR", str(tmp_path / "cache"))
+    rc = cli_main(["doctor", "--device", "cpu", "--no-engine",
+                   "--bandwidth-mb", "1"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "engine smoke" not in out
+    assert "6/6 checks passed" in out
+
+    from torchpiv_tpu.native import loader as fastio
+
+    monkeypatch.setattr(fastio, "available", lambda: False)
+    rc = cli_main(["doctor", "--device", "cpu", "--no-engine",
+                   "--bandwidth-mb", "1"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "FAILED: native decoder" in out

@@ -280,6 +280,19 @@ def cmd_bench(args) -> int:
                                          "bench.py")])
 
 
+def cmd_doctor(args) -> int:
+    """Environment self-check before a production run: devices, compile
+    cache, native decoder, host->device bandwidth, dispatch latency, and
+    an engine smoke test against known synthetic flow."""
+    from .utils.doctor import format_report, run_doctor
+
+    results = run_doctor(device=args.device,
+                         engine_check=not args.no_engine,
+                         bandwidth_mb=args.bandwidth_mb)
+    print(format_report(results))
+    return 0 if all(r["ok"] for r in results) else 1
+
+
 def cmd_warmup(args) -> int:
     """Precompile the engine for a frame shape + config into the persistent
     compile cache, so the FIRST real run on a fresh process starts in
@@ -802,6 +815,16 @@ def main(argv=None) -> int:
 
     p_bench = sub.add_parser("bench", help="run the headline benchmark")
     p_bench.set_defaults(fn=cmd_bench)
+
+    p_doc = sub.add_parser(
+        "doctor", help="environment self-check (devices, cache, decoder, "
+                       "bandwidth, engine smoke test)")
+    p_doc.add_argument("--device", default="auto")
+    p_doc.add_argument("--no-engine", action="store_true",
+                       help="skip the engine smoke test (fast, no compile)")
+    p_doc.add_argument("--bandwidth-mb", type=int, default=64,
+                       help="host->device probe size in MB")
+    p_doc.set_defaults(fn=cmd_doctor)
 
     p_warm = sub.add_parser(
         "warmup", help="precompile the engine into the persistent cache")

@@ -1,0 +1,183 @@
+"""Environment self-check (``tpiv doctor``): verify a production host is
+ready before a long acquisition run — device visibility, persistent
+compile cache, native decoder, host->device bandwidth, and an engine
+smoke test with known synthetic flow.
+
+The reference has no counterpart (its closest analog is crashing at
+import when CUDA enumeration fails, PIVbackend.py:13-18); on a
+network-attached dev TPU this check also surfaces tunnel degradation
+before it corrupts a benchmark (the link drifts 4 MB/s..1.2 GB/s —
+see docs/ROADMAP.md).
+"""
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+from typing import Callable, Dict, List, Optional
+
+
+def _check(results: List[dict], name: str, fn: Callable[[], str]):
+    """Run one named check, capturing ok/detail/exception."""
+    t0 = time.perf_counter()
+    try:
+        detail = fn()
+        results.append(dict(name=name, ok=True, detail=detail,
+                            seconds=round(time.perf_counter() - t0, 2)))
+    except Exception as e:  # noqa: BLE001 - each check reports, not raises
+        results.append(dict(name=name, ok=False, detail=f"{e!r}",
+                            seconds=round(time.perf_counter() - t0, 2)))
+
+
+def run_doctor(device: str = "auto", engine_check: bool = True,
+               bandwidth_mb: int = 64) -> List[dict]:
+    """Run all checks; returns a list of
+    ``{name, ok, detail, seconds}`` dicts (order = execution order)."""
+    results: List[dict] = []
+
+    def jax_devices():
+        import jax
+
+        devs = jax.devices()
+        plats = sorted({d.platform for d in devs})
+        return f"{len(devs)} device(s), platform(s) {plats}: {devs[:4]}"
+
+    _check(results, "jax devices", jax_devices)
+
+    def versions():
+        import jax
+        import jaxlib
+        import numpy
+
+        return (f"jax {jax.__version__}, jaxlib {jaxlib.__version__}, "
+                f"numpy {numpy.__version__}")
+
+    _check(results, "versions", versions)
+
+    def cache():
+        from .compile_cache import enable_compile_cache
+
+        d = enable_compile_cache()
+        if d is None:
+            raise RuntimeError("compile cache disabled or directory "
+                               "not creatable (TORCHPIV_NO_COMPILE_CACHE?)")
+        if not os.path.isdir(d):
+            raise RuntimeError(f"cache dir missing: {d}")
+        probe = os.path.join(d, ".doctor_probe")
+        with open(probe, "w") as f:
+            f.write("ok")
+        os.remove(probe)
+        n = sum(1 for x in os.listdir(d) if not x.startswith("."))
+        return f"{d} writable, {n} cached executables"
+
+    _check(results, "compile cache", cache)
+
+    def native():
+        import numpy as np
+
+        from ..io.decode import imwrite_gray
+        from ..native import loader as fastio
+
+        if not fastio.available():
+            raise RuntimeError("native fastio unavailable (C++ toolchain "
+                               "missing?) — python decoder fallback active")
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, "probe.bmp")
+            img = np.arange(64 * 64, dtype=np.uint8).reshape(64, 64)
+            imwrite_gray(p, img)
+            dims = fastio.probe_gray(p)
+            frames, status = fastio.read_batch_gray([p], dims, threads=1)
+            if status[0] != 0 or not (frames[0] == img).all():
+                raise RuntimeError("native decode round-trip mismatch")
+        return "C++ decoder round-trip ok"
+
+    _check(results, "native decoder", native)
+
+    def bandwidth():
+        import jax
+        import numpy as np
+
+        blob = np.zeros((bandwidth_mb, 1024, 1024), np.uint8)
+        t = time.perf_counter()
+        jax.device_put(blob).block_until_ready()
+        dt = time.perf_counter() - t
+        mbps = blob.nbytes / 2**20 / dt
+        frame_mb = 4.0  # 4 MP uint8
+        note = ""
+        if mbps < 100:
+            note = (" — SLOW for sustained 4 MP ingest "
+                    f"(~{mbps / (2 * frame_mb):.1f} pairs/s H2D bound); "
+                    "fine if frames are staged once")
+        return f"host->device {mbps:.0f} MB/s ({bandwidth_mb} MB probe){note}"
+
+    _check(results, "h2d bandwidth", bandwidth)
+
+    def dispatch():
+        import jax
+        import jax.numpy as jnp
+
+        f = jax.jit(lambda x: x + 1)
+        x = jnp.zeros((8, 8))
+        f(x).block_until_ready()  # compile
+        t = time.perf_counter()
+        reps = 10
+        for i in range(reps):
+            # block EVERY call: chained async dispatches would measure
+            # pipelined throughput, not the per-dispatch round trip
+            x = f(x)
+            x.block_until_ready()
+        ms = (time.perf_counter() - t) / reps * 1000
+        note = " — network-attached device?" if ms > 5 else ""
+        return f"{ms:.1f} ms/dispatch round trip{note}"
+
+    _check(results, "dispatch latency", dispatch)
+
+    if engine_check:
+        def engine():
+            import jax
+            import jax.numpy as jnp
+            import numpy as np
+
+            from ..models import MultipassPIV, PIVConfig
+            from ..pipeline import DeviceMap
+            from .synthetic import particle_pair
+
+            dev = DeviceMap.resolve(device)
+            kw = {} if dev.platform == "tpu" else {"use_pallas": "off"}
+            d = (3.3, -2.1)
+            fa, fb = particle_pair((256, 256), displacement=d, seed=1)
+            cfg = PIVConfig(frame_shape=(256, 256), wind_size=64,
+                            overlap=32, multipass=2, **kw)
+            with jax.default_device(dev):
+                t0 = time.perf_counter()
+                u, v, inval = jax.jit(MultipassPIV(cfg))(
+                    jnp.asarray(fa), jnp.asarray(fb))
+                u = np.asarray(u)
+                v = np.asarray(v)
+                compile_s = time.perf_counter() - t0
+            eu = abs(float(np.median(u)) - d[0])
+            ev = abs(float(np.median(v)) - d[1])
+            if eu > 0.1 or ev > 0.1:
+                raise RuntimeError(
+                    f"engine recovered ({np.median(u):.2f}, "
+                    f"{np.median(v):.2f}), expected {d}")
+            return (f"recovered ({np.median(u):.2f}, {np.median(v):.2f}) "
+                    f"= truth {d} on {dev} "
+                    f"(compile+run {compile_s:.1f} s)")
+
+        _check(results, "engine smoke", engine)
+
+    return results
+
+
+def format_report(results: List[dict]) -> str:
+    lines = []
+    for r in results:
+        mark = "ok " if r["ok"] else "FAIL"
+        lines.append(f"[{mark}] {r['name']:16s} {r['detail']}")
+    bad = [r for r in results if not r["ok"]]
+    lines.append(
+        f"{len(results) - len(bad)}/{len(results)} checks passed"
+        + ("" if not bad else
+           " — FAILED: " + ", ".join(r["name"] for r in bad)))
+    return "\n".join(lines)
