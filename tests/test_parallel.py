@@ -347,3 +347,33 @@ def test_window_sharded_global_filters(batch):
     both = ~(np.asarray(inval) | np.asarray(ri)) & agree
     du = np.abs(np.asarray(u) - np.asarray(ru))[both]
     assert np.sqrt(np.mean(du**2)) < 0.01
+
+
+def test_window_sharded_second_peak_fallback():
+    """The vector-recovery ladder runs on the gathered full field: the
+    sharded result (rescued vectors included) matches the single-device
+    engine."""
+    pairs = [particle_pair((256, 256), displacement=(6.0, -4.5), seed=s,
+                           density=0.0035, noise=14.0) for s in (2, 5)]
+    fa = jnp.asarray(np.stack([p[0] for p in pairs]))
+    fb = jnp.asarray(np.stack([p[1] for p in pairs]))
+    eng = MultipassPIV(PIVConfig(frame_shape=(256, 256), wind_size=64,
+                                 overlap=32, multipass=2,
+                                 median_filter="normmedian",
+                                 second_peak_fallback=True))
+    mesh = make_mesh({"pairs": 2, "windows": 4})
+    sharded = ShardedPIV(eng, mesh)
+    u, v, inval = jax.jit(sharded)(fa, fb)
+    ru, rv, ri = jax.jit(jax.vmap(eng))(fa, fb)
+    agree = np.asarray(inval) == np.asarray(ri)
+    assert agree.mean() > 0.99
+    both = ~(np.asarray(inval).astype(bool) | np.asarray(ri)) & agree
+    for got, ref in ((u, ru), (v, rv)):
+        d = np.abs(np.asarray(got) - np.asarray(ref))[both]
+        assert np.sqrt(np.mean(d**2)) < 0.01
+    # sanity: the fallback actually rescued something on this input
+    eng0 = MultipassPIV(PIVConfig(frame_shape=(256, 256), wind_size=64,
+                                  overlap=32, multipass=2,
+                                  median_filter="normmedian"))
+    _, _, ri0 = jax.jit(jax.vmap(eng0))(fa, fb)
+    assert int(np.asarray(ri0).sum()) > int(np.asarray(ri).sum())

@@ -134,3 +134,112 @@ def test_global_filters_in_engine():
     with pytest.raises(ValueError):
         PIVConfig(frame_shape=(256, 256), wind_size=32, overlap=16,
                   global_std=-1.0)
+
+
+# ---- second-peak fallback (vector-recovery ladder, beyond the reference) --
+
+def test_peakfit_return_second_locates_secondary_peak():
+    """return_second fits the second peak with the same estimator."""
+    from torchpiv_tpu.ops.peakfit import correlation_to_displacement
+
+    k = 32
+    yy, xx = np.mgrid[0:k, 0:k].astype(float)
+
+    def gauss(cy, cx, a, s=1.3):
+        return a * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s * s))
+
+    c = k // 2
+    maps = []
+    truths = []
+    for (p1, p2) in [(((2.25, 1.5), 1.0), ((-5.0, 6.75), 0.6)),
+                     (((0.0, -4.5), 1.0), ((7.5, 7.5), 0.5))]:
+        (dy1, dx1), a1 = p1
+        (dy2, dx2), a2 = p2
+        maps.append(gauss(c + dy1, c + dx1, a1) + gauss(c + dy2, c + dx2, a2))
+        truths.append(((dx1, dy1), (dx2, dy2)))
+    corr = jnp.asarray(np.stack(maps))
+    u, v, inval, (u2, v2) = correlation_to_displacement(
+        corr, validate=True, return_second=True)
+    for i, ((du1, dv1), (du2t, dv2t)) in enumerate(truths):
+        assert abs(float(u[i]) - du1) < 0.05
+        assert abs(float(v[i]) - dv1) < 0.05
+        assert abs(float(u2[i]) - du2t) < 0.05
+        assert abs(float(v2[i]) - dv2t) < 0.05
+
+    import pytest
+    with pytest.raises(ValueError):
+        correlation_to_displacement(corr, validate=False, return_second=True)
+
+
+def test_second_peak_acceptance_unit():
+    from torchpiv_tpu.ops.validation import second_peak_acceptance
+
+    u = np.full((9, 9), 3.0)
+    v = np.full((9, 9), -2.0)
+    inval = np.zeros((9, 9), bool)
+    inval[4, 4] = True
+    # isolated hole in a big valid block
+    good = second_peak_acceptance(
+        jnp.asarray(u), jnp.asarray(v), jnp.asarray(inval),
+        jnp.asarray(u + 0.05), jnp.asarray(v - 0.05))
+    assert bool(good[4, 4]) and int(np.asarray(good).sum()) == 1
+    # inconsistent candidate rejected
+    bad = second_peak_acceptance(
+        jnp.asarray(u), jnp.asarray(v), jnp.asarray(inval),
+        jnp.asarray(u + 10.0), jnp.asarray(v))
+    assert not np.asarray(bad).any()
+    # a hole bigger than BOTH rings cannot self-certify its center
+    inval2 = np.zeros((11, 11), bool)
+    inval2[1:10, 1:10] = True
+    ok2 = second_peak_acceptance(
+        jnp.asarray(np.full((11, 11), 3.0)),
+        jnp.asarray(np.full((11, 11), -2.0)), jnp.asarray(inval2),
+        jnp.asarray(np.full((11, 11), 3.0)),
+        jnp.asarray(np.full((11, 11), -2.0)))
+    assert not bool(np.asarray(ok2)[5, 5])
+    # acceptance is always a subset of the invalid set
+    assert not (np.asarray(ok2) & ~inval2).any()
+
+
+def test_engine_second_peak_fallback_rescues_noise_outliers():
+    """Sparse seeding + heavy noise: the recovery ladder turns a good
+    fraction of flagged vectors back into real (correct) measurements and
+    never touches already-valid vectors."""
+    d = (6.0, -4.5)
+    fa, fb = particle_pair((512, 512), displacement=d, density=0.0035,
+                           noise=14.0, seed=2)
+    base = dict(frame_shape=(512, 512), wind_size=64, overlap=32,
+                multipass=2, median_filter="normmedian")
+    out = {}
+    for fb_on in (False, True):
+        cfg = PIVConfig(**base, second_peak_fallback=fb_on)
+        u, v, inval = jax.jit(MultipassPIV(cfg))(jnp.asarray(fa),
+                                                 jnp.asarray(fb))
+        out[fb_on] = tuple(map(np.asarray, (u, v, inval)))
+    u0, v0, i0 = out[False]
+    u1, v1, i1 = out[True]
+    rescued = i0 & ~i1
+    assert rescued.sum() >= 5, (int(i0.sum()), int(rescued.sum()))
+    # no un-rescue: the with-fallback invalid set is a subset
+    assert not (i1 & ~i0).any()
+    # every rescued vector is a real measurement, not a plausible error
+    err = np.hypot(u1 - d[0], v1 - d[1])
+    assert (err[rescued] < 1.0).all(), np.sort(err[rescued])[::-1][:5]
+    # vectors that were already valid are bit-identical
+    assert (u0[~i0] == u1[~i0]).all() and (v0[~i0] == v1[~i0]).all()
+
+
+def test_second_peak_fallback_config_validation():
+    import pytest
+
+    base = dict(frame_shape=(256, 256), wind_size=32, overlap=16)
+    with pytest.raises(ValueError):
+        PIVConfig(**base, second_peak_fallback=True, validate=False)
+    with pytest.raises(ValueError):
+        PIVConfig(**base, second_peak_fallback=True, peakfit="pallas")
+    with pytest.raises(ValueError):
+        PIVConfig(**base, second_peak_fallback=True, fused="split")
+    with pytest.raises(ValueError):
+        PIVConfig(**base, second_peak_fallback=True, fallback_threshold=0.0)
+    # valid combination constructs
+    PIVConfig(**base, second_peak_fallback=True, median_filter="normmedian")

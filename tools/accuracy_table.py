@@ -186,6 +186,61 @@ def eval_rpc():
     return out
 
 
+def eval_rescue():
+    """Second-peak-fallback recall/precision: (a) scattered noise-induced
+    outliers (sparse seeding + heavy sensor noise, 8 seeds) — the regime
+    the recovery ladder targets; (b) a coherently-contaminated static
+    glare blob, where the neighbour statistics are corrupted and the safe
+    answer is to rescue NOTHING.  Uniform displacement (6.0, -4.5) px —
+    outside the +-validation_window exclusion zone, so the true peak is
+    visible to the second-peak search."""
+    d = (6.0, -4.5)
+    base = dict(frame_shape=SHAPE, wind_size=64, overlap=32, multipass=2,
+                median_filter="normmedian")
+    import jax
+    import jax.numpy as jnp
+
+    from torchpiv_tpu.models import MultipassPIV, PIVConfig
+
+    engines = {fb: jax.jit(MultipassPIV(PIVConfig(
+        **base, second_peak_fallback=fb))) for fb in (False, True)}
+
+    def run_pair(fa, fb_):
+        out = {}
+        for k, e in engines.items():
+            u, v, inval = e(jnp.asarray(fa), jnp.asarray(fb_))
+            out[k] = tuple(np.asarray(t) for t in (u, v, inval))
+        return out
+
+    tot = dict(invalid=0, rescued=0, bad=0)
+    for seed in range(8):
+        fa, fb_ = particle_pair(SHAPE, displacement=d, density=0.0035,
+                                noise=14.0, seed=seed)
+        out = run_pair(fa, fb_)
+        u0, v0, i0 = out[False]
+        u1, v1, i1 = out[True]
+        rescued = i0 & ~i1
+        err = np.hypot(u1 - d[0], v1 - d[1])
+        tot["invalid"] += int(i0.sum())
+        tot["rescued"] += int(rescued.sum())
+        tot["bad"] += int((rescued & (err > 1.0)).sum())
+
+    # coherent static glare: 64x64 strong blob identical in both frames
+    rng = np.random.default_rng(7)
+    fa, fb_ = particle_pair(SHAPE, displacement=d, seed=3)
+    fa = fa.astype(np.float64)
+    fb_ = fb_.astype(np.float64)
+    blob = rng.uniform(0, 255, (64, 64))
+    for f in (fa, fb_):
+        f[224:288, 224:288] = 0.55 * f[224:288, 224:288] + 0.9 * blob
+    fa = np.clip(fa, 0, 255).astype(np.uint8)
+    fb_ = np.clip(fb_, 0, 255).astype(np.uint8)
+    out = run_pair(fa, fb_)
+    glare = dict(invalid=int(out[False][2].sum()),
+                 rescued=int((out[False][2] & ~out[True][2]).sum()))
+    return tot, glare
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--write", action="store_true",
@@ -197,7 +252,19 @@ def main():
     ap.add_argument("--rpc", action="store_true",
                     help="measure SCC vs RPC under stationary-background "
                          "contamination only")
+    ap.add_argument("--rescue", action="store_true",
+                    help="measure second-peak-fallback recall/precision")
     args = ap.parse_args()
+
+    if args.rescue:
+        tot, glare = eval_rescue()
+        rc = 100 * tot["rescued"] / max(tot["invalid"], 1)
+        print(f"noise outliers (8 seeds): invalid {tot['invalid']}, "
+              f"rescued {tot['rescued']} ({rc:.0f}%), "
+              f">1 px mistakes {tot['bad']}")
+        print(f"coherent glare blob: invalid {glare['invalid']}, "
+              f"rescued {glare['rescued']} (0 = correctly left to infill)")
+        return
 
     if args.rpc:
         res = eval_rpc()

@@ -87,6 +87,12 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         "--rpc-diameter", type=float, default=2.8, metavar="PX",
         help="RPC matched-filter particle image diameter in px",
     )
+    p.add_argument(
+        "--second-peak-fallback", action="store_true",
+        help="vector-recovery ladder: re-validate flagged vectors and try "
+             "the second correlation peak against valid neighbours before "
+             "infilling (rescued vectors are real measurements)",
+    )
     p.add_argument("-v", "--verbose", action="store_true")
 
 
@@ -176,6 +182,8 @@ def _engine_options(args) -> dict:
             engine_options[key] = (lo, hi)
     if args.global_std is not None:
         engine_options["global_std"] = args.global_std
+    if getattr(args, "second_peak_fallback", False):
+        engine_options["second_peak_fallback"] = True
     return engine_options
 
 

@@ -250,6 +250,7 @@ if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
             self.correlation = QtWidgets.QComboBox()
             self.correlation.addItems(["scc", "rpc"])
             self.smooth_cb = QtWidgets.QCheckBox("smoothn (GCV)")
+            self.rescue_cb = QtWidgets.QCheckBox("second-peak rescue")
             for label, widget in [
                 ("File format", self.fmt), ("Window size [px]", self.wind),
                 ("Overlap [px]", self.ovl), ("Multipass mode", self.mode),
@@ -262,6 +263,7 @@ if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
                 ("Preprocess", self.preprocess),
                 ("Correlation", self.correlation),
                 ("Smooth fields", self.smooth_cb),
+                ("Vector rescue", self.rescue_cb),
             ]:
                 form.addRow(label, widget)
             confirm = QtWidgets.QPushButton("Confirm")
@@ -496,6 +498,8 @@ if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
                 eopts["frame_mask"] = s.mask_path.text().strip()
             if s.correlation.currentText() != "scc":
                 eopts["correlation"] = s.correlation.currentText()
+            if s.rescue_cb.isChecked():
+                eopts["second_peak_fallback"] = True
             if eopts:
                 extra["engine_options"] = eopts
             if s.preprocess.currentText() != "none":

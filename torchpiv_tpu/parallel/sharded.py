@@ -172,7 +172,15 @@ class ShardedPIV:
             aa = mean_normalize(aa, dt) * wgt
             bb = mean_normalize(bb, dt) * wgt
             corr = eng._correlate(aa, bb)
-        u, v, inval = eng._peakfit(corr, cfg.validate)
+        want = cfg.second_peak_fallback
+        last = len(eng.schedule) - 1
+        cand = None
+        if want and last == 0:
+            u, v, inval, (cu, cv) = eng._peakfit(
+                corr, cfg.validate, want_second=True)
+            cand = (cu.reshape(rloc, C), cv.reshape(rloc, C))
+        else:
+            u, v, inval = eng._peakfit(corr, cfg.validate)
         u = u.reshape(rloc, C)
         v = v.reshape(rloc, C)
         inval = (
@@ -184,7 +192,12 @@ class ShardedPIV:
 
         # ---- refinement passes ----
         for p in range(1, len(eng.schedule)):
-            u, v, inval = self._refine_local(p, frame_a, frame_b, u, v, inval, wr)
+            res = self._refine_local(p, frame_a, frame_b, u, v, inval, wr,
+                                     want_second=want and p == last)
+            if want and p == last:
+                u, v, inval, cand = res
+            else:
+                u, v, inval = res
 
         # ---- post-pass field ops (global filters, median filter, fused
         # infill) ---- all need cross-shard context (global statistics /
@@ -192,7 +205,8 @@ class ShardedPIV:
         # [R, C] tensors) and slice the local block back out.
         needs_full = (cfg.median_filter is not None or cfg.infill == "fused"
                       or cfg.u_limits is not None or cfg.v_limits is not None
-                      or cfg.global_std is not None)
+                      or cfg.global_std is not None
+                      or cfg.second_peak_fallback)
         if needs_full:
             pl_ = len(eng.schedule) - 1
             Rf, Cf = eng.field_shapes[pl_]
@@ -217,6 +231,15 @@ class ShardedPIV:
                     else None,
                     cfg.median_filter, cfg.median_threshold,
                 )
+            if cfg.second_peak_fallback and cand is not None:
+                # vector-recovery ladder on the gathered full field (the
+                # acceptance statistics need cross-shard neighbourhoods),
+                # same placement as the engine: after all validators,
+                # before infill
+                cu_full = self._gather_full(cand[0], pl_)
+                cv_full = self._gather_full(cand[1], pl_)
+                u_full, v_full, inval_full = eng._apply_second_peak_fallback(
+                    u_full, v_full, inval_full, (cu_full, cv_full))
             if cfg.infill == "fused":
                 u_full = fused_infill(
                     jnp.where(inval_full, jnp.nan, u_full), inval_full)
@@ -252,7 +275,8 @@ class ShardedPIV:
         )
         return gathered[pos]
 
-    def _refine_local(self, p, frame_a, frame_b, u, v, inval, wr):
+    def _refine_local(self, p, frame_a, frame_b, u, v, inval, wr,
+                      want_second=False):
         eng = self.engine
         cfg = eng.config
         dt = jnp.dtype(cfg.dtype)
@@ -413,7 +437,14 @@ class ShardedPIV:
             aa = aa * wgt
             bb = bb * wgt
         corr = eng._correlate(aa, bb)
-        du, dv, new_inval = eng._peakfit(corr, validate)
+        cand = None
+        if want_second:
+            du, dv, new_inval, (du2, dv2) = eng._peakfit(
+                corr, validate, want_second=True)
+            cand = (2.0 * u2 + du2.reshape(rloc, Cf),
+                    2.0 * v2 + dv2.reshape(rloc, Cf))
+        else:
+            du, dv, new_inval = eng._peakfit(corr, validate)
         du = du.reshape(rloc, Cf)
         dv = dv.reshape(rloc, Cf)
         u_new = 2.0 * u2 + du
@@ -429,4 +460,7 @@ class ShardedPIV:
             out_inval = jnp.zeros((rloc, Cf), dt)
         u = jnp.where(mask_u, u0, u_new)
         v = jnp.where(mask_v, v0, v_new)
-        return self._mask_local(p, u, v, out_inval, wr)
+        u, v, out_inval = self._mask_local(p, u, v, out_inval, wr)
+        if want_second:
+            return u, v, out_inval, cand
+        return u, v, out_inval

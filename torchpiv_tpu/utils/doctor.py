@@ -115,20 +115,23 @@ def run_doctor(device: str = "auto", engine_check: bool = True,
     def dispatch():
         import jax
         import jax.numpy as jnp
+        import numpy as np
 
         f = jax.jit(lambda x: x + 1)
         x = jnp.zeros((8, 8))
-        f(x).block_until_ready()  # compile
+        np.asarray(f(x))  # compile + force the first result to the host
         t = time.perf_counter()
         reps = 10
         for i in range(reps):
-            # block EVERY call: chained async dispatches would measure
-            # pipelined throughput, not the per-dispatch round trip
-            x = f(x)
-            x.block_until_ready()
+            # pull EVERY result back to the host: block_until_ready alone
+            # can read ~0 ms on network-attached devices that cache
+            # repeated dispatches (observed on tunneled dev chips); the
+            # D2H readback is the per-call overhead a result consumer
+            # actually pays
+            x = jnp.asarray(np.asarray(f(x)))
         ms = (time.perf_counter() - t) / reps * 1000
         note = " — network-attached device?" if ms > 5 else ""
-        return f"{ms:.1f} ms/dispatch round trip{note}"
+        return f"{ms:.1f} ms/dispatch+readback round trip{note}"
 
     _check(results, "dispatch latency", dispatch)
 
