@@ -448,3 +448,50 @@ def test_correlation_combo_flows_into_engine(gui, tmp_path, monkeypatch):
     win.start_btn.click()
     win.thread.wait()
     assert seen.get("correlation") == "rpc"
+
+
+def test_online_regime_carries_form_extras(gui, tmp_path, monkeypatch):
+    """regime=='online' must receive the same settings-form options as the
+    offline path (mask, preprocess, correlation, rescue) instead of
+    silently discarding them (regression: _start returned before building
+    the extras dict)."""
+    from torchpiv_tpu.io.decode import imwrite_gray
+
+    frames = str(tmp_path / "stream3")
+    os.makedirs(frames)
+    mask_path = str(tmp_path / "mask.bmp")
+    imwrite_gray(mask_path, np.zeros((128, 128), np.uint8))
+
+    win = gui.MainWindow()
+    win.params.folder = frames
+    win.params.wind_size = 32
+    win.params.overlap = 16
+    win.params.multipass = 1
+    win.params.save_opt = "Dont save"
+    win.settings.wind.setValue(32)
+    win.settings.ovl.setValue(16)
+    win.settings.mp.setValue(1)
+    win.settings.regime.setCurrentText("online")
+    win.settings.mask_path.setText(mask_path)
+    win.settings.preprocess.setCurrentText("stretch")
+    win.settings.correlation.setCurrentText("rpc")
+    win.settings.rescue_cb.setChecked(True)
+    win.online_idle_timeout = 0.2  # empty stream ends immediately
+
+    seen = {}
+    import torchpiv_tpu.pipeline as pl
+
+    orig = pl.OnlinePIV.__init__
+
+    def spy(self, *a, **kw):
+        seen.update(kw.get("engine_options") or {})
+        seen["preprocess"] = kw.get("preprocess", "none")
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(pl.OnlinePIV, "__init__", spy)
+    win.start_btn.click()
+    win.thread.wait()
+    assert seen.get("correlation") == "rpc"
+    assert seen.get("second_peak_fallback") is True
+    assert seen.get("frame_mask") == mask_path
+    assert seen.get("preprocess") == "stretch"

@@ -168,6 +168,10 @@ def _engine_options(args) -> dict:
         engine_options["correlation"] = args.correlation
         if args.rpc_diameter != 2.8:
             engine_options["rpc_diameter"] = args.rpc_diameter
+    elif getattr(args, "rpc_diameter", 2.8) != 2.8:
+        # a typed knob that does nothing is a silent misconfiguration
+        raise SystemExit("tpiv: --rpc-diameter only applies to the RPC "
+                         "estimator; add --correlation rpc")
     if args.mask:
         engine_options["frame_mask"] = args.mask
     for key, spec in (("u_limits", args.u_limits),
@@ -526,8 +530,20 @@ def cmd_temporal(args) -> int:
           f"relative SEM {rep['relative_sem']:.2%}")
     points = []
     for spec in args.point or []:
-        r, _, c = spec.partition(",")
-        points.append((int(r), int(c)))
+        r, sep, c = spec.partition(",")
+        try:
+            if not sep:
+                raise ValueError
+            pr, pc = int(r), int(c)
+        except ValueError:
+            print(f"--point expects ROW,COL grid indices, got {spec!r}",
+                  file=sys.stderr)
+            return 1
+        if not (0 <= pr < u.shape[1] and 0 <= pc < u.shape[2]):
+            print(f"--point {spec} is outside the {u.shape[1]}x{u.shape[2]} "
+                  f"vector grid", file=sys.stderr)
+            return 1
+        points.append((pr, pc))
     if not points:
         points = [(u.shape[1] // 2, u.shape[2] // 2)]
     series = probe_series(u, v, points)

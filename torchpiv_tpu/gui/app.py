@@ -482,15 +482,9 @@ if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
         # timeout so the (synchronous-join) worker terminates
         online_idle_timeout = None
 
-        def start_piv(self):
-            self.settings.confirm_changes()
-            self.params.to_json()
-            if (self.params.regime or "offline") == "online":
-                # the reference selects OnlineWorker for regime=="online"
-                # (mainWindow.py:163-164; its OnlineWorker is a broken
-                # stub) — here it runs the working OnlinePIV stream
-                self._launch(WorkerBridge(target=self._online_worker()))
-                return
+        def _form_extras(self):
+            """Settings-form options shared by the offline and online
+            paths (engine options, preprocessing, field smoothing)."""
             s = self.settings
             extra = {}
             eopts = {}
@@ -506,6 +500,18 @@ if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
                 extra["preprocess"] = s.preprocess.currentText()
             if s.smooth_cb.isChecked():
                 extra["smooth"] = True
+            return extra
+
+        def start_piv(self):
+            self.settings.confirm_changes()
+            self.params.to_json()
+            extra = self._form_extras()
+            if (self.params.regime or "offline") == "online":
+                # the reference selects OnlineWorker for regime=="online"
+                # (mainWindow.py:163-164; its OnlineWorker is a broken
+                # stub) — here it runs the working OnlinePIV stream
+                self._launch(WorkerBridge(target=self._online_worker(extra)))
+                return
             self._launch(WorkerBridge(self.params, **extra))
 
         def _launch(self, bridge):
@@ -521,14 +527,19 @@ if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
             self.timer.start()
             self.start_btn.setText("Stop PIV")
 
-        def _online_worker(self):
+        def _online_worker(self, extra=None):
             """Worker target streaming OnlinePIV results into the views;
-            Stop wires through ``OnlinePIV.stop`` (bridge._stopper)."""
+            Stop wires through ``OnlinePIV.stop`` (bridge._stopper).
+            ``extra`` carries the settings-form options (``_form_extras``):
+            engine_options/preprocess pass straight into OnlinePIV; smooth
+            is applied per yielded field, mirroring PIVRunner."""
             from ..pipeline import OnlinePIV
             from ..stats import EnsembleAccumulator
 
             p = self.params
             idle = self.online_idle_timeout
+            extra = dict(extra or {})
+            smooth = extra.pop("smooth", False)
 
             def worker(bridge):
                 piv = OnlinePIV(
@@ -543,11 +554,28 @@ if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
                     scale=p.scale,
                     multipass_scale=p.multipass_scale,
                     idle_timeout=idle,
+                    **extra,
                 )
                 bridge._stopper = piv.stop
                 acc = EnsembleAccumulator()
                 x = y = None
                 for x, y, u, v in piv():
+                    if smooth:
+                        from ..stats.smoothing import smooth_vector_field
+
+                        s = None if smooth is True else float(smooth)
+                        # statically-masked (ROI) windows stay at zero and
+                        # are excluded from the fit; yielded fields are
+                        # row-flipped, so flip the mask (same contract as
+                        # PIVRunner.run)
+                        wm = (piv._engine.window_masked[-1]
+                              if piv._engine is not None else None)
+                        wm = np.flip(wm, axis=0) if wm is not None else None
+                        u, v = smooth_vector_field(u, v, mask=wm, s=s,
+                                                   robust=True)
+                        if wm is not None:
+                            u[wm] = 0.0
+                            v[wm] = 0.0
                     acc.add(u, v)
                     # unbounded stream: progress shows the pair count mod 100
                     bridge.progress.emit(acc.n % 100)

@@ -35,24 +35,27 @@ def velocity_gradients(u, v, dx: float = 1.0, dy: float = 1.0):
     return dudx, dudy, dvdx, dvdy
 
 
-def divergence(u, v, dx: float = 1.0, dy: float = 1.0) -> np.ndarray:
-    dudx, _, _, dvdy = velocity_gradients(u, v, dx, dy)
+def divergence(u, v, dx: float = 1.0, dy: float = 1.0, *, grads=None
+               ) -> np.ndarray:
+    dudx, _, _, dvdy = grads or velocity_gradients(u, v, dx, dy)
     return dudx + dvdy
 
 
-def vorticity(u, v, dx: float = 1.0, dy: float = 1.0) -> np.ndarray:
+def vorticity(u, v, dx: float = 1.0, dy: float = 1.0, *, grads=None
+              ) -> np.ndarray:
     """Out-of-plane vorticity ``dv/dx - du/dy`` (the physically-standard
     definition; the reference's table quantity carries its axis-name swap,
     documented in stats/ensemble.py)."""
-    _, dudy, dvdx, _ = velocity_gradients(u, v, dx, dy)
+    _, dudy, dvdx, _ = grads or velocity_gradients(u, v, dx, dy)
     return dvdx - dudy
 
 
-def swirling_strength(u, v, dx: float = 1.0, dy: float = 1.0) -> np.ndarray:
+def swirling_strength(u, v, dx: float = 1.0, dy: float = 1.0, *, grads=None
+                      ) -> np.ndarray:
     """lambda_ci: imaginary part of the complex eigenvalue of the 2-D
     velocity-gradient tensor (0 where eigenvalues are real — pure
     shear/strain; > 0 inside vortices)."""
-    dudx, dudy, dvdx, dvdy = velocity_gradients(u, v, dx, dy)
+    dudx, dudy, dvdx, dvdy = grads or velocity_gradients(u, v, dx, dy)
     # eigenvalues of [[dudx, dudy], [dvdx, dvdy]]: lambda = tr/2 +- sqrt(D),
     # D = (tr/2)^2 - det; complex pair when D < 0, lambda_ci = sqrt(-D)
     half_tr = 0.5 * (dudx + dvdy)
@@ -61,8 +64,9 @@ def swirling_strength(u, v, dx: float = 1.0, dy: float = 1.0) -> np.ndarray:
     return np.where(disc < 0, np.sqrt(np.maximum(-disc, 0.0)), 0.0)
 
 
-def okubo_weiss(u, v, dx: float = 1.0, dy: float = 1.0) -> np.ndarray:
-    dudx, dudy, dvdx, dvdy = velocity_gradients(u, v, dx, dy)
+def okubo_weiss(u, v, dx: float = 1.0, dy: float = 1.0, *, grads=None
+                ) -> np.ndarray:
+    dudx, dudy, dvdx, dvdy = grads or velocity_gradients(u, v, dx, dy)
     s_n = dudx - dvdy
     s_s = dvdx + dudy
     w = dvdx - dudy
@@ -71,19 +75,12 @@ def okubo_weiss(u, v, dx: float = 1.0, dy: float = 1.0) -> np.ndarray:
 
 def derived_fields(u, v, dx: float = 1.0, dy: float = 1.0
                    ) -> Dict[str, np.ndarray]:
-    """All derived maps in one pass: divergence, vorticity, swirling
-    strength, Okubo-Weiss."""
-    dudx, dudy, dvdx, dvdy = velocity_gradients(u, v, dx, dy)
-    s_n = dudx - dvdy
-    s_s = dvdx + dudy
-    w = dvdx - dudy
-    half_tr = 0.5 * (dudx + dvdy)
-    det = dudx * dvdy - dudy * dvdx
-    disc = half_tr * half_tr - det
+    """All derived maps from one gradient pass: divergence, vorticity,
+    swirling strength, Okubo-Weiss."""
+    g = velocity_gradients(u, v, dx, dy)
     return {
-        "divergence": dudx + dvdy,
-        "vorticity": w,
-        "swirling_strength": np.where(
-            disc < 0, np.sqrt(np.maximum(-disc, 0.0)), 0.0),
-        "okubo_weiss": s_n * s_n + s_s * s_s - w * w,
+        "divergence": divergence(u, v, grads=g),
+        "vorticity": vorticity(u, v, grads=g),
+        "swirling_strength": swirling_strength(u, v, grads=g),
+        "okubo_weiss": okubo_weiss(u, v, grads=g),
     }

@@ -134,7 +134,9 @@ def integral_time_scale(series: np.ndarray, fs: float = 1.0) -> np.ndarray:
             continue
         neg = np.nonzero(r <= 0)[0]
         end = int(neg[0]) if neg.size else len(r)
-        out[p] = np.trapezoid(r[:end]) / fs if end > 1 else 0.5 / fs
+        # np.trapezoid is numpy>=2 only; fall back on 1.x's np.trapz
+        trap = getattr(np, "trapezoid", None) or np.trapz
+        out[p] = trap(r[:end]) / fs if end > 1 else 0.5 / fs
     return float(out[0]) if squeeze else out
 
 

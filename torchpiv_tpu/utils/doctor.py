@@ -86,6 +86,9 @@ def run_doctor(device: str = "auto", engine_check: bool = True,
             img = np.arange(64 * 64, dtype=np.uint8).reshape(64, 64)
             imwrite_gray(p, img)
             dims = fastio.probe_gray(p)
+            if dims is None:
+                raise RuntimeError(f"native probe failed for {p} (library "
+                                   "loaded but the BMP header was rejected)")
             frames, status = fastio.read_batch_gray([p], dims, threads=1)
             if status[0] != 0 or not (frames[0] == img).all():
                 raise RuntimeError("native decode round-trip mismatch")
