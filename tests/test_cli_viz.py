@@ -335,6 +335,33 @@ def test_cli_export_vtk(tmp_path):
     assert cli_main(["export", str(bad)]) == 1
 
 
+def test_cli_export_mat_h5(tmp_path):
+    """tpiv export --format mat/h5 writes loadable files with derived
+    scalars (beyond the reference's npy/CSV persistence)."""
+    from torchpiv_tpu.utils.persistence import save_table
+
+    gx, gy = np.meshgrid(np.arange(6, dtype=float),
+                         np.arange(5, dtype=float))
+    u = 0.1 * gy
+    v = -0.2 * np.ones_like(gx)
+    save_table("field.txt", str(tmp_path), {"x[mm]": gx, "y[mm]": gy,
+                                            "Vx[m/s]": u, "Vy[m/s]": v})
+    rc = cli_main(["export", str(tmp_path / "field.txt"), "--format", "mat",
+                   "--out", str(tmp_path / "ex"), "--derived"])
+    assert rc == 0
+    from scipy.io import loadmat
+    got = loadmat(str(tmp_path / "ex" / "field.mat"))
+    np.testing.assert_allclose(got["u"], u)
+    assert "vorticity" in got
+
+    rc = cli_main(["export", str(tmp_path / "field.txt"), "--format", "h5",
+                   "--out", str(tmp_path / "ex")])
+    assert rc == 0
+    import h5py
+    with h5py.File(str(tmp_path / "ex" / "field.h5"), "r") as f:
+        np.testing.assert_allclose(f["v"][...], v)
+
+
 def test_doctor_reports_all_checks(capsys, monkeypatch, tmp_path):
     """tpiv doctor runs every check on CPU and exits 0 when healthy."""
     monkeypatch.setenv("TORCHPIV_CACHE_DIR", str(tmp_path / "cache"))

@@ -470,14 +470,15 @@ def cmd_pod(args) -> int:
 def cmd_export(args) -> int:
     """Convert a saved PIV result (CSV table from ``save_table`` or
     ``[4, R, C]`` .npy from ``save_binary``) to legacy-ASCII VTK for
-    ParaView/VisIt (beyond the reference's npy/CSV formats).  Derived maps
-    (vorticity, swirling strength) ride along as point scalars."""
+    ParaView/VisIt, MATLAB v5 ``.mat`` (PIVlab interop) or HDF5 (beyond
+    the reference's npy/CSV formats).  Derived maps (vorticity, swirling
+    strength) ride along as point scalars."""
     import os
 
     import numpy as np
 
     from .stats.derived import derived_fields
-    from .utils.persistence import load_table, save_vtk
+    from .utils.persistence import load_table, save_hdf5, save_mat, save_vtk
 
     if args.result.endswith(".npy"):
         arr = np.load(args.result)
@@ -497,8 +498,10 @@ def cmd_export(args) -> int:
     dx = float(abs(x[0, 1] - x[0, 0])) or 1.0
     dy = float(abs(y[1, 0] - y[0, 0])) or 1.0
     scalars = derived_fields(u, v, dx=dx, dy=dy) if args.derived else None
-    base = os.path.splitext(os.path.basename(args.result))[0] + ".vtk"
-    out = save_vtk(base, args.out, x, y, u, v, scalars=scalars)
+    fmt = getattr(args, "format", "vtk")
+    writer = {"vtk": save_vtk, "mat": save_mat, "h5": save_hdf5}[fmt]
+    base = os.path.splitext(os.path.basename(args.result))[0] + "." + fmt
+    out = writer(base, args.out, x, y, u, v, scalars=scalars)
     print(f"wrote {out}")
     return 0
 
@@ -865,10 +868,14 @@ def main(argv=None) -> int:
     p_warm.set_defaults(fn=cmd_warmup)
 
     p_exp = sub.add_parser(
-        "export", help="convert a saved result to VTK (ParaView)")
+        "export", help="convert a saved result to VTK (ParaView), "
+                       "MATLAB .mat or HDF5")
     p_exp.add_argument("result", help="saved _statistics.txt / pair .txt "
                                       "table or [4,R,C] pair .npy")
     p_exp.add_argument("--out", default=".", metavar="DIR")
+    p_exp.add_argument("--format", default="vtk",
+                       choices=("vtk", "mat", "h5"),
+                       help="output format (default vtk)")
     p_exp.add_argument("--derived", action="store_true",
                        help="attach vorticity/swirl/divergence/Okubo-Weiss "
                             "point scalars")

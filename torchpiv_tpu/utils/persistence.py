@@ -96,6 +96,65 @@ def load_table(path: str) -> Dict[str, np.ndarray]:
     return reshape_data({k: v.values for k, v in data.items()}, grid)
 
 
+def save_mat(name: str, path: str, x, y, u, v,
+             scalars: Optional[Dict[str, np.ndarray]] = None) -> str:
+    """Write a velocity field as a MATLAB v5 ``.mat`` file (beyond the
+    reference; loads directly in MATLAB/Octave and interops with PIVlab
+    post-processing).  Variables: ``x``, ``y``, ``u``, ``v`` as [R, C]
+    float64 matrices plus any extra ``scalars`` maps under sanitised
+    names.  Returns the (uniquified) path written."""
+    from scipy.io import savemat
+
+    os.makedirs(path, exist_ok=True)
+    out = uniquify(os.path.join(path, name))
+    data = {"x": x, "y": y, "u": u, "v": v}
+    for key, field in (scalars or {}).items():
+        safe = "".join(ch if ch.isalnum() else "_" for ch in key)
+        if safe and safe[0].isdigit():
+            safe = "f_" + safe
+        data[safe] = field
+    shape = np.asarray(u).shape
+    arrays = {}
+    for k, val in data.items():
+        val = np.asarray(val, dtype=np.float64)
+        if val.shape != shape:
+            raise ValueError(f"{k!r} shape {val.shape} != field {shape}")
+        arrays[k] = val
+    savemat(out, arrays)
+    return out
+
+
+def save_hdf5(name: str, path: str, x, y, u, v,
+              scalars: Optional[Dict[str, np.ndarray]] = None,
+              attrs: Optional[Dict[str, object]] = None) -> str:
+    """Write a velocity field as HDF5 (beyond the reference).  Layout:
+    datasets ``x``/``y``/``u``/``v`` ([R, C] float64, gzip) at the root,
+    extra ``scalars`` maps under ``/derived``, free-form ``attrs`` as root
+    attributes.  Returns the (uniquified) path written."""
+    import h5py
+
+    os.makedirs(path, exist_ok=True)
+    out = uniquify(os.path.join(path, name))
+    shape = np.asarray(u).shape
+    with h5py.File(out, "w") as f:
+        for k, val in (("x", x), ("y", y), ("u", u), ("v", v)):
+            val = np.asarray(val, dtype=np.float64)
+            if val.shape != shape:
+                raise ValueError(f"{k!r} shape {val.shape} != field {shape}")
+            f.create_dataset(k, data=val, compression="gzip")
+        if scalars:
+            g = f.create_group("derived")
+            for key, field in scalars.items():
+                field = np.asarray(field, dtype=np.float64)
+                if field.shape != shape:
+                    raise ValueError(f"scalar {key!r} shape {field.shape} "
+                                     f"!= field {shape}")
+                g.create_dataset(key, data=field, compression="gzip")
+        for key, val in (attrs or {}).items():
+            f.attrs[key] = val
+    return out
+
+
 def save_vtk(name: str, path: str, x, y, u, v,
              scalars: Optional[Dict[str, np.ndarray]] = None) -> str:
     """Write a velocity field as legacy-ASCII VTK structured grid (beyond
