@@ -506,6 +506,124 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_ensemble(args) -> int:
+    """Correlation-averaged (ensemble) PIV over a whole folder (Meinhart
+    et al. 2000): sum the correlation planes of EVERY pair on device, then
+    peak-fit the average once — the micro-PIV standard for sparse seeding
+    where single pairs carry too few particles for reliable peaks.  Beyond
+    the reference (no ensemble mode there); ``models.EnsemblePIV`` is the
+    Python API."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from .io.dataset import PIVDataset, compute_background
+    from .io.preprocess import PreprocessedPairs, resolve_preprocess
+    from .models import PIVConfig
+    from .models.ensemble_corr import EnsemblePIV
+    from .pipeline import DeviceMap, finalize_fields
+    from .utils.compile_cache import enable_compile_cache
+    from .utils.persistence import save_table
+
+    enable_compile_cache()
+    ds = PIVDataset(args.folder, args.file_fmt, args.folder_mode)
+    pp = resolve_preprocess(args.preprocess)
+    if pp is not None:
+        ds = PreprocessedPairs(ds, pp)
+    if len(ds) == 0:
+        print(f"no {args.file_fmt} pairs in {args.folder}", file=sys.stderr)
+        return 1
+    device = DeviceMap.resolve(args.device)
+    bg = compute_background(ds) if args.background == "auto" else None
+
+    first = None
+    for i in range(len(ds)):
+        a, _ = ds[i]
+        if a is not None:
+            first = a
+            break
+    if first is None:
+        print("no readable pairs", file=sys.stderr)
+        return 1
+
+    cfg_kwargs = dict(
+        frame_shape=tuple(first.shape),
+        wind_size=args.wind_size,
+        overlap=args.overlap,
+        multipass=1,
+        validate=not args.no_validate,
+        correlation=args.correlation,
+    )
+    if args.correlation == "rpc":
+        cfg_kwargs["rpc_diameter"] = args.rpc_diameter
+    if args.window_weight != "none":
+        cfg_kwargs["window_weight"] = args.window_weight
+    if device.platform != "tpu":  # Pallas kernels compile only for TPU
+        cfg_kwargs["use_pallas"] = "off"
+    ens = EnsemblePIV(PIVConfig(**cfg_kwargs))
+    bgj = jnp.asarray(bg) if bg is not None else None
+
+    def accum(csum, fa, fb):
+        if bgj is not None:  # saturating uint8 background subtract
+            fa = jnp.where(fa > bgj, fa - bgj, 0)
+            fb = jnp.where(fb > bgj, fb - bgj, 0)
+        return csum + ens.corr_batch(fa, fb)
+
+    n_windows = ens.engine.field_shapes[0][0] * ens.engine.field_shapes[0][1]
+    w = ens.engine.schedule[0][0]
+    batch_a, batch_b = [], []
+    count = skipped = 0
+    B = max(1, args.batch_size)
+    with jax.default_device(device):
+        accum_j = jax.jit(accum)
+        csum = jnp.zeros((n_windows, w, w), jnp.dtype(ens.config.dtype))
+
+        def flush():
+            nonlocal csum, count
+            if not batch_a:
+                return
+            csum = accum_j(csum, jnp.asarray(np.stack(batch_a)),
+                           jnp.asarray(np.stack(batch_b)))
+            count += len(batch_a)
+            batch_a.clear()
+            batch_b.clear()
+
+        for i in range(len(ds)):
+            a, b = ds[i]
+            if a is None or b is None or a.shape != first.shape:
+                skipped += 1
+                continue
+            batch_a.append(a)
+            batch_b.append(b)
+            if len(batch_a) == B:
+                flush()
+        flush()
+        if count == 0:
+            print("no readable pairs", file=sys.stderr)
+            return 1
+        u, v, inval = jax.jit(ens.finalize)(csum / count)
+
+    u, v = np.asarray(u), np.asarray(v)
+    inval = np.asarray(inval) if inval is not None else None
+    x, y = ens.final_coordinates
+    x, y = np.asarray(x), np.asarray(y)
+    n_inval = int(inval.sum()) if inval is not None else 0
+    fields = finalize_fields(u, v, inval, x, y, args.scale, args.dt)
+    if fields is None:
+        print("ensemble field >50% invalid — not enough correlation "
+              "signal; check seeding/window size", file=sys.stderr)
+        return 1
+    x, y, u, v = fields
+    out = save_table("ensemble_field.txt", args.out,
+                     {"x[mm]": x, "y[mm]": y, "Vx[m/s]": u, "Vy[m/s]": v})
+    msg = f"averaged {count} pairs"
+    if skipped:
+        msg += f" ({skipped} skipped)"
+    msg += (f"; {n_inval}/{u.size} vectors infilled; wrote {out}")
+    print(msg, file=sys.stderr)
+    return 0
+
+
 def cmd_temporal(args) -> int:
     """Temporal analysis of a time-resolved run (stats/temporal.py; the
     reference has no time-domain tooling at all).  Input: a folder of
@@ -866,6 +984,35 @@ def main(argv=None) -> int:
                         help="must match the run's batch size (the scan "
                              "length is part of the compiled graph)")
     p_warm.set_defaults(fn=cmd_warmup)
+
+    p_ens = sub.add_parser(
+        "ensemble",
+        help="correlation-averaged (ensemble) PIV: ONE field from a whole "
+             "folder, for sparse micro-PIV seeding")
+    p_ens.add_argument("folder", help="folder of frame images")
+    p_ens.add_argument("--file-fmt", default=".bmp")
+    p_ens.add_argument("--folder-mode", choices=["pairs", "sequential"],
+                       default="pairs")
+    p_ens.add_argument("--wind-size", type=int, default=32)
+    p_ens.add_argument("--overlap", type=int, default=16)
+    p_ens.add_argument("--scale", type=float, default=1.0,
+                       help="mm per pixel")
+    p_ens.add_argument("--dt", type=float, default=1.0,
+                       help="frame interval, us")
+    p_ens.add_argument("--device", default="auto")
+    p_ens.add_argument("--batch-size", type=int, default=8)
+    p_ens.add_argument("--no-validate", action="store_true")
+    p_ens.add_argument("--window-weight", choices=["none", "gaussian"],
+                       default="none")
+    p_ens.add_argument("--correlation", choices=["scc", "rpc"],
+                       default="scc")
+    p_ens.add_argument("--rpc-diameter", type=float, default=2.8)
+    p_ens.add_argument("--preprocess", choices=["none", "clahe", "stretch"],
+                       default="none")
+    p_ens.add_argument("--background", choices=["none", "auto"],
+                       default="none")
+    p_ens.add_argument("--out", default="./Out", metavar="DIR")
+    p_ens.set_defaults(fn=cmd_ensemble)
 
     p_exp = sub.add_parser(
         "export", help="convert a saved result to VTK (ParaView), "

@@ -54,7 +54,40 @@ class EnsemblePIV:
             return eng._correlate(aa, bb)
 
         corr = jnp.mean(jax.vmap(corr_one)(batch_a, batch_b), axis=0)
-        u, v, inval = eng._peakfit(corr, cfg.validate)
+        return self.finalize(corr)
+
+    # ----- streaming accumulation (folders larger than one device batch) --
+
+    def corr_batch(self, batch_a: jnp.ndarray, batch_b: jnp.ndarray
+                   ) -> jnp.ndarray:
+        """Summed correlation planes ``[N, w, w]`` for one uint8 pair batch.
+
+        Jittable; accumulate sums across batches on device and divide by
+        the total pair count before :meth:`finalize` (the Gaussian fit and
+        the peak-ratio validation are scale-invariant, but the mean keeps
+        the planes in a float32-friendly range for long runs)."""
+        cfg = self.config
+        eng = self.engine
+        w, o = eng.schedule[0]
+        dt = jnp.dtype(cfg.dtype)
+        wgt = eng._window_weight(0)
+
+        def corr_one(fa, fb):
+            aa = mean_normalize(extract_windows(fa, w, o), dt)
+            bb = mean_normalize(extract_windows(fb, w, o), dt)
+            if wgt is not None:
+                aa = aa * wgt
+                bb = bb * wgt
+            return eng._correlate(aa, bb)
+
+        return jnp.sum(jax.vmap(corr_one)(batch_a, batch_b), axis=0)
+
+    def finalize(self, corr: jnp.ndarray):
+        """Peak-fit an (averaged) correlation stack ``[N, w, w]`` into the
+        ``(u, v, invalid)`` field triple.  Jittable."""
+        eng = self.engine
+        n_rows, n_cols = eng.field_shapes[0]
+        u, v, inval = eng._peakfit(corr, self.config.validate)
         u = u.reshape(n_rows, n_cols)
         v = v.reshape(n_rows, n_cols)
         if inval is not None:
