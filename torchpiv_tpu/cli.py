@@ -691,6 +691,212 @@ def cmd_temporal(args) -> int:
     return 0
 
 
+def cmd_turbulence(args) -> int:
+    """Turbulence-scale report over saved per-pair fields
+    (stats/turbulence.py).  Saved fields carry u/v in m/s and x/y in mm;
+    with ``--nu`` in m^2/s the report is in SI units."""
+    import numpy as np
+
+    from .stats.temporal import load_pair_stack
+    from .stats.turbulence import turbulence_report
+    from .utils.persistence import save_table
+
+    try:
+        stack = load_pair_stack(args.folder)
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    x, y = stack["x"], stack["y"]
+    dx = abs(float(x[0, 1] - x[0, 0])) / 1000.0
+    dy = abs(float(y[1, 0] - y[0, 0])) / 1000.0
+    rep = turbulence_report(stack["u"], stack["v"], nu=args.nu,
+                            dx=dx, dy=dy)
+    print(f"{stack['u'].shape[0]} snapshots, grid step "
+          f"{dx*1000:g} x {dy*1000:g} mm, nu {args.nu:g} m^2/s")
+    print(f"TKE              {rep['tke']:.6g} m^2/s^2")
+    print(f"u_rms            {rep['u_rms']:.6g} m/s")
+    print(f"dissipation      {rep['dissipation']:.6g} m^2/s^3")
+    print(f"Kolmogorov eta   {rep['eta']:.6g} m   "
+          f"(tau {rep['tau_eta']:.6g} s)")
+    print(f"Taylor lambda    {rep['taylor_microscale']:.6g} m   "
+          f"(Re_lambda {rep['re_lambda']:.4g})")
+    print(f"integral length  {rep['integral_length']:.6g} m")
+    ratio = rep["resolution_dx_over_eta"]
+    print(f"resolution dx/eta {ratio:.3g}"
+          + ("  [dissipative scales under-resolved: direct estimate "
+             "is a lower bound]" if ratio > 3 else ""))
+    if args.out:
+        out = save_table("turbulence_report.txt", args.out,
+                         {f"{k}[SI]": np.array([v])
+                          for k, v in rep.items()})
+        print(f"wrote {out}")
+    return 0
+
+
+def cmd_dmd(args) -> int:
+    """Dynamic mode decomposition of saved per-pair fields (stats/dmd.py;
+    frequency-resolved companion to ``tpiv pod``).  Input: a folder of
+    ``[4, R, C]`` per-pair binaries from a time-resolved run."""
+    import numpy as np
+
+    from .stats.dmd import compute_dmd
+    from .stats.temporal import load_pair_stack
+    from .utils.persistence import save_binary, save_table
+
+    try:
+        stack = load_pair_stack(args.folder)
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    u, v = stack["u"], stack["v"]
+    if u.shape[0] < 3:
+        print("need >= 3 saved pair files for DMD", file=sys.stderr)
+        return 1
+    try:
+        d = compute_dmd(u, v, dt=1.0 / args.fs, rank=args.rank,
+                        subtract_mean=not args.keep_mean)
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    print(f"{u.shape[0]} snapshots @ {args.fs:g} Hz, "
+          f"{d.eigenvalues.size} modes (rank "
+          f"{'auto' if args.rank is None else args.rank})")
+    shown = 0
+    for m in range(d.eigenvalues.size):
+        if d.frequencies[m] < 0:  # conjugate twin — not physical
+            continue
+        print(f"mode {m}: f {d.frequencies[m]:.4g} Hz, "
+              f"growth {d.growth_rates[m]:+.4g} 1/s, "
+              f"|amp| {abs(d.amplitudes[m]):.4g}")
+        shown += 1
+        if shown >= args.modes:
+            break
+    if args.out:
+        x, y = stack["x"], stack["y"]
+        shown = 0
+        for m in range(d.eigenvalues.size):
+            if d.frequencies[m] < 0:
+                continue
+            save_binary(f"dmd_mode{m}.npy", args.out,
+                        {"x": x, "y": y,
+                         "u_re": d.modes_u[m].real,
+                         "u_im": d.modes_u[m].imag,
+                         "v_re": d.modes_v[m].real,
+                         "v_im": d.modes_v[m].imag})
+            shown += 1
+            if shown >= args.modes:
+                break
+        save_table("dmd_spectrum.txt", args.out, {
+            "f[Hz]": d.frequencies,
+            "growth[1/s]": d.growth_rates,
+            "amp[1]": np.abs(d.amplitudes),
+            "eig_re[1]": d.eigenvalues.real,
+            "eig_im[1]": d.eigenvalues.imag,
+        })
+        print(f"mode fields + spectrum written to {args.out}")
+    return 0
+
+
+def cmd_pressure(args) -> int:
+    """Pressure reconstruction from saved fields (stats/pressure.py; a
+    standard PIV post-processing step the reference lacks).  Input: a
+    folder of ``[4, R, C]`` per-pair binaries (or one ``.npy`` file).
+    Default: per-snapshot pressure from the steady Poisson problem;
+    ``--fs`` adds the unsteady boundary term for time-resolved runs;
+    ``--mode mean`` solves the Reynolds-averaged problem from the
+    ensemble mean + stresses.  Saved fields carry x, y in mm and u, v in
+    m/s, so with ``--rho`` in kg/m^3 the output is gauge pressure in Pa.
+    """
+    import os
+
+    import numpy as np
+
+    from .stats.pressure import (mean_pressure_rans, pressure_from_stack,
+                                 pressure_poisson)
+    from .stats.temporal import load_pair_stack
+    from .utils.persistence import save_binary, save_table
+
+    if os.path.isfile(args.path):
+        arr = np.load(args.path)
+        if arr.ndim != 3 or arr.shape[0] != 4:
+            print(f"{args.path}: not a [4, R, C] pair file", file=sys.stderr)
+            return 1
+        stack = {"x": arr[0], "y": arr[1],
+                 "u": arr[2][None], "v": arr[3][None]}
+    else:
+        try:
+            stack = load_pair_stack(args.path)
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
+            return 1
+    x, y, u, v = stack["x"], stack["y"], stack["u"], stack["v"]
+
+    # saved grids are in mm (pipeline tail: x*scale); solve in metres so
+    # rho [kg/m^3] and u [m/s] give Pa.  Normalise to ascending axes —
+    # the solver needs positive spacings.
+    dx = float(x[0, 1] - x[0, 0]) / 1000.0
+    dy = float(y[1, 0] - y[0, 0]) / 1000.0
+    flip_r, flip_c = dy < 0, dx < 0
+    if flip_r:
+        u, v, dy = u[:, ::-1], v[:, ::-1], -dy
+    if flip_c:
+        u, v, dx = u[..., ::-1], v[..., ::-1], -dx
+    if dx <= 0 or dy <= 0:
+        print("degenerate coordinate grids", file=sys.stderr)
+        return 1
+
+    def restore(p):
+        if flip_r:
+            p = p[::-1]
+        if flip_c:
+            p = p[:, ::-1]
+        return p
+
+    if args.mode == "mean":
+        with np.errstate(invalid="ignore"):
+            mu, mv = np.nanmean(u, axis=0), np.nanmean(v, axis=0)
+            uu = np.nanmean((u - mu)**2, axis=0)
+            vv = np.nanmean((v - mv)**2, axis=0)
+            uv = np.nanmean((u - mu) * (v - mv), axis=0)
+        p = restore(mean_pressure_rans(
+            *(np.nan_to_num(a) for a in (mu, mv, uu, vv, uv)),
+            dx, dy, rho=args.rho))
+        print(f"mean pressure from {u.shape[0]} snapshots: "
+              f"range [{p.min():.6g}, {p.max():.6g}] Pa, "
+              f"rms {np.sqrt((p**2).mean()):.6g} Pa")
+        if args.out:
+            save_binary("pressure_mean.npy", args.out,
+                        {"x": x, "y": y, "p": p})
+            out = save_table("pressure_mean.txt", args.out,
+                             {"x[mm]": x, "y[mm]": y, "p[Pa]": p})
+            print(f"wrote {out}")
+        return 0
+
+    if args.fs and u.shape[0] >= 2:
+        ps = pressure_from_stack(u, v, 1.0 / args.fs, dx, dy,
+                                 rho=args.rho, nu=args.nu)
+        kind = f"time-resolved @ {args.fs:g} Hz"
+    else:
+        if args.fs:
+            print("--fs ignored: need >= 2 snapshots for the unsteady term",
+                  file=sys.stderr)
+        ps = np.stack([pressure_poisson(u[i], v[i], dx, dy,
+                                        rho=args.rho, nu=args.nu)
+                       for i in range(u.shape[0])])
+        kind = "steady (snapshot-wise)"
+    ps = np.stack([restore(p) for p in ps])
+    rms = np.sqrt((ps**2).mean(axis=(1, 2)))
+    print(f"{ps.shape[0]} snapshot(s), {kind}: "
+          f"rms gauge pressure {rms.mean():.6g} Pa "
+          f"(min {rms.min():.6g}, max {rms.max():.6g})")
+    if args.out:
+        for i in range(ps.shape[0]):
+            save_binary(f"pressure_{i:04d}.npy", args.out,
+                        {"x": x, "y": y, "p": ps[i]})
+        print(f"{ps.shape[0]} pressure fields written to {args.out}")
+    return 0
+
+
 def cmd_calib(args) -> int:
     """Fit a Soloff camera mapping (calib/mapping.py) from calibration
     input and save it as ``.npz`` — the per-camera step of the stereo
@@ -1062,6 +1268,55 @@ def main(argv=None) -> int:
     p_tmp.add_argument("--out", default=None, metavar="DIR",
                        help="write PSD + running-mean tables here")
     p_tmp.set_defaults(fn=cmd_temporal)
+
+    p_tur = sub.add_parser(
+        "turbulence",
+        help="turbulence scales (TKE, dissipation, eta, Taylor, L) from "
+             "saved fields")
+    p_tur.add_argument("folder", help="folder of [4,R,C] .npy pair files")
+    p_tur.add_argument("--nu", type=float, default=1e-6,
+                       help="kinematic viscosity, m^2/s (default 1e-6 = "
+                            "water at 20C)")
+    p_tur.add_argument("--out", default=None, metavar="DIR",
+                       help="write the report table here")
+    p_tur.set_defaults(fn=cmd_turbulence)
+
+    p_dmd = sub.add_parser(
+        "dmd", help="dynamic mode decomposition of saved per-pair fields")
+    p_dmd.add_argument("folder", help="folder of [4,R,C] .npy pair files")
+    p_dmd.add_argument("--fs", type=float, default=1.0,
+                       help="pair acquisition rate, Hz (default 1)")
+    p_dmd.add_argument("--rank", type=int, default=None,
+                       help="SVD truncation rank (default: noise floor)")
+    p_dmd.add_argument("--modes", type=int, default=8,
+                       help="number of modes to report/save (default 8)")
+    p_dmd.add_argument("--keep-mean", action="store_true",
+                       help="do not subtract the temporal mean (use for "
+                            "transient growth/decay data)")
+    p_dmd.add_argument("--out", default=None, metavar="DIR",
+                       help="write mode fields + spectrum table here")
+    p_dmd.set_defaults(fn=cmd_dmd)
+
+    p_prs = sub.add_parser(
+        "pressure",
+        help="pressure reconstruction from saved fields (Poisson solve)")
+    p_prs.add_argument("path", help="folder of [4,R,C] .npy pair files, "
+                                    "or one such file")
+    p_prs.add_argument("--rho", type=float, default=1000.0,
+                       help="fluid density, kg/m^3 (default 1000 = water)")
+    p_prs.add_argument("--nu", type=float, default=0.0,
+                       help="kinematic viscosity, m^2/s (boundary term; "
+                            "default 0)")
+    p_prs.add_argument("--fs", type=float, default=None,
+                       help="pair acquisition rate, Hz — adds the unsteady "
+                            "term for time-resolved runs")
+    p_prs.add_argument("--mode", choices=["snapshot", "mean"],
+                       default="snapshot",
+                       help="snapshot-wise pressure, or Reynolds-averaged "
+                            "mean pressure from the ensemble")
+    p_prs.add_argument("--out", default=None, metavar="DIR",
+                       help="write pressure fields here")
+    p_prs.set_defaults(fn=cmd_pressure)
 
     p_cal = sub.add_parser(
         "calib", help="fit a Soloff camera mapping from target images/points")

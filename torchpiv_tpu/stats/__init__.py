@@ -1,18 +1,27 @@
 """Ensemble statistics (L4): means, Reynolds stresses, vorticity/shear;
 measurement-quality diagnostics (peak locking, SNR maps, uncertainty);
-robust field smoothing (smoothn); snapshot POD; spatial energy
+pressure reconstruction (Poisson, time-resolved and RANS-mean);
+robust field smoothing (smoothn); snapshot POD and DMD; spatial energy
 spectra; derived maps (divergence, swirling strength, Okubo-Weiss);
 temporal analysis for time-resolved runs (probe PSDs, integral time
-scale, convergence)."""
+scale, convergence); turbulence scales (TKE, dissipation, Kolmogorov /
+Taylor / integral scales)."""
 
 from .derived import (derived_fields, divergence, okubo_weiss,
                       swirling_strength, velocity_gradients, vorticity)
+from .dmd import DMDResult, compute_dmd
 from .ensemble import EnsembleAccumulator, compute_statistics
 from .pod import PODResult, compute_pod
+from .pressure import (mean_pressure_rans, pressure_from_stack,
+                       pressure_poisson, solve_poisson_neumann)
 from .quality import (fractional_histogram, peak_locking_degree,
                       peak_width_map, snr_map, uncertainty_map)
 from .smoothing import smooth_field, smooth_vector_field
 from .spectra import energy_spectrum, spatial_spectrum
+from .turbulence import (dissipation_direct, integral_length_scale,
+                         kolmogorov_scales, taylor_microscale,
+                         taylor_reynolds, turbulence_report,
+                         turbulent_kinetic_energy)
 from .temporal import (autocorrelation, convergence_report,
                        integral_time_scale, load_pair_stack, probe_series,
                        running_mean, welch_psd)
@@ -22,6 +31,8 @@ __all__ = [
     "PODResult",
     "autocorrelation",
     "compute_pod",
+    "DMDResult",
+    "compute_dmd",
     "compute_statistics",
     "convergence_report",
     "integral_time_scale",
@@ -29,12 +40,23 @@ __all__ = [
     "probe_series",
     "running_mean",
     "welch_psd",
+    "dissipation_direct",
+    "integral_length_scale",
+    "kolmogorov_scales",
+    "taylor_microscale",
+    "taylor_reynolds",
+    "turbulence_report",
+    "turbulent_kinetic_energy",
     "derived_fields",
     "divergence",
     "energy_spectrum",
     "fractional_histogram",
     "peak_locking_degree",
     "peak_width_map",
+    "mean_pressure_rans",
+    "pressure_from_stack",
+    "pressure_poisson",
+    "solve_poisson_neumann",
     "okubo_weiss",
     "smooth_field",
     "smooth_vector_field",
