@@ -1,0 +1,148 @@
+"""PTV (ops/particles.py + models/ptv.py) against planted particles."""
+import numpy as np
+import pytest
+
+from torchpiv_tpu.models.ptv import PTV, match_particles
+from torchpiv_tpu.ops.particles import detect_particles
+from torchpiv_tpu.utils.synthetic import render_particles
+
+
+def _frame(xs, ys, shape=(256, 320), inten=180.0, noise=1.5, seed=0):
+    rng = np.random.default_rng(seed)
+    f = render_particles(shape, np.asarray(xs), np.asarray(ys),
+                         np.full(len(xs), inten), diameter=3.0)
+    f = f + rng.normal(0, noise, shape).astype(np.float32) + 8.0
+    return np.clip(f, 0, 255).astype(np.uint8)
+
+
+def test_detect_subpixel_accuracy():
+    rng = np.random.default_rng(1)
+    n = 50
+    xs = rng.uniform(12, 308, n)
+    ys = rng.uniform(12, 244, n)
+    f = _frame(xs, ys)
+    dx, dy, resp, valid = map(np.asarray,
+                              detect_particles(f, 128, 3, smooth_sigma=1.3))
+    from scipy.spatial import cKDTree
+    det = np.count_nonzero(valid)
+    assert det >= 0.9 * n
+    d, j = cKDTree(np.column_stack([xs, ys])).query(
+        np.column_stack([dx[valid], dy[valid]]))
+    assert np.median(d) < 0.06
+    assert len(set(j.tolist())) == det  # one detection per particle
+
+
+def test_detect_saturated_plateau_single_detection():
+    f = _frame([100.0], [80.0], inten=3000.0, noise=0.0)  # clipped to 255
+    assert (f == 255).sum() >= 4  # genuinely saturated plateau
+    dx, dy, _, valid = map(np.asarray, detect_particles(f, 16, 3))
+    assert np.count_nonzero(valid) == 1
+    assert abs(dx[0] - 100.0) < 0.5 and abs(dy[0] - 80.0) < 0.5
+
+
+def test_match_contested_particle_goes_to_closer():
+    # two A-particles both nearest to b0; the closer one must win, the
+    # other falls back to its second-nearest candidate
+    xa, ya = np.array([0.0, 1.0]), np.array([0.0, 0.0])
+    xb, yb = np.array([0.2, 1.6]), np.array([0.0, 0.0])
+    ia, ib, d = match_particles(xa, ya, xb, yb, radius=2.0)
+    pairs = dict(zip(ia.tolist(), ib.tolist()))
+    assert pairs == {0: 0, 1: 1}
+
+
+def test_match_empty_inputs():
+    ia, ib, d = match_particles(np.zeros(0), np.zeros(0),
+                                np.zeros(3), np.zeros(3))
+    assert ia.size == ib.size == d.size == 0
+
+
+def test_ptv_uniform_flow_no_predictor():
+    rng = np.random.default_rng(2)
+    n = 60
+    xs = rng.uniform(16, 300, n)
+    ys = rng.uniform(16, 236, n)
+    du, dv = 3.3, -2.1
+    a = _frame(xs, ys, seed=3)
+    b = _frame(xs + du, ys + dv, seed=4)
+    ptv = PTV((256, 320), max_particles=128)
+    res = ptv(a, b)
+    assert res.x.size >= 0.8 * n
+    assert abs(np.median(res.u) - du) < 0.1
+    assert abs(np.median(res.v) - dv) < 0.1
+    # per-track accuracy (not just the median)
+    assert np.percentile(np.abs(res.u - du), 90) < 0.25
+    assert np.percentile(np.abs(res.v - dv), 90) < 0.25
+
+
+def test_ptv_piv_guided_beats_plain_on_shear():
+    """Strong shear + displacement larger than the inter-particle spacing:
+    plain nearest-neighbour mismatches, the PIV predictor disambiguates."""
+    from torchpiv_tpu.models.multipass import PIVConfig
+
+    rng = np.random.default_rng(5)
+    shape = (256, 320)
+    n = 350  # dense: mean spacing ~ sqrt(256*320/350) ~ 15 px
+    xs = rng.uniform(8, 312, n)
+    ys = rng.uniform(8, 248, n)
+    du = 6.0 + 0.05 * ys          # shear du/dy = 0.05, disp 6..19 px
+    dv = np.zeros(n)
+    a = _frame(xs, ys, shape=shape, seed=6)
+    b = _frame(xs + du, ys + dv, shape=shape, seed=7)
+
+    def track_errors(res):
+        from scipy.spatial import cKDTree
+        d, j = cKDTree(np.column_stack([xs, ys])).query(
+            np.column_stack([res.x, res.y]))
+        ok = d < 1.0
+        true_u = du[j[ok]]
+        return np.abs(res.u[ok] - true_u)
+
+    cfg = PIVConfig(frame_shape=shape, wind_size=64, overlap=32,
+                    multipass=2)
+    guided = PTV(shape, piv_config=cfg, max_particles=512,
+                 search_radius=3.0)
+    res_g = track_errors(guided(a, b))
+    plain = PTV(shape, max_particles=512, search_radius=20.0)
+    res_p = track_errors(plain(a, b))
+    good_g = np.mean(res_g < 0.5)
+    good_p = np.mean(res_p < 0.5)
+    assert good_g > 0.9
+    assert good_g > good_p + 0.05  # the predictor must actually help
+
+
+def test_cli_ptv(tmp_path):
+    import os
+
+    from torchpiv_tpu.cli import main as cli_main
+    from torchpiv_tpu.io.decode import imwrite_gray
+
+    rng = np.random.default_rng(9)
+    n = 40
+    xs = rng.uniform(16, 240, n)
+    ys = rng.uniform(16, 240, n)
+    folder = str(tmp_path / "frames")
+    os.makedirs(folder)
+    imwrite_gray(os.path.join(folder, "p0_a.bmp"),
+                 _frame(xs, ys, shape=(256, 256), seed=10))
+    imwrite_gray(os.path.join(folder, "p0_b.bmp"),
+                 _frame(xs + 2.0, ys - 1.0, shape=(256, 256), seed=11))
+    out = str(tmp_path / "out")
+    rc = cli_main(["ptv", folder, "--no-piv", "--max-particles", "128",
+                   "--search-radius", "6", "--out", out])
+    assert rc == 0
+    path = os.path.join(out, "ptv_0000.txt")
+    header = open(path).readline().split(", ")
+    data = np.loadtxt(path, skiprows=1, delimiter=",")
+    u = data[:, header.index("Vx[m/s]")]
+    v = data[:, header.index("Vy[m/s]")]
+    # defaults scale=dt=1 -> px*1000; Vy carries the physical sign flip
+    assert abs(np.median(u) / 1000 - 2.0) < 0.1
+    assert abs(np.median(v) / 1000 - 1.0) < 0.1
+
+
+def test_ptv_frame_shape_mismatch_raises():
+    from torchpiv_tpu.models.multipass import PIVConfig
+
+    cfg = PIVConfig(frame_shape=(128, 128), wind_size=32, overlap=16)
+    with pytest.raises(ValueError):
+        PTV((256, 256), piv_config=cfg)

@@ -691,6 +691,62 @@ def cmd_temporal(args) -> int:
     return 0
 
 
+def cmd_ptv(args) -> int:
+    """PIV-guided particle tracking over a folder (models/ptv.py).
+    Scattered per-particle vectors as ``ptv_<pair>.txt`` tables; columns
+    follow the pipeline's unit/sign contract (x, y in mm; Vx, Vy in m/s
+    with the image->physical y flip), plus the matching residual in px."""
+    import numpy as np
+
+    from .io.dataset import PIVDataset
+    from .models.multipass import PIVConfig
+    from .models.ptv import PTV
+    from .utils.persistence import save_table
+
+    ds = PIVDataset(args.folder, args.file_fmt, folder_mode=args.folder_mode)
+    if len(ds) == 0:
+        print("no pairs found", file=sys.stderr)
+        return 1
+    ptv = None
+    n_done = 0
+    n = len(ds) if args.pairs is None else min(len(ds), args.pairs)
+    for i in range(n):
+        fa, fb = ds[i]
+        if fa is None:
+            print(f"pair {i}: unreadable, skipped", file=sys.stderr)
+            continue
+        if ptv is None:
+            cfg = None
+            if not args.no_piv:
+                cfg = PIVConfig(frame_shape=fa.shape,
+                                wind_size=args.wind_size,
+                                overlap=args.overlap,
+                                multipass=args.multipass)
+            ptv = PTV(fa.shape, piv_config=cfg,
+                      max_particles=args.max_particles,
+                      min_distance=args.min_distance,
+                      smooth_sigma=args.smooth_sigma,
+                      search_radius=args.search_radius)
+        res = ptv(fa, fb)
+        print(f"pair {i}: {res.n_a}/{res.n_b} particles detected, "
+              f"{res.x.size} tracked "
+              f"({res.x.size / max(res.n_a, 1):.0%}), "
+              f"median residual {np.median(res.residual) if res.residual.size else 0:.2f} px")
+        if args.out:
+            k = args.scale / args.dt * 1000.0
+            save_table(f"ptv_{i:04d}.txt", args.out, {
+                "x[mm]": res.x * args.scale,
+                "y[mm]": res.y * args.scale,
+                "Vx[m/s]": res.u * k,
+                "Vy[m/s]": -res.v * k,
+                "residual[px]": res.residual,
+            })
+        n_done += 1
+    if args.out and n_done:
+        print(f"{n_done} scattered-vector tables written to {args.out}")
+    return 0 if n_done else 1
+
+
 def cmd_turbulence(args) -> int:
     """Turbulence-scale report over saved per-pair fields
     (stats/turbulence.py).  Saved fields carry u/v in m/s and x/y in mm;
@@ -1268,6 +1324,36 @@ def main(argv=None) -> int:
     p_tmp.add_argument("--out", default=None, metavar="DIR",
                        help="write PSD + running-mean tables here")
     p_tmp.set_defaults(fn=cmd_temporal)
+
+    p_ptv = sub.add_parser(
+        "ptv", help="particle tracking (scattered per-particle vectors)")
+    p_ptv.add_argument("folder", help="folder of frame images")
+    p_ptv.add_argument("--file-fmt", default=".bmp")
+    p_ptv.add_argument("--folder-mode", choices=["pairs", "sequential"],
+                       default="pairs")
+    p_ptv.add_argument("--pairs", type=int, default=None,
+                       help="max pairs to process (default all)")
+    p_ptv.add_argument("--no-piv", action="store_true",
+                       help="plain nearest-neighbour tracking (skip the "
+                            "PIV predictor)")
+    p_ptv.add_argument("--wind-size", type=int, default=64,
+                       help="predictor PIV window (default 64)")
+    p_ptv.add_argument("--overlap", type=int, default=32)
+    p_ptv.add_argument("--multipass", type=int, default=2)
+    p_ptv.add_argument("--max-particles", type=int, default=4096)
+    p_ptv.add_argument("--min-distance", type=int, default=3,
+                       help="non-maximum-suppression radius, px")
+    p_ptv.add_argument("--smooth-sigma", type=float, default=1.3,
+                       help="matched-filter width, px (~diameter/2.35)")
+    p_ptv.add_argument("--search-radius", type=float, default=None,
+                       help="match radius, px (default 4 guided / 10 plain)")
+    p_ptv.add_argument("--scale", type=float, default=1.0,
+                       help="mm per pixel")
+    p_ptv.add_argument("--dt", type=float, default=1.0,
+                       help="frame interval, us")
+    p_ptv.add_argument("--out", default=None, metavar="DIR",
+                       help="write scattered-vector tables here")
+    p_ptv.set_defaults(fn=cmd_ptv)
 
     p_tur = sub.add_parser(
         "turbulence",

@@ -1,6 +1,9 @@
-"""Pass/pipeline compute graphs (L3): the fused multipass PIV model."""
+"""Pass/pipeline compute graphs (L3): the fused multipass PIV model,
+ensemble (correlation-averaged) PIV, and PIV-guided particle tracking."""
 
 from .ensemble_corr import EnsemblePIV
 from .multipass import MultipassPIV, PIVConfig
+from .ptv import PTV, PTVResult, match_particles
 
-__all__ = ["MultipassPIV", "PIVConfig", "EnsemblePIV"]
+__all__ = ["MultipassPIV", "PIVConfig", "EnsemblePIV", "PTV", "PTVResult",
+           "match_particles"]

@@ -1,0 +1,190 @@
+"""PTV (particle tracking velocimetry): scattered per-particle vectors.
+
+Beyond the reference (correlation PIV only).  Hybrid PIV-guided PTV is
+the standard super-resolution scheme (Keane, Adrian & Zhang, Meas. Sci.
+Technol. 6 (1995)): a coarse correlation field predicts where each frame-A
+particle lands in frame B, and the tracker only has to resolve the
+residual — which makes tracking reliable at seeding densities where
+nearest-neighbour matching alone breaks down.
+
+Split of labour: particle DETECTION is the per-pixel work and runs as a
+jitted TPU graph (ops/particles.py); MATCHING operates on a few thousand
+scattered points and is host-side scipy (cKDTree), like the rest of the
+post-processing tail.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class PTVResult:
+    """Scattered tracks for one frame pair (image coordinates, px).
+
+    ``x``/``y``: frame-A particle positions; ``u``/``v``: displacement to
+    the matched frame-B particle (u = +x/cols, v = +y/rows);
+    ``residual``: distance between predictor and match (px) — large
+    values flag suspect tracks; ``n_a``/``n_b``: detection counts.
+    """
+
+    x: np.ndarray
+    y: np.ndarray
+    u: np.ndarray
+    v: np.ndarray
+    residual: np.ndarray
+    n_a: int
+    n_b: int
+
+
+def match_particles(
+    xa: np.ndarray,
+    ya: np.ndarray,
+    xb: np.ndarray,
+    yb: np.ndarray,
+    pred_u: Optional[np.ndarray] = None,
+    pred_v: Optional[np.ndarray] = None,
+    radius: float = 5.0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Greedy unique nearest-neighbour matching under a search radius.
+
+    Each frame-A particle is displaced by its predictor (zero when
+    absent) and matched to the nearest unclaimed frame-B particle within
+    ``radius``; candidates are claimed in ascending-distance order, so a
+    closer pair always wins a contested particle.  Returns ``(ia, ib,
+    dist)`` index arrays of the matched pairs.
+    """
+    from scipy.spatial import cKDTree
+
+    xa = np.asarray(xa, dtype=np.float64)
+    ya = np.asarray(ya, dtype=np.float64)
+    xb = np.asarray(xb, dtype=np.float64)
+    yb = np.asarray(yb, dtype=np.float64)
+    if xa.size == 0 or xb.size == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, np.zeros(0)
+    px = xa + (0.0 if pred_u is None else np.asarray(pred_u))
+    py = ya + (0.0 if pred_v is None else np.asarray(pred_v))
+    tree = cKDTree(np.column_stack([xb, yb]))
+    # k nearest candidates per A-particle, then a global greedy pass
+    k = min(4, xb.size)
+    dist, idx = tree.query(np.column_stack([px, py]), k=k,
+                           distance_upper_bound=radius)
+    dist = np.atleast_2d(dist.T).T
+    idx = np.atleast_2d(idx.T).T
+    cand = [(dist[i, c], i, idx[i, c])
+            for i in range(xa.size) for c in range(k)
+            if np.isfinite(dist[i, c])]
+    cand.sort()
+    used_a = np.zeros(xa.size, dtype=bool)
+    used_b = np.zeros(xb.size, dtype=bool)
+    ia, ib, dd = [], [], []
+    for d, i, j in cand:
+        if used_a[i] or used_b[j]:
+            continue
+        used_a[i] = used_b[j] = True
+        ia.append(i)
+        ib.append(j)
+        dd.append(d)
+    return (np.asarray(ia, dtype=np.int64), np.asarray(ib, dtype=np.int64),
+            np.asarray(dd))
+
+
+class PTV:
+    """PIV-guided particle tracker for a fixed frame shape.
+
+    With ``piv_config`` (a :class:`~torchpiv_tpu.models.multipass.PIVConfig`)
+    the correlation engine provides the per-particle predictor and
+    ``search_radius`` bounds only the residual; without it, plain
+    nearest-neighbour tracking with a wider default radius.
+
+    >>> ptv = PTV((1024, 1024), piv_config=cfg)
+    >>> res = ptv(frame_a, frame_b)     # res.x/y/u/v scattered, px
+    """
+
+    def __init__(
+        self,
+        frame_shape: Tuple[int, int],
+        piv_config=None,
+        max_particles: int = 4096,
+        min_distance: int = 3,
+        n_sigma: float = 4.0,
+        smooth_sigma: float = 1.3,
+        search_radius: Optional[float] = None,
+    ):
+        import jax
+
+        from ..ops.particles import detect_particles
+
+        self.frame_shape = tuple(frame_shape)
+        self.max_particles = int(max_particles)
+        self.min_distance = int(min_distance)
+        self.n_sigma = float(n_sigma)
+        self.smooth_sigma = float(smooth_sigma)
+        self._detect = detect_particles
+        self._engine = None
+        self._coords = None
+        if piv_config is not None:
+            from ..ops.geometry import get_coordinates
+            from .multipass import MultipassPIV
+
+            if tuple(piv_config.frame_shape) != self.frame_shape:
+                raise ValueError("piv_config.frame_shape "
+                                 f"{piv_config.frame_shape} != PTV frame "
+                                 f"shape {self.frame_shape}")
+            self._engine = jax.jit(MultipassPIV(piv_config))
+            w, o = piv_config.pass_schedule()[-1]
+            self._coords = get_coordinates(self.frame_shape, w, o)
+        # with a predictor only the residual must fit in the radius
+        self.search_radius = float(search_radius if search_radius is not None
+                                   else (4.0 if self._engine else 10.0))
+
+    def _predictor(self, frame_a, frame_b, xa, ya):
+        """Per-particle (u, v) prediction from the PIV field."""
+        from scipy.interpolate import RegularGridInterpolator
+
+        u, v, inval = self._engine(frame_a, frame_b)
+        u = np.asarray(u, dtype=np.float64)
+        v = np.asarray(v, dtype=np.float64)
+        bad = np.asarray(inval, dtype=bool)
+        if bad.any():  # predictor only — median fill is plenty
+            u = np.where(bad, np.median(u[~bad]) if (~bad).any() else 0.0, u)
+            v = np.where(bad, np.median(v[~bad]) if (~bad).any() else 0.0, v)
+        gx, gy = self._coords
+        interp_u = RegularGridInterpolator(
+            (gy[:, 0], gx[0, :]), u, bounds_error=False, fill_value=None)
+        interp_v = RegularGridInterpolator(
+            (gy[:, 0], gx[0, :]), v, bounds_error=False, fill_value=None)
+        pts = np.column_stack([ya, xa])
+        return interp_u(pts), interp_v(pts)
+
+    def __call__(self, frame_a: np.ndarray, frame_b: np.ndarray
+                 ) -> PTVResult:
+        import jax.numpy as jnp
+
+        a = jnp.asarray(frame_a)
+        b = jnp.asarray(frame_b)
+        xa, ya, _, va = self._detect(a, self.max_particles,
+                                     self.min_distance,
+                                     n_sigma=self.n_sigma,
+                                     smooth_sigma=self.smooth_sigma)
+        xb, yb, _, vb = self._detect(b, self.max_particles,
+                                     self.min_distance,
+                                     n_sigma=self.n_sigma,
+                                     smooth_sigma=self.smooth_sigma)
+        xa, ya = np.asarray(xa)[np.asarray(va)], np.asarray(ya)[np.asarray(va)]
+        xb, yb = np.asarray(xb)[np.asarray(vb)], np.asarray(yb)[np.asarray(vb)]
+
+        pu = pv = None
+        if self._engine is not None and xa.size:
+            pu, pv = self._predictor(a, b, xa, ya)
+        ia, ib, dist = match_particles(xa, ya, xb, yb, pu, pv,
+                                       radius=self.search_radius)
+        return PTVResult(
+            x=xa[ia], y=ya[ia],
+            u=xb[ib] - xa[ia], v=yb[ib] - ya[ia],
+            residual=dist,
+            n_a=int(xa.size), n_b=int(xb.size),
+        )

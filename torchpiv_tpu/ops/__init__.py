@@ -6,6 +6,7 @@ and backend-agnostic (CPU for tests, TPU for production)."""
 from .correlate import correlate_fft, mean_normalize, min_subtract
 from .geometry import get_coordinates, get_field_shape, window_origins
 from .infill import fill_missing_values, fused_infill, interpolate_borders
+from .particles import detect_particles
 from .peakfit import correlation_to_displacement
 from .shifts import cws_shift, dws_shift, per_window_origins
 from .spline import spline_matrix, upsample_matrices
@@ -22,6 +23,7 @@ __all__ = [
     "fused_infill",
     "interpolate_borders",
     "correlation_to_displacement",
+    "detect_particles",
     "cws_shift",
     "dws_shift",
     "per_window_origins",
