@@ -531,3 +531,30 @@ def test_derived_fields_on_canonical_flows():
     assert set(d) == {"divergence", "vorticity", "swirling_strength",
                       "okubo_weiss"}
     assert np.allclose(d["vorticity"], om)  # 2*om / 2.0 spacing
+
+
+def test_gamma_vortex_identification():
+    """Graftieaux Gamma1/Gamma2: center peak 1 on rotation, shear stays
+    below the 2/pi core threshold (stats/derived.py)."""
+    from torchpiv_tpu.stats.derived import gamma_functions
+
+    y, x = np.mgrid[0:41, 0:41].astype(np.float64)
+    om = 0.1
+    g1, g2 = gamma_functions(-om * (y - 20), om * (x - 20), radius=2)
+    assert abs(g1[20, 20] - 1.0) < 1e-12  # sin(theta)=1 for every M
+    assert np.unravel_index(np.argmax(np.abs(g1)), g1.shape) == (20, 20)
+    assert g2[20, 20] > 2 / np.pi
+
+    # Lamb-Oseen vortex: same center detection through the core profile
+    r = np.hypot(x - 20, y - 20) + 1e-9
+    vt = (1 - np.exp(-((r / 6.0) ** 2))) / r
+    g1l, _ = gamma_functions(-vt * (y - 20), vt * (x - 20), radius=2)
+    assert np.unravel_index(np.argmax(np.abs(g1l)), g1l.shape) == (20, 20)
+
+    # pure shear: no point qualifies as vortex core (|Gamma2| <= 2/pi)
+    _, g2s = gamma_functions(0.2 * (y - 20), np.zeros_like(x), radius=3)
+    assert np.abs(g2s[4:-4, 4:-4]).max() <= 2 / np.pi + 1e-6
+
+    # negative (clockwise) rotation flips the sign
+    g1n, _ = gamma_functions(om * (y - 20), -om * (x - 20), radius=2)
+    assert abs(g1n[20, 20] + 1.0) < 1e-12

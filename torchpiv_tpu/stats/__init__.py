@@ -7,8 +7,9 @@ temporal analysis for time-resolved runs (probe PSDs, integral time
 scale, convergence); turbulence scales (TKE, dissipation, Kolmogorov /
 Taylor / integral scales)."""
 
-from .derived import (derived_fields, divergence, okubo_weiss,
-                      swirling_strength, velocity_gradients, vorticity)
+from .derived import (derived_fields, divergence, gamma_functions,
+                      okubo_weiss, swirling_strength, velocity_gradients,
+                      vorticity)
 from .dmd import DMDResult, compute_dmd
 from .ensemble import EnsembleAccumulator, compute_statistics
 from .pod import PODResult, compute_pod
@@ -49,6 +50,7 @@ __all__ = [
     "turbulent_kinetic_energy",
     "derived_fields",
     "divergence",
+    "gamma_functions",
     "energy_spectrum",
     "fractional_histogram",
     "peak_locking_degree",

@@ -73,6 +73,66 @@ def okubo_weiss(u, v, dx: float = 1.0, dy: float = 1.0, *, grads=None
     return s_n * s_n + s_s * s_s - w * w
 
 
+def gamma_functions(u, v, dx: float = 1.0, dy: float = 1.0, radius: int = 2):
+    """Graftieaux Gamma1 / Gamma2 vortex-identification functions
+    (Graftieaux, Michard & Grosjean, Meas. Sci. Technol. 12 (2001)).
+
+    Per grid point P, averaged over the ``(2*radius+1)^2`` neighborhood M:
+
+        Gamma1 = < (PM x U_M).z / (|PM| |U_M|) >          (vortex CENTER:
+                 |Gamma1| peaks ~1 at the core axis)
+        Gamma2 = same with U_M replaced by U_M - <U>_window (convection
+                 removed; |Gamma2| > 2/pi marks the vortex CORE region)
+
+    Sign follows the vorticity convention (positive = counter-clockwise
+    for y pointing up).  Dimensionless, robust to noise (it averages
+    angles, not gradients) — the standard complement to lambda_ci.
+    Returns ``(gamma1, gamma2)``.
+    """
+    u = np.asarray(u, dtype=np.float64)
+    v = np.asarray(v, dtype=np.float64)
+    if u.shape != v.shape or u.ndim != 2:
+        raise ValueError(f"expected matching [R, C] fields, got "
+                         f"{u.shape} / {v.shape}")
+    r_, c_ = u.shape
+    n = int(radius)
+    if n < 1:
+        raise ValueError("radius must be >= 1")
+    eps = 1e-30
+
+    # local window means for Gamma2 (box filter via cumulative sums)
+    def _box_mean(a):
+        pad = np.pad(a, n, mode="edge")
+        cs = np.cumsum(np.cumsum(pad, axis=0), axis=1)
+        cs = np.pad(cs, ((1, 0), (1, 0)))
+        w = 2 * n + 1
+        tot = (cs[w:, w:] - cs[:-w, w:] - cs[w:, :-w] + cs[:-w, :-w])
+        return tot / (w * w)
+
+    um, vm = _box_mean(u), _box_mean(v)
+
+    g1 = np.zeros_like(u)
+    g2 = np.zeros_like(u)
+    count = 0
+    for oy in range(-n, n + 1):
+        for ox in range(-n, n + 1):
+            if oy == 0 and ox == 0:
+                continue
+            count += 1
+            # U at M = P + offset, clamped at borders (edge padding)
+            ys = np.clip(np.arange(r_) + oy, 0, r_ - 1)
+            xs = np.clip(np.arange(c_) + ox, 0, c_ - 1)
+            uM = u[ys][:, xs]
+            vM = v[ys][:, xs]
+            px, py = ox * dx, oy * dy
+            norm_p = np.hypot(px, py)
+            cross = px * vM - py * uM
+            g1 += cross / (norm_p * np.hypot(uM, vM) + eps)
+            uF, vF = uM - um, vM - vm
+            g2 += (px * vF - py * uF) / (norm_p * np.hypot(uF, vF) + eps)
+    return g1 / count, g2 / count
+
+
 def derived_fields(u, v, dx: float = 1.0, dy: float = 1.0
                    ) -> Dict[str, np.ndarray]:
     """All derived maps from one gradient pass: divergence, vorticity,
