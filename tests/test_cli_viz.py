@@ -395,3 +395,30 @@ def test_doctor_no_engine_and_failure_exit(capsys, monkeypatch, tmp_path):
     out = capsys.readouterr().out
     assert rc == 1
     assert "FAILED: native decoder" in out
+
+
+def test_cli_compare(tmp_path):
+    import numpy as np
+
+    from torchpiv_tpu.cli import main as cli_main
+    from torchpiv_tpu.utils.persistence import save_table
+
+    y, x = np.mgrid[0:8, 0:10].astype(np.float64)
+    u = 2.0 + 0.1 * y
+    v = -1.0 + 0.05 * x
+    out = str(tmp_path)
+    save_table("a.txt", out, {"x[mm]": x, "y[mm]": y,
+                              "Vx[m/s]": u, "Vy[m/s]": v})
+    ub = u + 0.001
+    ub[0, 0] = np.nan  # one vector valid only in A
+    save_table("b.txt", out, {"x[mm]": x, "y[mm]": y,
+                              "Vx[m/s]": ub, "Vy[m/s]": v})
+    import os
+    rc = cli_main(["compare", os.path.join(out, "a.txt"),
+                   os.path.join(out, "b.txt"), "--tol", "0.01"])
+    assert rc == 0
+    # grid mismatch is a hard error
+    save_table("c.txt", out, {"x[mm]": x[:4], "y[mm]": y[:4],
+                              "Vx[m/s]": u[:4], "Vy[m/s]": v[:4]})
+    assert cli_main(["compare", os.path.join(out, "a.txt"),
+                     os.path.join(out, "c.txt")]) == 1

@@ -691,6 +691,62 @@ def cmd_temporal(args) -> int:
     return 0
 
 
+def cmd_compare(args) -> int:
+    """Compare two saved field tables (or [4,R,C]/.npy binaries) on the
+    same grid: per-component bias, RMS and max difference, correlation,
+    and the fraction of vectors within ``--tol``.  For validating a run
+    against another tool or another configuration."""
+    import numpy as np
+
+    def _load(path):
+        if path.endswith(".npy"):
+            arr = np.load(path)
+            if arr.ndim != 3 or arr.shape[0] < 4:
+                print(f"{path}: not a [4, R, C] pair file", file=sys.stderr)
+                return None
+            return {"x": arr[0], "y": arr[1], "u": arr[2], "v": arr[3]}
+        from .utils.persistence import load_table
+
+        t = load_table(path)
+        keys = list(t)
+        # saved tables lead with x, y then the two velocity components
+        if len(keys) < 4:
+            print(f"{path}: fewer than 4 columns", file=sys.stderr)
+            return None
+        return {"x": t[keys[0]], "y": t[keys[1]],
+                "u": t[keys[2]], "v": t[keys[3]]}
+
+    ta, tb = _load(args.table_a), _load(args.table_b)
+    if ta is None or tb is None:
+        return 1
+    if ta["u"].shape != tb["u"].shape:
+        print(f"grid mismatch: {ta['u'].shape} vs {tb['u'].shape}",
+              file=sys.stderr)
+        return 1
+    rc = 0
+    for comp in ("u", "v"):
+        a, b = np.asarray(ta[comp], float), np.asarray(tb[comp], float)
+        both = np.isfinite(a) & np.isfinite(b)
+        n = int(both.sum())
+        if n == 0:
+            print(f"{comp}: no overlapping valid vectors", file=sys.stderr)
+            rc = 1
+            continue
+        d = a[both] - b[both]
+        denom = float(np.std(a[both]) * np.std(b[both]))
+        corr = (float(np.mean((a[both] - a[both].mean())
+                              * (b[both] - b[both].mean()))) / denom
+                if denom > 0 else float("nan"))
+        print(f"{comp}: n {n}  bias {d.mean():+.6g}  "
+              f"rms {np.sqrt((d**2).mean()):.6g}  max|d| {np.abs(d).max():.6g}  "
+              f"corr {corr:.6f}  within tol {(np.abs(d) <= args.tol).mean():.1%}")
+        only_a = int((np.isfinite(a) & ~np.isfinite(b)).sum())
+        only_b = int((~np.isfinite(a) & np.isfinite(b)).sum())
+        if only_a or only_b:
+            print(f"{comp}: valid only in A: {only_a}, only in B: {only_b}")
+    return rc
+
+
 def cmd_ptv(args) -> int:
     """PIV-guided particle tracking over a folder (models/ptv.py).
     Scattered per-particle vectors as ``ptv_<pair>.txt`` tables; columns
@@ -1324,6 +1380,15 @@ def main(argv=None) -> int:
     p_tmp.add_argument("--out", default=None, metavar="DIR",
                        help="write PSD + running-mean tables here")
     p_tmp.set_defaults(fn=cmd_temporal)
+
+    p_cmp = sub.add_parser(
+        "compare", help="diff two saved field tables on the same grid")
+    p_cmp.add_argument("table_a", help="saved table .txt or [4,R,C] .npy")
+    p_cmp.add_argument("table_b")
+    p_cmp.add_argument("--tol", type=float, default=10.0,
+                       help="per-vector agreement tolerance in the "
+                            "tables' velocity units (default 10)")
+    p_cmp.set_defaults(fn=cmd_compare)
 
     p_ptv = sub.add_parser(
         "ptv", help="particle tracking (scattered per-particle vectors)")
