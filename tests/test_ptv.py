@@ -140,6 +140,46 @@ def test_cli_ptv(tmp_path):
     assert abs(np.median(v) / 1000 - 1.0) < 0.1
 
 
+def test_bin_to_grid_recovers_shear():
+    from torchpiv_tpu.models.ptv import bin_to_grid
+    from torchpiv_tpu.ops.geometry import get_coordinates
+
+    rng = np.random.default_rng(12)
+    shape = (256, 320)
+    n = 800
+    x = rng.uniform(0, 320, n)
+    y = rng.uniform(0, 256, n)
+    u = 2.0 + 0.02 * y
+    v = np.full(n, -1.0)
+    gx, gy, gu, gv, cnt = bin_to_grid(x, y, u, v, shape,
+                                      wind_size=32, overlap=16)
+    assert gx.shape == get_coordinates(shape, 32, 16)[0].shape
+    filled = np.isfinite(gu)
+    assert filled.mean() > 0.95
+    # Gaussian binning of a linear field is unbiased at the node
+    err = np.abs(gu[filled] - (2.0 + 0.02 * gy[filled]))
+    assert np.median(err) < 0.05
+    assert np.abs(gv[filled] + 1.0).max() < 0.05
+    assert (cnt[filled] >= 1).all()
+
+
+def test_bin_to_grid_sparse_and_empty():
+    from torchpiv_tpu.models.ptv import bin_to_grid
+
+    gx, gy, gu, gv, cnt = bin_to_grid(np.zeros(0), np.zeros(0),
+                                      np.zeros(0), np.zeros(0),
+                                      (128, 128))
+    assert np.isnan(gu).all() and cnt.sum() == 0
+    # one isolated track fills only nearby nodes
+    gx, gy, gu, gv, cnt = bin_to_grid(np.array([64.0]), np.array([64.0]),
+                                      np.array([3.0]), np.array([0.0]),
+                                      (128, 128), wind_size=32, overlap=16)
+    near = np.hypot(gx - 64, gy - 64) < 32
+    assert np.isfinite(gu[near]).all()
+    assert np.isnan(gu[~near]).all()
+    assert np.allclose(gu[near], 3.0)
+
+
 def test_ptv_frame_shape_mismatch_raises():
     from torchpiv_tpu.models.multipass import PIVConfig
 

@@ -797,6 +797,19 @@ def cmd_ptv(args) -> int:
                 "Vy[m/s]": -res.v * k,
                 "residual[px]": res.residual,
             })
+            if args.grid:
+                from .models.ptv import bin_to_grid
+
+                gx, gy, gu, gv, cnt = bin_to_grid(
+                    res.x, res.y, res.u, res.v, fa.shape,
+                    wind_size=args.grid, overlap=args.grid // 2)
+                save_table(f"ptv_grid_{i:04d}.txt", args.out, {
+                    "x[mm]": gx * args.scale,
+                    "y[mm]": gy * args.scale,
+                    "Vx[m/s]": gu * k,
+                    "Vy[m/s]": -gv * k,
+                    "n[1]": cnt.astype(np.float64),
+                })
         n_done += 1
     if args.out and n_done:
         print(f"{n_done} scattered-vector tables written to {args.out}")
@@ -1416,6 +1429,9 @@ def main(argv=None) -> int:
                        help="mm per pixel")
     p_ptv.add_argument("--dt", type=float, default=1.0,
                        help="frame interval, us")
+    p_ptv.add_argument("--grid", type=int, default=None, metavar="WIN",
+                       help="also bin tracks onto the WIN px (50%% overlap) "
+                            "PIV grid as ptv_grid_<pair>.txt")
     p_ptv.add_argument("--out", default=None, metavar="DIR",
                        help="write scattered-vector tables here")
     p_ptv.set_defaults(fn=cmd_ptv)

@@ -3,7 +3,7 @@ ensemble (correlation-averaged) PIV, and PIV-guided particle tracking."""
 
 from .ensemble_corr import EnsemblePIV
 from .multipass import MultipassPIV, PIVConfig
-from .ptv import PTV, PTVResult, match_particles
+from .ptv import PTV, PTVResult, bin_to_grid, match_particles
 
 __all__ = ["MultipassPIV", "PIVConfig", "EnsemblePIV", "PTV", "PTVResult",
-           "match_particles"]
+           "bin_to_grid", "match_particles"]

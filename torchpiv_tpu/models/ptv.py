@@ -92,6 +92,76 @@ def match_particles(
             np.asarray(dd))
 
 
+def bin_to_grid(
+    x: np.ndarray,
+    y: np.ndarray,
+    u: np.ndarray,
+    v: np.ndarray,
+    frame_shape: Tuple[int, int],
+    wind_size: int = 32,
+    overlap: int = 16,
+    min_tracks: int = 1,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Bin scattered tracks onto the standard PIV coordinate grid.
+
+    Gaussian-weighted averaging (sigma = half the grid step, the usual
+    super-resolution binning) of all tracks within one window size of
+    each node; nodes with fewer than ``min_tracks`` contributing tracks
+    are NaN.  Returns ``(gx, gy, gu, gv, count)`` with the same
+    ``get_coordinates`` grid the correlation engine uses, so PTV output
+    drops into every downstream tool (stats, export, view).
+    """
+    from ..ops.geometry import get_coordinates
+
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    u = np.asarray(u, dtype=np.float64)
+    v = np.asarray(v, dtype=np.float64)
+    gx, gy = get_coordinates(frame_shape, wind_size, overlap)
+    step = wind_size - overlap
+    sigma = step / 2.0
+    r, c = gx.shape
+    gu = np.full((r, c), np.nan)
+    gv = np.full((r, c), np.nan)
+    count = np.zeros((r, c), dtype=np.int64)
+    if x.size == 0:
+        return gx, gy, gu, gv, count
+    cut = float(wind_size)  # contribution radius
+    # scatter by node offset: each track touches only nodes within
+    # ceil(cut/step) grid steps, so loop over that small offset stencil
+    # with N-length vector ops instead of looping over the 16k nodes.
+    x0, y0 = float(gx[0, 0]), float(gy[0, 0])
+    hx = np.rint((x - x0) / step).astype(np.int64)  # home node
+    hy = np.rint((y - y0) / step).astype(np.int64)
+    reach = int(np.ceil(cut / step))
+    wsum = np.zeros((r, c))
+    usum = np.zeros((r, c))
+    vsum = np.zeros((r, c))
+    for oy in range(-reach, reach + 1):
+        for ox in range(-reach, reach + 1):
+            iy = hy + oy
+            ix = hx + ox
+            ok = (iy >= 0) & (iy < r) & (ix >= 0) & (ix < c)
+            if not ok.any():
+                continue
+            iyk, ixk = iy[ok], ix[ok]
+            d2 = ((x[ok] - (x0 + ixk * step)) ** 2
+                  + (y[ok] - (y0 + iyk * step)) ** 2)
+            near = d2 < cut * cut
+            if not near.any():
+                continue
+            iyk, ixk, d2 = iyk[near], ixk[near], d2[near]
+            w = np.exp(-d2 / (2.0 * sigma * sigma))
+            np.add.at(count, (iyk, ixk), 1)
+            np.add.at(wsum, (iyk, ixk), w)
+            np.add.at(usum, (iyk, ixk), w * u[ok][near])
+            np.add.at(vsum, (iyk, ixk), w * v[ok][near])
+    good = (count >= min_tracks) & (wsum > 0)
+    gu[good] = usum[good] / wsum[good]
+    gv[good] = vsum[good] / wsum[good]
+    return gx, gy, gu, gv, count
+
+
 class PTV:
     """PIV-guided particle tracker for a fixed frame shape.
 
