@@ -74,7 +74,9 @@ def main(out_dir="./demo_out"):
     fig, (ax_t, ax_g, ax_p) = plt.subplots(1, 3, figsize=(16, 5), dpi=110)
 
     speed = np.hypot(res.u, res.v)
-    sc = ax_t.quiver(res.x, res.y, res.u, -res.v, speed, cmap="viridis",
+    # u/v are image-convention; the axes are inverted to image coords
+    # below, so the arrow components pass through unchanged
+    sc = ax_t.quiver(res.x, res.y, res.u, res.v, speed, cmap="viridis",
                      angles="xy", scale_units="xy", scale=0.25, width=0.003)
     ax_t.set_title(f"PTV tracks ({res.x.size} particles)")
     fig.colorbar(sc, ax=ax_t, label="|d| [px]")

@@ -160,6 +160,27 @@ def test_cli_pressure_snapshot_and_mean(tmp_path):
     assert np.abs(arr[2] - pe).max() < 1e-6 * np.abs(pe).max()
 
 
+def test_cli_pressure_single_file_folder(tmp_path):
+    """A folder holding exactly one saved pair must work in the default
+    steady mode (only the unsteady term needs >= 2 snapshots)."""
+    from torchpiv_tpu.cli import main as cli_main
+
+    om = 2.5
+
+    def rot(Xm, Ym, i):
+        return -om * Ym, om * Xm
+
+    folder = str(tmp_path / "fields")
+    X, Y = _write_pair_files(folder, 1, rot)
+    out = str(tmp_path / "out")
+    assert cli_main(["pressure", folder, "--rho", "1.0",
+                     "--out", out]) == 0
+    arr = np.load(str(tmp_path / "out" / "pressure_0000.npy"))
+    pe = om**2 * ((X / 1000)**2 + (Y / 1000)**2) / 2
+    pe -= pe.mean()
+    assert np.abs(arr[2] - pe).max() < 1e-6 * np.abs(pe).max()
+
+
 def test_cli_pressure_descending_y_and_single_file(tmp_path):
     """Saved tables may carry y descending with the row index; the solver
     must see ascending axes and the output must be restored to file order."""

@@ -40,6 +40,15 @@ def test_detect_saturated_plateau_single_detection():
     assert abs(dx[0] - 100.0) < 0.5 and abs(dy[0] - 80.0) < 0.5
 
 
+def test_detect_blank_frame_no_detections():
+    """A constant (dropped/black) frame must yield zero detections, not
+    max_particles raster-position fakes (flat windows tie the max-pool)."""
+    for val in (0, 37):
+        f = np.full((128, 128), val, dtype=np.uint8)
+        _, _, _, valid = map(np.asarray, detect_particles(f, 64, 3))
+        assert np.count_nonzero(valid) == 0
+
+
 def test_match_contested_particle_goes_to_closer():
     # two A-particles both nearest to b0; the closer one must win, the
     # other falls back to its second-nearest candidate
@@ -138,6 +147,15 @@ def test_cli_ptv(tmp_path):
     # defaults scale=dt=1 -> px*1000; Vy carries the physical sign flip
     assert abs(np.median(u) / 1000 - 2.0) < 0.1
     assert abs(np.median(v) / 1000 - 1.0) < 0.1
+    # y follows the pipeline's image->physical flip: a particle near the
+    # image TOP (small image y) must read a LARGE y[mm]
+    ty = data[:, header.index("y[mm]")]
+    from scipy.spatial import cKDTree
+    tx = data[:, header.index("x[mm]")]
+    top = np.argmin(ys)  # planted particle nearest the image top
+    d, j = cKDTree(np.column_stack([tx, ty])).query(
+        [xs[top], 255.0 - ys[top]])
+    assert d < 1.5  # found at the flipped position
 
 
 def test_bin_to_grid_recovers_shear():

@@ -733,10 +733,10 @@ def cmd_compare(args) -> int:
             rc = 1
             continue
         d = a[both] - b[both]
-        denom = float(np.std(a[both]) * np.std(b[both]))
-        corr = (float(np.mean((a[both] - a[both].mean())
-                              * (b[both] - b[both].mean()))) / denom
-                if denom > 0 else float("nan"))
+        if np.std(a[both]) > 0 and np.std(b[both]) > 0:
+            corr = float(np.corrcoef(a[both], b[both])[0, 1])
+        else:
+            corr = float("nan")
         print(f"{comp}: n {n}  bias {d.mean():+.6g}  "
               f"rms {np.sqrt((d**2).mean()):.6g}  max|d| {np.abs(d).max():.6g}  "
               f"corr {corr:.6f}  within tol {(np.abs(d) <= args.tol).mean():.1%}")
@@ -750,8 +750,10 @@ def cmd_compare(args) -> int:
 def cmd_ptv(args) -> int:
     """PIV-guided particle tracking over a folder (models/ptv.py).
     Scattered per-particle vectors as ``ptv_<pair>.txt`` tables; columns
-    follow the pipeline's unit/sign contract (x, y in mm; Vx, Vy in m/s
-    with the image->physical y flip), plus the matching residual in px."""
+    follow the pipeline's unit/sign contract (pipeline.py finalize tail:
+    the field is flipped to physical y-up and v negated, so here
+    ``y[mm] = (H-1-y_img)*scale`` and ``Vy = -v``), plus the matching
+    residual in px."""
     import numpy as np
 
     from .io.dataset import PIVDataset
@@ -792,7 +794,7 @@ def cmd_ptv(args) -> int:
             k = args.scale / args.dt * 1000.0
             save_table(f"ptv_{i:04d}.txt", args.out, {
                 "x[mm]": res.x * args.scale,
-                "y[mm]": res.y * args.scale,
+                "y[mm]": (fa.shape[0] - 1 - res.y) * args.scale,
                 "Vx[m/s]": res.u * k,
                 "Vy[m/s]": -res.v * k,
                 "residual[px]": res.residual,
@@ -806,9 +808,9 @@ def cmd_ptv(args) -> int:
                 save_table(f"ptv_grid_{i:04d}.txt", args.out, {
                     "x[mm]": gx * args.scale,
                     "y[mm]": gy * args.scale,
-                    "Vx[m/s]": gu * k,
-                    "Vy[m/s]": -gv * k,
-                    "n[1]": cnt.astype(np.float64),
+                    "Vx[m/s]": np.flip(gu, axis=0) * k,
+                    "Vy[m/s]": -np.flip(gv, axis=0) * k,
+                    "n[1]": np.flip(cnt, axis=0).astype(np.float64),
                 })
         n_done += 1
     if args.out and n_done:
@@ -950,7 +952,8 @@ def cmd_pressure(args) -> int:
                  "u": arr[2][None], "v": arr[3][None]}
     else:
         try:
-            stack = load_pair_stack(args.path)
+            # steady snapshot-wise pressure works from a single pair file
+            stack = load_pair_stack(args.path, min_snapshots=1)
         except ValueError as e:
             print(str(e), file=sys.stderr)
             return 1

@@ -73,7 +73,11 @@ def detect_particles(
     win = 2 * min_distance + 1
     pooled = lax.reduce_window(f, -jnp.inf, lax.max, (win, win), (1, 1),
                                "SAME")
-    is_peak = (f == pooled) & (f >= thr)
+    # a flat window (constant/blank frame, dead sensor region) ties the
+    # max everywhere — require genuine local contrast, not just a tie
+    pooled_min = lax.reduce_window(f, jnp.inf, lax.min, (win, win), (1, 1),
+                                   "SAME")
+    is_peak = (f == pooled) & (f >= thr) & (pooled > pooled_min)
 
     score = jnp.where(is_peak, f, -jnp.inf).ravel()
     vals, idx = lax.top_k(score, max_particles)

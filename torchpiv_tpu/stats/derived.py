@@ -100,16 +100,11 @@ def gamma_functions(u, v, dx: float = 1.0, dy: float = 1.0, radius: int = 2):
         raise ValueError("radius must be >= 1")
     eps = 1e-30
 
-    # local window means for Gamma2 (box filter via cumulative sums)
-    def _box_mean(a):
-        pad = np.pad(a, n, mode="edge")
-        cs = np.cumsum(np.cumsum(pad, axis=0), axis=1)
-        cs = np.pad(cs, ((1, 0), (1, 0)))
-        w = 2 * n + 1
-        tot = (cs[w:, w:] - cs[:-w, w:] - cs[w:, :-w] + cs[:-w, :-w])
-        return tot / (w * w)
+    # local window means for Gamma2 (edge-clamped box filter)
+    from scipy.ndimage import uniform_filter
 
-    um, vm = _box_mean(u), _box_mean(v)
+    um = uniform_filter(u, size=2 * n + 1, mode="nearest")
+    vm = uniform_filter(v, size=2 * n + 1, mode="nearest")
 
     g1 = np.zeros_like(u)
     g2 = np.zeros_like(u)

@@ -184,7 +184,8 @@ def convergence_report(
     }
 
 
-def load_pair_stack(folder: str) -> Dict[str, np.ndarray]:
+def load_pair_stack(folder: str, min_snapshots: int = 2
+                    ) -> Dict[str, np.ndarray]:
     """Load a folder of ``[4, R, C]`` per-pair ``.npy`` binaries (as
     written by ``--save 'Save all binary'``) into ``{"x", "y",
     "u" [T,R,C], "v" [T,R,C]}`` in natural filename order."""
@@ -208,6 +209,7 @@ def load_pair_stack(folder: str) -> Dict[str, np.ndarray]:
         x, y = arr[0], arr[1]
         us.append(arr[2])
         vs.append(arr[3])
-    if len(us) < 2:
-        raise ValueError(f"{folder}: need >= 2 saved [4, R, C] pair files")
+    if len(us) < min_snapshots:
+        raise ValueError(f"{folder}: need >= {min_snapshots} saved "
+                         f"[4, R, C] pair files")
     return {"x": x, "y": y, "u": np.stack(us), "v": np.stack(vs)}

@@ -124,7 +124,8 @@ def integral_length_scale(
     rho = corr / corr[0]
     # integrate to the first zero crossing (or the full record)
     stop = int(np.argmax(rho <= 0)) if (rho <= 0).any() else n
-    return float(np.trapezoid(rho[:stop], dx=dx))
+    trap = getattr(np, "trapezoid", None) or np.trapz  # numpy < 2
+    return float(trap(rho[:stop], dx=dx))
 
 
 def turbulence_report(
