@@ -139,6 +139,7 @@ def test_cli_qc(folder, capsys):
     out = capsys.readouterr().out
     assert "SNR median" in out
     assert "peak-locking degree" in out
+    assert "seeding:" in out and "per 64 px window" in out
 
 
 def test_cli_qc_empty(tmp_path):

@@ -415,6 +415,32 @@ def cmd_qc(args) -> int:
                else "BIASED — particle images likely too small for the "
                     "3-point fit")
     print(f"peak-locking degree: u {cu:.2f}  v {cv:.2f}  ({verdict})")
+
+    # seeding density from the particle detector (ops/particles.py):
+    # the classic guideline is >= 5-10 particles per interrogation window
+    from .ops.particles import detect_particles
+
+    cap = max(4096, fa.size // 256)
+    _, _, _, pvalid = detect_particles(jnp.asarray(fa), cap, 3)
+    n_part = int(np.asarray(pvalid).sum())
+    per_win = n_part * args.wind_size**2 / fa.size
+    if n_part >= cap:
+        print(f"seeding: >= {n_part} particles (detector capacity hit)")
+    else:
+        rec = ""
+        if per_win < 5:
+            # smallest power-of-two window with >= 5 expected particles
+            need = int(np.ceil(np.sqrt(5 * fa.size / max(n_part, 1))))
+            w = 8
+            while w < need:
+                w *= 2
+            rec = (f" — sparse for {args.wind_size} px windows; consider "
+                   f"wind_size >= {w}, ensemble correlation, or PTV")
+        elif per_win > 40:
+            rec = (f" — dense; wind_size {max(args.wind_size // 2, 16)} "
+                   f"would still hold ~{per_win / 4:.0f} particles")
+        print(f"seeding: ~{n_part} particles, ~{per_win:.1f} per "
+              f"{args.wind_size} px window{rec}")
     return 0
 
 
