@@ -198,6 +198,118 @@ def test_bin_to_grid_sparse_and_empty():
     assert np.allclose(gu[near], 3.0)
 
 
+def test_link_trajectories_rotating_flow():
+    """Linking per-pair results over a sequence recovers full-length
+    Lagrangian tracks and centripetal acceleration (models/ptv.py)."""
+    from torchpiv_tpu.models.ptv import PTVResult, link_trajectories
+
+    rng = np.random.default_rng(20)
+    m = 20
+    om, r0 = 0.08, 60.0  # rad/frame, px
+    phi0 = rng.uniform(0, 2 * np.pi, m)
+    rad = r0 + rng.uniform(-10, 10, m)
+    cx = cy = 128.0
+
+    def pos(t):
+        return (cx + rad * np.cos(phi0 + om * t),
+                cy + rad * np.sin(phi0 + om * t))
+
+    n_frames = 8
+    results = []
+    for p in range(n_frames - 1):
+        xa, ya = pos(p)
+        xb, yb = pos(p + 1)
+        noise = rng.normal(0, 0.01, (4, m))
+        results.append(PTVResult(
+            x=xa + noise[0], y=ya + noise[1],
+            u=(xb + noise[2]) - (xa + noise[0]),
+            v=(yb + noise[3]) - (ya + noise[1]),
+            residual=np.zeros(m), n_a=m, n_b=m))
+    tracks = link_trajectories(results, radius=1.0, min_length=n_frames)
+    assert len(tracks) == m  # every particle followed end-to-end
+    for trk in tracks[:5]:
+        assert len(trk) == n_frames
+        u, v, ax, ay = trk.kinematics(dt=1.0)
+        # centripetal: |a| = om^2 * r, pointing to the center (interior
+        # samples; ends are one-sided)
+        amag = np.hypot(ax, ay)[2:-2]
+        r_here = np.hypot(trk.x - cx, trk.y - cy)[2:-2]
+        assert np.allclose(amag, om**2 * r_here, rtol=0.05)
+
+
+def test_link_trajectories_lost_particle_closes_track():
+    from torchpiv_tpu.models.ptv import PTVResult, link_trajectories
+
+    def res(xa, xb):
+        xa, xb = np.asarray(xa, float), np.asarray(xb, float)
+        z = np.zeros_like(xa)
+        return PTVResult(x=xa, y=z, u=xb - xa, v=z,
+                         residual=z, n_a=xa.size, n_b=xb.size)
+
+    # particle at x=10 tracked in pairs 0,1 then lost; particle at x=50
+    # spans all three pairs
+    results = [res([10, 50], [12, 52]), res([12, 52], [14, 54]),
+               res([54], [56])]
+    tracks = link_trajectories(results, radius=0.5, min_length=2)
+    lengths = sorted(len(t) for t in tracks)
+    assert lengths == [3, 4]
+    long = max(tracks, key=len)
+    assert np.allclose(long.x, [50, 52, 54, 56])
+    assert np.array_equal(long.frames, [0, 1, 2, 3])
+
+
+def test_link_trajectories_end_to_end_images():
+    from torchpiv_tpu.models.ptv import link_trajectories
+
+    rng = np.random.default_rng(21)
+    n = 30
+    xs = rng.uniform(20, 300, n)
+    ys = rng.uniform(20, 236, n)
+    du, dv = 2.5, 1.5
+    frames = [_frame(xs + du * t, ys + dv * t, seed=30 + t)
+              for t in range(5)]
+    ptv = PTV((256, 320), max_particles=64, search_radius=6.0)
+    results = [ptv(frames[t], frames[t + 1]) for t in range(4)]
+    tracks = link_trajectories(results, radius=1.0, min_length=5)
+    assert len(tracks) >= 0.7 * n
+    for trk in tracks[:3]:
+        u, v, _, _ = trk.kinematics()
+        assert abs(np.median(u) - du) < 0.15
+        assert abs(np.median(v) - dv) < 0.15
+
+
+def test_cli_ptv_link(tmp_path):
+    import os
+
+    from torchpiv_tpu.cli import main as cli_main
+    from torchpiv_tpu.io.decode import imwrite_gray
+
+    rng = np.random.default_rng(22)
+    n = 25
+    xs = rng.uniform(20, 230, n)
+    ys = rng.uniform(20, 230, n)
+    folder = str(tmp_path / "frames")
+    os.makedirs(folder)
+    for t in range(5):
+        imwrite_gray(os.path.join(folder, f"f{t:03d}.bmp"),
+                     _frame(xs + 2.0 * t, ys - 1.0 * t, shape=(256, 256),
+                            seed=40 + t))
+    out = str(tmp_path / "out")
+    rc = cli_main(["ptv", folder, "--no-piv", "--folder-mode", "sequential",
+                   "--max-particles", "64", "--search-radius", "5",
+                   "--link", "--min-length", "4", "--out", out])
+    assert rc == 0
+    path = os.path.join(out, "ptv_tracks.txt")
+    header = open(path).readline().split(", ")
+    data = np.loadtxt(path, skiprows=1, delimiter=",")
+    tids = data[:, header.index("track[1]")]
+    assert len(np.unique(tids)) >= 0.6 * n
+    # pairs mode + --link is rejected loudly
+    rc = cli_main(["ptv", folder, "--no-piv", "--link",
+                   "--max-particles", "64"])
+    assert rc == 1
+
+
 def test_ptv_frame_shape_mismatch_raises():
     from torchpiv_tpu.models.multipass import PIVConfig
 

@@ -793,6 +793,7 @@ def cmd_ptv(args) -> int:
         return 1
     ptv = None
     n_done = 0
+    link_results = []
     n = len(ds) if args.pairs is None else min(len(ds), args.pairs)
     for i in range(n):
         fa, fb = ds[i]
@@ -839,6 +840,32 @@ def cmd_ptv(args) -> int:
                     "n[1]": np.flip(cnt, axis=0).astype(np.float64),
                 })
         n_done += 1
+        if args.link:
+            link_results.append((res, fa.shape[0]))
+    if args.link and n_done:
+        from .models.ptv import link_trajectories
+
+        if args.folder_mode != "sequential":
+            print("--link expects --folder-mode sequential (pair i must "
+                  "connect frames i -> i+1)", file=sys.stderr)
+            return 1
+        h = link_results[0][1]
+        tracks = link_trajectories([r for r, _ in link_results],
+                                   min_length=args.min_length)
+        lens = np.array([len(t) for t in tracks]) if tracks else np.zeros(0)
+        print(f"{len(tracks)} trajectories (>= {args.min_length} samples); "
+              f"longest {int(lens.max()) if lens.size else 0}, "
+              f"mean {lens.mean() if lens.size else 0:.1f}")
+        if args.out and tracks:
+            cols = {"track[1]": [], "frame[1]": [], "x[mm]": [], "y[mm]": []}
+            for tid, trk in enumerate(tracks):
+                cols["track[1]"].extend([float(tid)] * len(trk))
+                cols["frame[1]"].extend(trk.frames.astype(float))
+                cols["x[mm]"].extend(trk.x * args.scale)
+                cols["y[mm]"].extend((h - 1 - trk.y) * args.scale)
+            save_table("ptv_tracks.txt", args.out,
+                       {k: np.asarray(v) for k, v in cols.items()})
+            print(f"trajectories written to {args.out}")
     if args.out and n_done:
         print(f"{n_done} scattered-vector tables written to {args.out}")
     return 0 if n_done else 1
@@ -1458,6 +1485,12 @@ def main(argv=None) -> int:
                        help="mm per pixel")
     p_ptv.add_argument("--dt", type=float, default=1.0,
                        help="frame interval, us")
+    p_ptv.add_argument("--link", action="store_true",
+                       help="link pairs into Lagrangian trajectories "
+                            "(sequential folder mode) -> ptv_tracks.txt")
+    p_ptv.add_argument("--min-length", type=int, default=3,
+                       help="minimum trajectory samples with --link "
+                            "(default 3)")
     p_ptv.add_argument("--grid", type=int, default=None, metavar="WIN",
                        help="also bin tracks onto the WIN px (50%% overlap) "
                             "PIV grid as ptv_grid_<pair>.txt")

@@ -3,7 +3,9 @@ ensemble (correlation-averaged) PIV, and PIV-guided particle tracking."""
 
 from .ensemble_corr import EnsemblePIV
 from .multipass import MultipassPIV, PIVConfig
-from .ptv import PTV, PTVResult, bin_to_grid, match_particles
+from .ptv import (PTV, PTVResult, Trajectory, bin_to_grid,
+                  link_trajectories, match_particles)
 
 __all__ = ["MultipassPIV", "PIVConfig", "EnsemblePIV", "PTV", "PTVResult",
-           "bin_to_grid", "match_particles"]
+           "Trajectory", "bin_to_grid", "link_trajectories",
+           "match_particles"]

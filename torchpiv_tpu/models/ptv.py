@@ -92,6 +92,99 @@ def match_particles(
             np.asarray(dd))
 
 
+@dataclass
+class Trajectory:
+    """One particle followed across frames (image coordinates, px).
+
+    ``frames[k]`` is the frame index where the particle sits at
+    ``(x[k], y[k])``; positions come from the frame-A detection of each
+    linked pair plus the final match endpoint, so a trajectory spanning
+    P consecutive pairs has P+1 samples.
+    """
+
+    frames: np.ndarray
+    x: np.ndarray
+    y: np.ndarray
+
+    def __len__(self) -> int:
+        return int(self.frames.size)
+
+    def kinematics(self, dt: float = 1.0):
+        """Central-difference velocity and acceleration along the track
+        (px per time unit; ends use one-sided differences).  Returns
+        ``(u, v, ax, ay)`` arrays matching the sample count."""
+        if self.frames.size < 2:
+            raise ValueError("need >= 2 samples for kinematics")
+        u = np.gradient(self.x, dt, edge_order=1)
+        v = np.gradient(self.y, dt, edge_order=1)
+        if self.frames.size < 3:
+            return u, v, np.zeros_like(u), np.zeros_like(v)
+        return (u, v, np.gradient(u, dt, edge_order=1),
+                np.gradient(v, dt, edge_order=1))
+
+
+def link_trajectories(
+    results,
+    radius: float = 2.0,
+    min_length: int = 3,
+) -> list:
+    """Link per-pair PTV results over a SEQUENTIAL frame series into
+    Lagrangian trajectories.
+
+    ``results``: :class:`PTVResult` per consecutive pair — pair ``i``
+    connects frames ``i -> i+1`` (``folder_mode="sequential"``).  A track
+    in pair ``i`` ends at ``(x+u, y+v)``; a track in pair ``i+1`` starts
+    at its detected frame-A position.  Endpoint and start refer to the
+    SAME physical frame, so they are linked by proximity alone
+    (``radius`` absorbs detection noise, not motion — keep it ~1-2 px).
+    Matching is the same greedy unique nearest-neighbour used for pair
+    tracking.  Returns trajectories with at least ``min_length`` samples,
+    longest first.
+    """
+    open_tracks: list = []   # [(frames list, xs list, ys list)]
+    ends = np.zeros((0, 2))  # current endpoints of open tracks
+    done: list = []
+
+    for p, res in enumerate(results):
+        sx, sy = res.x, res.y
+        ex, ey = res.x + res.u, res.y + res.v
+        ia, ib, _ = match_particles(
+            ends[:, 0], ends[:, 1], sx, sy, radius=radius)
+        taken = np.zeros(sx.size, dtype=bool)
+        next_open: list = []
+        next_ends: list = []
+        linked = dict(zip(ia.tolist(), ib.tolist()))
+        for t, trk in enumerate(open_tracks):
+            j = linked.get(t)
+            if j is None:
+                done.append(trk)  # particle lost — close the track
+                continue
+            taken[j] = True
+            # the pair's frame-A detection re-measures the track's last
+            # sample (same physical frame) — keep the direct detection,
+            # it is more accurate than the propagated endpoint
+            trk[1][-1] = sx[j]
+            trk[2][-1] = sy[j]
+            trk[0].append(p + 1)
+            trk[1].append(ex[j])
+            trk[2].append(ey[j])
+            next_open.append(trk)
+            next_ends.append((ex[j], ey[j]))
+        for j in np.nonzero(~taken)[0]:
+            next_open.append(([p, p + 1], [sx[j], ex[j]], [sy[j], ey[j]]))
+            next_ends.append((ex[j], ey[j]))
+        open_tracks = next_open
+        ends = (np.asarray(next_ends)
+                if next_ends else np.zeros((0, 2)))
+    done.extend(open_tracks)
+
+    out = [Trajectory(frames=np.asarray(f), x=np.asarray(xs),
+                      y=np.asarray(ys))
+           for f, xs, ys in done if len(f) >= min_length]
+    out.sort(key=len, reverse=True)
+    return out
+
+
 def bin_to_grid(
     x: np.ndarray,
     y: np.ndarray,
