@@ -136,3 +136,51 @@ def test_cli_temporal_end_to_end(tmp_path, capsys):
 
 def test_integral_time_scale_constant_series_is_zero():
     assert integral_time_scale(np.ones(100)) == 0.0
+
+
+def test_phase_average_recovers_coherent_motion():
+    """Phase-locked averaging pulls a planted oscillation out of noise
+    (stats/temporal.py phase_from_probe + phase_average)."""
+    rng = np.random.default_rng(31)
+    T, R, C = 160, 12, 16
+    f, fs = 7.0, 100.0
+    t = np.arange(T) / fs
+    shape = np.outer(np.hanning(R), np.hanning(C))
+    amp = 2.0
+    clean = amp * np.sin(2 * np.pi * f * t)[:, None, None] * shape[None]
+    u = clean + rng.normal(0, 1.0, (T, R, C))
+    v = 0.5 * clean + rng.normal(0, 1.0, (T, R, C))
+
+    from torchpiv_tpu.stats.temporal import phase_average, phase_from_probe
+
+    probe = u[:, R // 2, C // 2]
+    phase = phase_from_probe(probe)
+    centers, ua, va, counts = phase_average(u, v, phase, n_bins=8)
+    assert counts.sum() == T and (counts > 0).all()
+    # at the probe point the binned mean must follow amp*sin(phase)
+    probe_avg = ua[:, R // 2, C // 2]
+    expected = amp * shape[R // 2, C // 2] * np.sin(centers)
+    # Hilbert phase has sin-vs-cos convention: allow a global phase shift
+    best = min(np.abs(probe_avg - amp * shape[R // 2, C // 2]
+                      * np.sin(centers + s)).max()
+               for s in np.linspace(0, 2 * np.pi, 361))
+    noise_floor = 1.0 / np.sqrt(counts.mean())
+    assert best < 4 * noise_floor
+    # coherent amplitude preserved (not averaged away)
+    assert probe_avg.max() > 0.8 * amp * shape[R // 2, C // 2]
+
+
+def test_phase_average_validation_and_empty_bins():
+    from torchpiv_tpu.stats.temporal import phase_average, phase_from_probe
+
+    u = np.zeros((6, 4, 4))
+    with pytest.raises(ValueError):
+        phase_average(u, u, np.zeros(5))
+    with pytest.raises(ValueError):
+        phase_average(u, u, np.zeros(6), n_bins=0)
+    with pytest.raises(ValueError):
+        phase_from_probe(np.zeros(3))
+    # all snapshots in one bin -> other bins NaN with count 0
+    centers, ua, va, counts = phase_average(u, u, np.zeros(6), n_bins=4)
+    assert counts[0] == 6 and counts[1:].sum() == 0
+    assert np.isfinite(ua[0]).all() and np.isnan(ua[1]).all()

@@ -24,7 +24,8 @@ from .turbulence import (dissipation_direct, integral_length_scale,
                          taylor_reynolds, turbulence_report,
                          turbulent_kinetic_energy)
 from .temporal import (autocorrelation, convergence_report,
-                       integral_time_scale, load_pair_stack, probe_series,
+                       integral_time_scale, load_pair_stack,
+                       phase_average, phase_from_probe, probe_series,
                        running_mean, welch_psd)
 
 __all__ = [
@@ -38,6 +39,8 @@ __all__ = [
     "convergence_report",
     "integral_time_scale",
     "load_pair_stack",
+    "phase_average",
+    "phase_from_probe",
     "probe_series",
     "running_mean",
     "welch_psd",

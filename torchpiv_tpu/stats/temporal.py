@@ -213,3 +213,60 @@ def load_pair_stack(folder: str, min_snapshots: int = 2
         raise ValueError(f"{folder}: need >= {min_snapshots} saved "
                          f"[4, R, C] pair files")
     return {"x": x, "y": y, "u": np.stack(us), "v": np.stack(vs)}
+
+
+def phase_from_probe(series: np.ndarray) -> np.ndarray:
+    """Instantaneous phase [rad, 0..2pi) of a (mean-removed) probe signal
+    via the analytic signal (Hilbert transform) — the standard reference
+    for phase-locking PIV snapshots to a periodic process (vortex
+    shedding, pulsatile flow) without an external trigger."""
+    from scipy.signal import hilbert
+
+    s = np.asarray(series, dtype=np.float64).ravel()
+    if s.size < 4:
+        raise ValueError("need >= 4 samples for a phase estimate")
+    s = np.nan_to_num(s - np.nanmean(s))
+    return np.angle(hilbert(s)) % (2 * np.pi)
+
+
+def phase_average(
+    u: np.ndarray,
+    v: np.ndarray,
+    phase: np.ndarray,
+    n_bins: int = 8,
+):
+    """Phase-conditioned ensemble averaging of a snapshot stack.
+
+    ``phase``: [T] radians per snapshot (e.g. :func:`phase_from_probe`,
+    or ``2*pi*f*t % 2*pi`` for a known frequency).  Snapshots are binned
+    into ``n_bins`` equal phase intervals and averaged per bin (NaNs
+    excluded pointwise).  Returns ``(centers [n_bins], u_avg, v_avg
+    [n_bins, R, C], counts [n_bins])`` — bins with no snapshots are NaN.
+    The coherent (phase-locked) motion survives; turbulence and noise
+    average out as 1/sqrt(count).
+    """
+    u = np.asarray(u, dtype=np.float64)
+    v = np.asarray(v, dtype=np.float64)
+    phase = np.asarray(phase, dtype=np.float64).ravel()
+    if u.ndim != 3 or u.shape != v.shape:
+        raise ValueError("expected matching [T, R, C] stacks")
+    if phase.size != u.shape[0]:
+        raise ValueError(f"phase length {phase.size} != {u.shape[0]} "
+                         f"snapshots")
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    idx = np.minimum((phase % (2 * np.pi)) / (2 * np.pi) * n_bins,
+                     n_bins - 1).astype(np.int64)
+    shape = (n_bins,) + u.shape[1:]
+    ua = np.full(shape, np.nan)
+    va = np.full(shape, np.nan)
+    counts = np.zeros(n_bins, dtype=np.int64)
+    with np.errstate(invalid="ignore"):
+        for b in range(n_bins):
+            sel = idx == b
+            counts[b] = int(sel.sum())
+            if counts[b]:
+                ua[b] = np.nanmean(u[sel], axis=0)
+                va[b] = np.nanmean(v[sel], axis=0)
+    centers = (np.arange(n_bins) + 0.5) * 2 * np.pi / n_bins
+    return centers, ua, va, counts
