@@ -184,3 +184,21 @@ def test_phase_average_validation_and_empty_bins():
     centers, ua, va, counts = phase_average(u, u, np.zeros(6), n_bins=4)
     assert counts[0] == 6 and counts[1:].sum() == 0
     assert np.isfinite(ua[0]).all() and np.isnan(ua[1]).all()
+
+
+def test_cli_temporal_phase_bins(tmp_path, capsys):
+    import os
+
+    from torchpiv_tpu.cli import main
+
+    _write_stack(tmp_path, T=64, freq_frac=0.25)
+    out = tmp_path / "rep"
+    rc = main(["temporal", str(tmp_path), "--fs", "8.0",
+               "--point", "2,2", "--phase-bins", "4",
+               "--out", str(out)])
+    assert rc == 0
+    assert "phase average" in capsys.readouterr().out
+    bins = [f for f in os.listdir(out) if f.startswith("phase_bin")]
+    assert len(bins) == 4
+    arr = np.load(str(out / "phase_bin0.npy"))
+    assert arr.shape == (4, 6, 5) and np.isfinite(arr).all()

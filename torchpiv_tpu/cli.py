@@ -706,6 +706,24 @@ def cmd_temporal(args) -> int:
                   f"T_int {tis:.4g} s")
             tables[f"psd_{name}_{r}_{c}[1]"] = psd[:, p]
         tables.setdefault("f[Hz]", freqs)
+    if args.phase_bins:
+        from .stats.temporal import phase_average, phase_from_probe
+        from .utils.persistence import save_binary
+
+        r0, c0 = points[0]
+        phase = phase_from_probe(u[:, r0, c0])
+        centers, ua, va, counts = phase_average(u, v, phase,
+                                                n_bins=args.phase_bins)
+        print(f"phase average over probe ({r0},{c0}): bin counts "
+              f"{counts.tolist()}")
+        if args.out:
+            for b in range(args.phase_bins):
+                if counts[b]:
+                    save_binary(f"phase_bin{b}.npy", args.out,
+                                {"x": stack["x"], "y": stack["y"],
+                                 "u": ua[b], "v": va[b]})
+            print(f"{int((counts > 0).sum())} phase-bin fields written "
+                  f"to {args.out}")
     if args.out:
         out = save_table("temporal_psd.txt", args.out, tables)
         rm = running_mean(np.hypot(series["u"], series["v"]))
@@ -1446,6 +1464,9 @@ def main(argv=None) -> int:
                        help="probe grid index (repeatable; default centre)")
     p_tmp.add_argument("--nperseg", type=int, default=None,
                        help="Welch segment length (default min(256, T))")
+    p_tmp.add_argument("--phase-bins", type=int, default=None,
+                       help="phase-average into N bins (phase from the "
+                            "first probe's u series)")
     p_tmp.add_argument("--out", default=None, metavar="DIR",
                        help="write PSD + running-mean tables here")
     p_tmp.set_defaults(fn=cmd_temporal)
