@@ -377,3 +377,39 @@ def test_window_sharded_second_peak_fallback():
                                   median_filter="normmedian"))
     _, _, ri0 = jax.jit(jax.vmap(eng0))(fa, fb)
     assert int(np.asarray(ri0).sum()) > int(np.asarray(ri).sum())
+
+
+def test_particle_detection_shards_over_pairs():
+    """detect_particles (ops/particles.py) composes with vmap + pair-axis
+    sharding: a frame batch sharded over the 8-device mesh yields exactly
+    the single-device per-frame detections (PTV's DP story)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from torchpiv_tpu.ops.particles import detect_particles
+    from torchpiv_tpu.utils.synthetic import render_particles
+
+    rng = np.random.default_rng(33)
+    frames = []
+    for i in range(8):
+        n = 20
+        xs = rng.uniform(10, 118, n)
+        ys = rng.uniform(10, 118, n)
+        f = render_particles((128, 128), xs, ys, np.full(n, 200.0))
+        f = np.clip(f + 8, 0, 255).astype(np.uint8)
+        frames.append(f)
+    frames = np.stack(frames)
+
+    def det(f):
+        return detect_particles(f, 32, 3)
+
+    mesh = make_mesh({"pairs": 8})
+    sharded_in = jax.device_put(
+        jnp.asarray(frames), NamedSharding(mesh, P("pairs")))
+    batched = jax.jit(jax.vmap(det))
+    bx, by, br, bv = map(np.asarray, batched(sharded_in))
+    for i in range(8):
+        sx, sy, sr, sv = map(np.asarray, det(jnp.asarray(frames[i])))
+        np.testing.assert_array_equal(bv[i], sv)
+        np.testing.assert_allclose(bx[i][sv], sx[sv], atol=1e-5)
+        np.testing.assert_allclose(by[i][sv], sy[sv], atol=1e-5)
+        assert sv.sum() >= 15  # overlaps merge under NMS

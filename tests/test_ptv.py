@@ -310,6 +310,25 @@ def test_cli_ptv_link(tmp_path):
     assert rc == 1
 
 
+def test_ptv_frame_mask_excludes_region():
+    rng = np.random.default_rng(25)
+    n = 40
+    xs = rng.uniform(16, 300, n)
+    ys = rng.uniform(16, 236, n)
+    a = _frame(xs, ys, seed=26)
+    b = _frame(xs + 2.0, ys + 1.0, seed=27)
+    mask = np.zeros((256, 320), dtype=bool)
+    mask[:, :160] = True  # exclude the left half
+    ptv = PTV((256, 320), max_particles=128, search_radius=6.0,
+              frame_mask=mask)
+    res = ptv(a, b)
+    assert res.x.size > 0
+    assert (res.x >= 158).all()  # no tracks start in the masked region
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        PTV((128, 128), frame_mask=np.zeros((64, 64), dtype=bool))
+
+
 def test_ptv_frame_shape_mismatch_raises():
     from torchpiv_tpu.models.multipass import PIVConfig
 

@@ -829,7 +829,8 @@ def cmd_ptv(args) -> int:
                       max_particles=args.max_particles,
                       min_distance=args.min_distance,
                       smooth_sigma=args.smooth_sigma,
-                      search_radius=args.search_radius)
+                      search_radius=args.search_radius,
+                      frame_mask=args.mask)
         res = ptv(fa, fb)
         print(f"pair {i}: {res.n_a}/{res.n_b} particles detected, "
               f"{res.x.size} tracked "
@@ -1506,6 +1507,9 @@ def main(argv=None) -> int:
                        help="mm per pixel")
     p_ptv.add_argument("--dt", type=float, default=1.0,
                        help="frame interval, us")
+    p_ptv.add_argument("--mask", default=None, metavar="IMG",
+                       help="ROI mask image (non-zero = excluded), same "
+                            "contract as tpiv run --mask")
     p_ptv.add_argument("--link", action="store_true",
                        help="link pairs into Lagrangian trajectories "
                             "(sequential folder mode) -> ptv_tracks.txt")

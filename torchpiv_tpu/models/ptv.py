@@ -276,12 +276,22 @@ class PTV:
         n_sigma: float = 4.0,
         smooth_sigma: float = 1.3,
         search_radius: Optional[float] = None,
+        frame_mask=None,
     ):
         import jax
 
         from ..ops.particles import detect_particles
 
         self.frame_shape = tuple(frame_shape)
+        # ROI mask (True = excluded), same contract as the pipelines'
+        # frame_mask; detections inside the region are dropped
+        from ..pipeline import resolve_frame_mask
+
+        self.frame_mask = resolve_frame_mask(frame_mask)
+        if (self.frame_mask is not None
+                and self.frame_mask.shape != self.frame_shape):
+            raise ValueError(f"frame_mask shape {self.frame_mask.shape} "
+                             f"!= frame shape {self.frame_shape}")
         self.max_particles = int(max_particles)
         self.min_distance = int(min_distance)
         self.n_sigma = float(n_sigma)
@@ -297,7 +307,8 @@ class PTV:
                 raise ValueError("piv_config.frame_shape "
                                  f"{piv_config.frame_shape} != PTV frame "
                                  f"shape {self.frame_shape}")
-            self._engine = jax.jit(MultipassPIV(piv_config))
+            self._engine = jax.jit(MultipassPIV(piv_config,
+                                                frame_mask=self.frame_mask))
             w, o = piv_config.pass_schedule()[-1]
             self._coords = get_coordinates(self.frame_shape, w, o)
         # with a predictor only the residual must fit in the radius
@@ -339,6 +350,17 @@ class PTV:
                                      smooth_sigma=self.smooth_sigma)
         xa, ya = np.asarray(xa)[np.asarray(va)], np.asarray(ya)[np.asarray(va)]
         xb, yb = np.asarray(xb)[np.asarray(vb)], np.asarray(yb)[np.asarray(vb)]
+        if self.frame_mask is not None:
+            H, W = self.frame_shape
+
+            def keep(xs, ys):
+                iy = np.clip(np.rint(ys).astype(np.int64), 0, H - 1)
+                ix = np.clip(np.rint(xs).astype(np.int64), 0, W - 1)
+                return ~self.frame_mask[iy, ix]
+
+            ka, kb = keep(xa, ya), keep(xb, yb)
+            xa, ya = xa[ka], ya[ka]
+            xb, yb = xb[kb], yb[kb]
 
         pu = pv = None
         if self._engine is not None and xa.size:
