@@ -10,9 +10,10 @@ graph; pair batches shard over a device mesh.
 
 __version__ = "0.1.0"
 
-from .models import MultipassPIV, PIVConfig  # noqa: F401
+from .models import MultipassPIV, PIVConfig, PTV  # noqa: F401
 
-__all__ = ["MultipassPIV", "PIVConfig", "OfflinePIV", "OnlinePIV", "runGUI"]
+__all__ = ["MultipassPIV", "PIVConfig", "PTV", "OfflinePIV", "OnlinePIV",
+           "runGUI"]
 
 
 def __getattr__(name):
