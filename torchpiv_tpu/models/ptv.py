@@ -338,18 +338,18 @@ class PTV:
                  ) -> PTVResult:
         import jax.numpy as jnp
 
+        import jax
+
         a = jnp.asarray(frame_a)
         b = jnp.asarray(frame_b)
-        xa, ya, _, va = self._detect(a, self.max_particles,
-                                     self.min_distance,
-                                     n_sigma=self.n_sigma,
-                                     smooth_sigma=self.smooth_sigma)
-        xb, yb, _, vb = self._detect(b, self.max_particles,
-                                     self.min_distance,
-                                     n_sigma=self.n_sigma,
-                                     smooth_sigma=self.smooth_sigma)
-        xa, ya = np.asarray(xa)[np.asarray(va)], np.asarray(ya)[np.asarray(va)]
-        xb, yb = np.asarray(xb)[np.asarray(vb)], np.asarray(yb)[np.asarray(vb)]
+        # one batched dispatch for both frames (per-output-buffer launch
+        # overhead dominates small transfers on remote-attached devices)
+        det = jax.vmap(lambda f: self._detect(
+            f, self.max_particles, self.min_distance,
+            n_sigma=self.n_sigma, smooth_sigma=self.smooth_sigma))
+        xs2, ys2, _, v2 = map(np.asarray, det(jnp.stack([a, b])))
+        xa, ya = xs2[0][v2[0]], ys2[0][v2[0]]
+        xb, yb = xs2[1][v2[1]], ys2[1][v2[1]]
         if self.frame_mask is not None:
             H, W = self.frame_shape
 
