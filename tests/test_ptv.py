@@ -310,6 +310,31 @@ def test_cli_ptv_link(tmp_path):
     assert rc == 1
 
 
+def test_cli_view_scattered_ptv_table(tmp_path, monkeypatch):
+    import os
+
+    from torchpiv_tpu.cli import main as cli_main
+    from torchpiv_tpu.io.decode import imwrite_gray
+
+    rng = np.random.default_rng(23)
+    n = 20
+    xs = rng.uniform(20, 230, n)
+    ys = rng.uniform(20, 230, n)
+    folder = str(tmp_path / "frames")
+    os.makedirs(folder)
+    imwrite_gray(os.path.join(folder, "p0_a.bmp"),
+                 _frame(xs, ys, shape=(256, 256), seed=50))
+    imwrite_gray(os.path.join(folder, "p0_b.bmp"),
+                 _frame(xs + 2.0, ys, shape=(256, 256), seed=51))
+    out = str(tmp_path / "out")
+    assert cli_main(["ptv", folder, "--no-piv", "--max-particles", "64",
+                     "--search-radius", "5", "--out", out]) == 0
+    monkeypatch.chdir(tmp_path)
+    rc = cli_main(["view", os.path.join(out, "ptv_0000.txt")])
+    assert rc == 0
+    assert (tmp_path / "ptv_0000_tracks.png").exists()
+
+
 def test_ptv_frame_mask_excludes_region():
     rng = np.random.default_rng(25)
     n = 40

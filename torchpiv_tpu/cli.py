@@ -1250,9 +1250,44 @@ def cmd_watch(args) -> int:
 
 def cmd_view(args) -> int:
     """Render a saved PIV table to a PNG (the GUI's open-saved-file flow,
-    headless; reference Database.load + PIVcanvas)."""
+    headless; reference Database.load + PIVcanvas).  Scattered PTV tables
+    (``ptv_*.txt`` — no rectangular grid) render as a quiver plot."""
     from .gui import viz
     from .utils.database import Database
+
+    import os
+
+    if os.path.basename(args.table).startswith("ptv_") \
+            and "grid" not in os.path.basename(args.table):
+        import numpy as np
+
+        header = open(args.table).readline().strip().split(", ")
+        data = np.loadtxt(args.table, skiprows=1, delimiter=",", ndmin=2)
+        cols = {k: data[:, i] for i, k in enumerate(header)}
+        need = ("x[mm]", "y[mm]", "Vx[m/s]", "Vy[m/s]")
+        if not all(k in cols for k in need):
+            print(f"not a PTV table (columns {header})", file=sys.stderr)
+            return 1
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        x, y, u, v = (cols[k] for k in need)
+        fig, ax = plt.subplots(figsize=(8, 6), dpi=110)
+        q = ax.quiver(x, y, u, v, np.hypot(u, v), cmap="viridis",
+                      angles="xy")
+        fig.colorbar(q, ax=ax, label="|V| [m/s]")
+        ax.set_xlabel("x [mm]")
+        ax.set_ylabel("y [mm]")
+        ax.set_aspect("equal")
+        ax.set_title(os.path.basename(args.table))
+        base = os.path.basename(args.table).rsplit(".", 1)[0]
+        out = args.out or f"{base}_tracks.png"
+        fig.tight_layout()
+        fig.savefig(out)
+        print(out)
+        return 0
 
     db = Database()
     db.load(args.table)
