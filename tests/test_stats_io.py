@@ -558,3 +558,56 @@ def test_gamma_vortex_identification():
     # negative (clockwise) rotation flips the sign
     g1n, _ = gamma_functions(om * (y - 20), -om * (x - 20), radius=2)
     assert abs(g1n[20, 20] + 1.0) < 1e-12
+
+
+def test_vortex_core_detection_and_tracking():
+    """find_vortex_cores locates wandering Lamb-Oseen cores to sub-cell
+    accuracy; track_vortex_cores follows both through a sequence and
+    keeps counter-rotating vortices on separate tracks."""
+    from torchpiv_tpu.stats.derived import (find_vortex_cores,
+                                            track_vortex_cores)
+
+    y, x = np.mgrid[0:48, 0:64].astype(np.float64)
+
+    def lamb(cx, cy, sign=1.0, rc=5.0):
+        r = np.hypot(x - cx, y - cy) + 1e-9
+        vt = sign * (1 - np.exp(-((r / rc) ** 2))) / r
+        return -vt * (y - cy), vt * (x - cx)
+
+    # single snapshot: two counter-rotating cores found at the right spots
+    u1, v1 = lamb(20.0, 24.0, +1.0)
+    u2, v2 = lamb(44.0, 24.0, -1.0)
+    cols, rows, s = find_vortex_cores(u1 + u2, v1 + v2)
+    assert cols.size == 2
+    found = sorted(zip(cols, rows, s))
+    assert abs(found[0][0] - 20.0) < 1.0 and abs(found[0][1] - 24.0) < 1.0
+    assert abs(found[1][0] - 44.0) < 1.0 and abs(found[1][1] - 24.0) < 1.0
+    assert found[0][2] > 0 > found[1][2]
+
+    # sequence: both cores drift; two full-length tracks, signs preserved
+    us, vs = [], []
+    T = 6
+    for t in range(T):
+        ua, va = lamb(18.0 + 1.5 * t, 22.0 + 0.5 * t, +1.0)
+        ub, vb = lamb(46.0 - 1.5 * t, 26.0 - 0.5 * t, -1.0)
+        us.append(ua + ub)
+        vs.append(va + vb)
+    tracks = track_vortex_cores(np.stack(us), np.stack(vs),
+                                match_radius=3.0, min_length=T)
+    assert len(tracks) == 2
+    for trk in tracks:
+        assert trk["frames"].size == T
+        assert (np.sign(trk["strength"]) == np.sign(trk["strength"][0])).all()
+    pos = {np.sign(t["strength"][0]): t for t in tracks}
+    drift = np.diff(pos[1.0]["cols"])
+    assert np.all(drift > 0.5)  # the CCW core moves +x by 1.5/frame
+    drift2 = np.diff(pos[-1.0]["cols"])
+    assert np.all(drift2 < -0.5)
+
+
+def test_vortex_cores_none_in_pure_shear():
+    from torchpiv_tpu.stats.derived import find_vortex_cores
+
+    y, x = np.mgrid[0:32, 0:32].astype(np.float64)
+    cols, rows, s = find_vortex_cores(0.3 * (y - 16), np.zeros_like(x))
+    assert cols.size == 0

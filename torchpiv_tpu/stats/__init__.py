@@ -7,9 +7,10 @@ temporal analysis for time-resolved runs (probe PSDs, integral time
 scale, convergence); turbulence scales (TKE, dissipation, Kolmogorov /
 Taylor / integral scales)."""
 
-from .derived import (derived_fields, divergence, gamma_functions,
-                      okubo_weiss, swirling_strength, velocity_gradients,
-                      vorticity)
+from .derived import (derived_fields, divergence, find_vortex_cores,
+                      gamma_functions,
+                      okubo_weiss, swirling_strength,
+                      track_vortex_cores, velocity_gradients, vorticity)
 from .dmd import DMDResult, compute_dmd
 from .ensemble import EnsembleAccumulator, compute_statistics
 from .pod import PODResult, compute_pod
@@ -54,6 +55,8 @@ __all__ = [
     "derived_fields",
     "divergence",
     "gamma_functions",
+    "find_vortex_cores",
+    "track_vortex_cores",
     "energy_spectrum",
     "fractional_histogram",
     "peak_locking_degree",

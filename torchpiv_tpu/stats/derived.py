@@ -128,6 +128,103 @@ def gamma_functions(u, v, dx: float = 1.0, dy: float = 1.0, radius: int = 2):
     return g1 / count, g2 / count
 
 
+def find_vortex_cores(u, v, dx: float = 1.0, dy: float = 1.0,
+                      rel_threshold: float = 0.25):
+    """Vortex-core locations from swirling-strength peaks.
+
+    lambda_ci is THE locator: it is Galilean-invariant (a core advected
+    by neighbouring vortices keeps its peak — Gamma1 dilutes there), it
+    is exactly zero in pure shear, and it decays sharply away from the
+    axis (Gamma2 plateaus at ~1 across a solid-body core AND sits above
+    the 2/pi criterion far into an irrotational swirl's tail, so neither
+    Gamma localises).  Connected regions of ``lambda_ci > rel_threshold *
+    max`` become one core each at their lambda_ci-weighted centroid,
+    split by rotation sense (sign of vorticity).  Returns ``(cols, rows,
+    strength)`` in GRID-index units, strongest first; ``strength`` is the
+    signed peak lambda_ci (positive = counter-clockwise for y up).
+    """
+    from scipy import ndimage
+
+    g = velocity_gradients(u, v, dx, dy)
+    lam = swirling_strength(u, v, grads=g)
+    w = vorticity(u, v, grads=g)
+    peak = float(lam.max())
+    if peak <= 0:
+        z = np.zeros(0)
+        return z, z, z
+    cand = []
+    for sign in (1.0, -1.0):
+        field = np.where(np.sign(w) == sign, lam, 0.0)
+        lbl, n = ndimage.label(field > rel_threshold * peak)
+        for k in range(1, n + 1):
+            sel = lbl == k
+            wts = field[sel]
+            tot = wts.sum()
+            rows_i, cols_i = np.nonzero(sel)
+            cand.append((float((wts * cols_i).sum() / tot),
+                         float((wts * rows_i).sum() / tot),
+                         float(sign * wts.max())))
+    cols, rows, s = map(np.asarray, zip(*cand))
+    order = np.argsort(-np.abs(s))
+    return cols[order], rows[order], s[order]
+
+
+def track_vortex_cores(u_stack, v_stack, dx: float = 1.0, dy: float = 1.0,
+                       rel_threshold: float = 0.25,
+                       match_radius: float = 3.0, min_length: int = 3):
+    """Follow vortex cores through a [T, R, C] snapshot sequence.
+
+    Per-snapshot :func:`find_vortex_cores`, linked frame-to-frame with
+    the PTV greedy unique matcher (``match_radius`` in grid cells).
+    Returns a list of dicts ``{"frames", "cols", "rows", "strength"}``
+    sorted longest-first — e.g. a shedding street yields one track per
+    vortex, alternating in sign."""
+    from ..models.ptv import match_particles
+
+    u = np.asarray(u_stack, dtype=np.float64)
+    v = np.asarray(v_stack, dtype=np.float64)
+    if u.ndim != 3 or u.shape != v.shape:
+        raise ValueError("expected matching [T, R, C] stacks")
+    open_tracks, done = [], []
+    prev = None
+    for t in range(u.shape[0]):
+        cols, rows, s = find_vortex_cores(u[t], v[t], dx, dy,
+                                          rel_threshold=rel_threshold)
+        if prev is None:
+            open_tracks = [([t], [c], [r], [ss])
+                           for c, r, ss in zip(cols, rows, s)]
+        else:
+            ia, ib, _ = match_particles(
+                np.asarray([trk[1][-1] for trk in open_tracks]),
+                np.asarray([trk[2][-1] for trk in open_tracks]),
+                cols, rows, radius=match_radius)
+            linked = dict(zip(ia.tolist(), ib.tolist()))
+            nxt = []
+            taken = np.zeros(cols.size, dtype=bool)
+            for k, trk in enumerate(open_tracks):
+                j = linked.get(k)
+                # a vortex must keep its sense of rotation across frames
+                if j is None or s[j] * trk[3][-1] < 0:
+                    done.append(trk)
+                    continue
+                taken[j] = True
+                trk[0].append(t)
+                trk[1].append(cols[j])
+                trk[2].append(rows[j])
+                trk[3].append(s[j])
+                nxt.append(trk)
+            for j in np.nonzero(~taken)[0]:
+                nxt.append(([t], [cols[j]], [rows[j]], [s[j]]))
+            open_tracks = nxt
+        prev = t
+    done.extend(open_tracks)
+    out = [{"frames": np.asarray(f), "cols": np.asarray(c),
+            "rows": np.asarray(r), "strength": np.asarray(ss)}
+           for f, c, r, ss in done if len(f) >= min_length]
+    out.sort(key=lambda d: -d["frames"].size)
+    return out
+
+
 def derived_fields(u, v, dx: float = 1.0, dy: float = 1.0
                    ) -> Dict[str, np.ndarray]:
     """All derived maps from one gradient pass: divergence, vorticity,
