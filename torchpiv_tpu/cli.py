@@ -735,6 +735,62 @@ def cmd_temporal(args) -> int:
     return 0
 
 
+def cmd_multidt(args) -> int:
+    """Multi-frame (multi-Δt) analysis of a time-resolved folder
+    (models/multidt.py): each window keeps the largest usable frame
+    separation, boosting slow-flow dynamic range."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from .io.decode import imread_gray
+    from .models.multidt import MultiDtPIV
+    from .models.multipass import PIVConfig
+    from .ops.geometry import get_coordinates
+    from .utils.persistence import natural_keys, save_binary
+
+    files = sorted(glob.glob(os.path.join(args.folder, f"*{args.file_fmt}")),
+                   key=natural_keys)
+    seps = sorted(int(s) for s in args.separations.split(","))
+    if len(files) <= seps[-1]:
+        print(f"need > {seps[-1]} frames, found {len(files)}",
+              file=sys.stderr)
+        return 1
+    if args.max_frames:
+        files = files[: args.max_frames]
+    frames = []
+    for f in files:
+        a = imread_gray(f)
+        if a is None:
+            print(f"{f}: unreadable, aborting", file=sys.stderr)
+            return 1
+        frames.append(a)
+    frames = np.stack(frames)
+
+    cfg = PIVConfig(frame_shape=frames.shape[1:], wind_size=args.wind_size,
+                    overlap=args.overlap, multipass=args.multipass)
+    mdt = MultiDtPIV(cfg, separations=seps)
+    x, y = get_coordinates(frames.shape[1:], *cfg.pass_schedule()[-1])
+    n_out = frames.shape[0] - seps[-1]
+    for t in range(n_out):
+        res = mdt(frames, t)
+        frac = {k: float((res.dt_map == k).mean()) for k in seps}
+        print(f"t {t}: dt usage " +
+              "  ".join(f"{k}f {frac[k]:.0%}" for k in seps) +
+              f"  invalid {res.invalid.mean():.1%}")
+        if args.out:
+            save_binary(f"multidt_{t:04d}.npy", args.out,
+                        {"x": x.astype(np.float64),
+                         "y": y.astype(np.float64),
+                         "u": res.u, "v": res.v,
+                         "dt": res.dt_map.astype(np.float64)})
+    if args.out:
+        print(f"{n_out} merged fields written to {args.out} "
+              f"(u/v in px/frame)")
+    return 0
+
+
 def cmd_compare(args) -> int:
     """Compare two saved field tables (or [4,R,C]/.npy binaries) on the
     same grid: per-component bias, RMS and max difference, correlation,
@@ -1506,6 +1562,24 @@ def main(argv=None) -> int:
     p_tmp.add_argument("--out", default=None, metavar="DIR",
                        help="write PSD + running-mean tables here")
     p_tmp.set_defaults(fn=cmd_temporal)
+
+    p_mdt = sub.add_parser(
+        "multidt",
+        help="multi-frame (multi-dt) analysis of a time-resolved folder")
+    p_mdt.add_argument("folder", help="folder of sequential frames")
+    p_mdt.add_argument("--file-fmt", default=".bmp")
+    p_mdt.add_argument("--separations", default="1,2,4",
+                       help="comma-separated frame separations "
+                            "(default 1,2,4)")
+    p_mdt.add_argument("--wind-size", type=int, default=64)
+    p_mdt.add_argument("--overlap", type=int, default=32)
+    p_mdt.add_argument("--multipass", type=int, default=1)
+    p_mdt.add_argument("--max-frames", type=int, default=None,
+                       help="process at most this many frames")
+    p_mdt.add_argument("--out", default=None, metavar="DIR",
+                       help="write merged [5,R,C] fields here "
+                            "(x, y, u, v, dt)")
+    p_mdt.set_defaults(fn=cmd_multidt)
 
     p_cmp = sub.add_parser(
         "compare", help="diff two saved field tables on the same grid")

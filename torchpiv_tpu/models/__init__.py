@@ -2,10 +2,12 @@
 ensemble (correlation-averaged) PIV, and PIV-guided particle tracking."""
 
 from .ensemble_corr import EnsemblePIV
+from .multidt import MultiDtPIV, MultiDtResult, merge_multi_dt
 from .multipass import MultipassPIV, PIVConfig
 from .ptv import (PTV, PTVResult, Trajectory, bin_to_grid,
                   link_trajectories, match_particles)
 
-__all__ = ["MultipassPIV", "PIVConfig", "EnsemblePIV", "PTV", "PTVResult",
+__all__ = ["MultipassPIV", "PIVConfig", "EnsemblePIV", "MultiDtPIV",
+           "MultiDtResult", "merge_multi_dt", "PTV", "PTVResult",
            "Trajectory", "bin_to_grid", "link_trajectories",
            "match_particles"]
