@@ -42,6 +42,19 @@ def test_merge_prefers_largest_valid_separation():
                           (np.full(shape, 0.4), zeros, bad4)],
                          [1, 4], wind_size=32)
     assert res.invalid[3, 3] and not res.invalid[0, 0]
+    assert res.dt_map[3, 3] == 0  # saved files keep validity info
+
+    # invalid base + clean long-dt: the consistency check is waived and
+    # the long-dt vector is USED (not rejected against garbage)
+    u1g = np.full(shape, 0.1)
+    u1g[1, 2] = 9.7  # garbage value under the invalid flag
+    b1 = np.zeros(shape)
+    b1[1, 2] = 1
+    res = merge_multi_dt([(u1g, zeros, b1),
+                          (np.full(shape, 0.4), zeros, np.zeros(shape))],
+                         [1, 4], wind_size=32)
+    assert not res.invalid[1, 2]
+    assert res.dt_map[1, 2] == 4 and abs(res.u[1, 2] - 0.1) < 1e-12
 
     with pytest.raises(ValueError):
         merge_multi_dt([f1], [1, 4], wind_size=32)
@@ -120,5 +133,12 @@ def test_cli_multidt(tmp_path, capsys):
     assert "dt usage" in capsys.readouterr().out
     arr = np.load(os.path.join(out, "multidt_0000.npy"))
     assert arr.shape[0] == 5
-    ok = arr[4] > 0
-    assert np.abs(np.median(arr[2]) - 0.2) < 0.05  # px/frame
+    ok = arr[4] > 0  # dt=0 marks invalid windows in the saved file
+    assert ok.any()
+    assert np.abs(np.median(arr[2][ok]) - 0.2) < 0.05  # px/frame
+
+    # --max-frames below the minimum is an error, not a silent no-op
+    rc = cli_main(["multidt", folder, "--separations", "1,2",
+                   "--max-frames", "2", "--wind-size", "32",
+                   "--overlap", "16"])
+    assert rc == 1

@@ -332,7 +332,7 @@ def test_cli_view_scattered_ptv_table(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     rc = cli_main(["view", os.path.join(out, "ptv_0000.txt")])
     assert rc == 0
-    assert (tmp_path / "ptv_0000_tracks.png").exists()
+    assert (tmp_path / "ptv_0000_view.png").exists()
 
 
 def test_ptv_frame_mask_excludes_region():
@@ -352,6 +352,56 @@ def test_ptv_frame_mask_excludes_region():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         PTV((128, 128), frame_mask=np.zeros((64, 64), dtype=bool))
+
+
+def test_link_trajectories_gap_closes_tracks():
+    """A skipped (unreadable) pair must break tracks, not join positions
+    a full frame of motion apart."""
+    from torchpiv_tpu.models.ptv import PTVResult, link_trajectories
+
+    def res(xa, xb):
+        xa, xb = np.asarray(xa, float), np.asarray(xb, float)
+        z = np.zeros_like(xa)
+        return PTVResult(x=xa, y=z, u=xb - xa, v=z,
+                         residual=z, n_a=xa.size, n_b=xb.size)
+
+    # pairs 0,1 then pair 3 (pair 2 unreadable); the particle keeps
+    # moving +2/frame so pair 3 starts near where pair 1 ended
+    results = [res([10], [12]), res([12], [14]), res([16], [18])]
+    tracks = link_trajectories(results, radius=0.5, min_length=2,
+                               pair_indices=[0, 1, 3])
+    lengths = sorted(len(t) for t in tracks)
+    assert lengths == [2, 3]  # 3-sample track (pairs 0-1), 2-sample (pair 3)
+    long = max(tracks, key=len)
+    assert np.array_equal(long.frames, [0, 1, 2])
+    with pytest.raises(ValueError):
+        link_trajectories(results, pair_indices=[0, 1])
+
+
+def test_cli_view_empty_ptv_table(tmp_path, monkeypatch):
+    import os
+
+    from torchpiv_tpu.cli import main as cli_main
+
+    p = tmp_path / "ptv_0000.txt"
+    p.write_text("x[mm], y[mm], Vx[m/s], Vy[m/s], residual[px]\n")
+    monkeypatch.chdir(tmp_path)
+    assert cli_main(["view", str(p)]) == 1  # message, not a traceback
+
+
+def test_cli_view_tracks_table(tmp_path, monkeypatch):
+    from torchpiv_tpu.cli import main as cli_main
+    from torchpiv_tpu.utils.persistence import save_table
+
+    save_table("ptv_tracks.txt", str(tmp_path), {
+        "track[1]": np.array([0.0, 0, 0, 1, 1, 1]),
+        "frame[1]": np.array([0.0, 1, 2, 0, 1, 2]),
+        "x[mm]": np.array([1.0, 2, 3, 5, 6, 7]),
+        "y[mm]": np.array([1.0, 1, 1, 4, 4, 4]),
+    })
+    monkeypatch.chdir(tmp_path)
+    assert cli_main(["view", str(tmp_path / "ptv_tracks.txt")]) == 0
+    assert (tmp_path / "ptv_tracks_view.png").exists()
 
 
 def test_ptv_frame_shape_mismatch_raises():

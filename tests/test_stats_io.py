@@ -605,6 +605,19 @@ def test_vortex_core_detection_and_tracking():
     assert np.all(drift2 < -0.5)
 
 
+def test_vortex_cores_nan_vector_no_phantom():
+    """An invalid (NaN) vector must not become a phantom core."""
+    from torchpiv_tpu.stats.derived import find_vortex_cores
+
+    y, x = np.mgrid[0:32, 0:32].astype(np.float64)
+    om = 0.1
+    u, v = -om * (y - 16), om * (x - 16)
+    u[3, 3] = np.nan
+    cols, rows, s = find_vortex_cores(u, v)
+    assert cols.size == 1
+    assert abs(cols[0] - 16) < 1 and abs(rows[0] - 16) < 1
+
+
 def test_vortex_cores_none_in_pure_shear():
     from torchpiv_tpu.stats.derived import find_vortex_cores
 

@@ -752,13 +752,14 @@ def cmd_multidt(args) -> int:
 
     files = sorted(glob.glob(os.path.join(args.folder, f"*{args.file_fmt}")),
                    key=natural_keys)
-    seps = sorted(int(s) for s in args.separations.split(","))
-    if len(files) <= seps[-1]:
-        print(f"need > {seps[-1]} frames, found {len(files)}",
-              file=sys.stderr)
-        return 1
     if args.max_frames:
         files = files[: args.max_frames]
+    seps = sorted(int(s) for s in args.separations.split(","))
+    if len(files) <= seps[-1]:
+        print(f"need > {seps[-1]} frames, found {len(files)}"
+              + (" after --max-frames" if args.max_frames else ""),
+              file=sys.stderr)
+        return 1
     frames = []
     for f in files:
         a = imread_gray(f)
@@ -861,6 +862,10 @@ def cmd_ptv(args) -> int:
     from .models.ptv import PTV
     from .utils.persistence import save_table
 
+    if args.link and args.folder_mode != "sequential":
+        print("--link expects --folder-mode sequential (pair i must "
+              "connect frames i -> i+1)", file=sys.stderr)
+        return 1
     ds = PIVDataset(args.folder, args.file_fmt, folder_mode=args.folder_mode)
     if len(ds) == 0:
         print("no pairs found", file=sys.stderr)
@@ -916,17 +921,17 @@ def cmd_ptv(args) -> int:
                 })
         n_done += 1
         if args.link:
-            link_results.append((res, fa.shape[0]))
+            link_results.append((i, res, fa.shape[0]))
     if args.link and n_done:
         from .models.ptv import link_trajectories
 
-        if args.folder_mode != "sequential":
-            print("--link expects --folder-mode sequential (pair i must "
-                  "connect frames i -> i+1)", file=sys.stderr)
-            return 1
-        h = link_results[0][1]
-        tracks = link_trajectories([r for r, _ in link_results],
-                                   min_length=args.min_length)
+        h = link_results[0][2]
+        # skipped (unreadable) pairs leave index gaps; the linker closes
+        # open tracks there instead of joining across the hole
+        tracks = link_trajectories([r for _, r, _ in link_results],
+                                   min_length=args.min_length,
+                                   pair_indices=[p for p, _, _
+                                                 in link_results])
         lens = np.array([len(t) for t in tracks]) if tracks else np.zeros(0)
         print(f"{len(tracks)} trajectories (>= {args.min_length} samples); "
               f"longest {int(lens.max()) if lens.size else 0}, "
@@ -1319,27 +1324,43 @@ def cmd_view(args) -> int:
 
         header = open(args.table).readline().strip().split(", ")
         data = np.loadtxt(args.table, skiprows=1, delimiter=",", ndmin=2)
-        cols = {k: data[:, i] for i, k in enumerate(header)}
-        need = ("x[mm]", "y[mm]", "Vx[m/s]", "Vy[m/s]")
-        if not all(k in cols for k in need):
-            print(f"not a PTV table (columns {header})", file=sys.stderr)
+        if data.size == 0 or data.shape[1] < len(header):
+            print(f"{args.table}: no rows to render", file=sys.stderr)
             return 1
+        cols = {k: data[:, i] for i, k in enumerate(header)}
         import matplotlib
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        x, y, u, v = (cols[k] for k in need)
+        base = os.path.basename(args.table).rsplit(".", 1)[0]
         fig, ax = plt.subplots(figsize=(8, 6), dpi=110)
-        q = ax.quiver(x, y, u, v, np.hypot(u, v), cmap="viridis",
-                      angles="xy")
-        fig.colorbar(q, ax=ax, label="|V| [m/s]")
+        if all(k in cols for k in ("track[1]", "frame[1]",
+                                   "x[mm]", "y[mm]")):
+            # linked-trajectory table: one polyline per track
+            tids = cols["track[1]"]
+            cmap = plt.get_cmap("viridis")
+            uniq = np.unique(tids)
+            for t in uniq:
+                sel = tids == t
+                ax.plot(cols["x[mm]"][sel], cols["y[mm]"][sel], "-",
+                        lw=0.9, color=cmap(float(t % 97) / 97))
+            ax.set_title(f"{base}: {uniq.size} trajectories")
+        elif all(k in cols for k in ("x[mm]", "y[mm]",
+                                     "Vx[m/s]", "Vy[m/s]")):
+            x, y, u, v = (cols[k] for k in
+                          ("x[mm]", "y[mm]", "Vx[m/s]", "Vy[m/s]"))
+            q = ax.quiver(x, y, u, v, np.hypot(u, v), cmap="viridis",
+                          angles="xy")
+            fig.colorbar(q, ax=ax, label="|V| [m/s]")
+            ax.set_title(base)
+        else:
+            print(f"not a PTV table (columns {header})", file=sys.stderr)
+            return 1
         ax.set_xlabel("x [mm]")
         ax.set_ylabel("y [mm]")
         ax.set_aspect("equal")
-        ax.set_title(os.path.basename(args.table))
-        base = os.path.basename(args.table).rsplit(".", 1)[0]
-        out = args.out or f"{base}_tracks.png"
+        out = args.out or f"{base}_view.png"
         fig.tight_layout()
         fig.savefig(out)
         print(out)

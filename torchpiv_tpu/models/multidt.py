@@ -50,10 +50,15 @@ def merge_multi_dt(
     apart (displacements in px at that separation).  Selection per
     window, preferring the largest separation: the candidate must be
     valid, its displacement magnitude below ``max_disp_frac * wind_size``
-    (the one-quarter rule), and its implied px/frame velocity within
-    ``consistency_px`` (divided by its separation) of the smallest
-    separation's — a long-Δt vector that disagrees with the short-Δt one
-    is a decorrelated/peak-hopped match, not a refinement.
+    (the one-quarter rule, against the FIRST-pass window — the engine's
+    predictor lets later passes follow larger displacements), and its
+    implied px/frame velocity within ``consistency_px`` (divided by its
+    separation) of the smallest separation's — a long-Δt vector that
+    disagrees with the short-Δt one is a decorrelated/peak-hopped match,
+    not a refinement.  Where the base separation is itself invalid the
+    consistency check is waived (there is nothing trustworthy to compare
+    against).  ``dt_map`` is 0 where no separation produced a usable
+    vector, so saved files keep the validity information.
     """
     if len(fields) != len(separations) or not fields:
         raise ValueError("fields and separations must match and be "
@@ -62,22 +67,25 @@ def merge_multi_dt(
     seps = [int(separations[i]) for i in order]
     fs = [fields[i] for i in order]
     u0, v0, bad0 = (np.asarray(a, dtype=np.float64) for a in fs[0])
-    base_u = u0 / seps[0]
-    base_v = v0 / seps[0]
+    base_bad = bad0 > 0
+    base_u = np.where(base_bad, np.nan, u0 / seps[0])
+    base_v = np.where(base_bad, np.nan, v0 / seps[0])
 
-    u_out = np.where(bad0 > 0, np.nan, base_u)
-    v_out = np.where(bad0 > 0, np.nan, base_v)
-    dt_map = np.full(u0.shape, seps[0], dtype=np.int64)
+    u_out = base_u.copy()
+    v_out = base_v.copy()
+    dt_map = np.where(base_bad, 0, seps[0]).astype(np.int64)
     max_disp = max_disp_frac * wind_size
 
     for k, (uk, vk, badk) in zip(seps[1:], fs[1:]):
         uk = np.asarray(uk, dtype=np.float64)
         vk = np.asarray(vk, dtype=np.float64)
         badk = np.asarray(badk, dtype=bool)
+        with np.errstate(invalid="ignore"):
+            consistent = ((np.abs(uk / k - base_u) < consistency_px / k)
+                          & (np.abs(vk / k - base_v) < consistency_px / k))
         ok = (~badk
               & (np.hypot(uk, vk) < max_disp)
-              & (np.abs(uk / k - base_u) < consistency_px / k)
-              & (np.abs(vk / k - base_v) < consistency_px / k))
+              & (base_bad | consistent))
         u_out = np.where(ok, uk / k, u_out)
         v_out = np.where(ok, vk / k, v_out)
         dt_map = np.where(ok, k, dt_map)
@@ -127,6 +135,8 @@ class MultiDtPIV:
             u, v, inval = self._engine(a, jnp.asarray(frames[t + k]))
             fields.append((np.asarray(u), np.asarray(v),
                            np.asarray(inval)))
+        # quarter rule against the FIRST pass window: later passes ride
+        # the predictor, so the first pass is what bounds capture range
         return merge_multi_dt(fields, self.separations,
-                              self.config.pass_schedule()[-1][0],
+                              self.config.pass_schedule()[0][0],
                               self.max_disp_frac, self.consistency_px)

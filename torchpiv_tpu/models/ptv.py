@@ -123,10 +123,62 @@ class Trajectory:
                 np.gradient(v, dt, edge_order=1))
 
 
+def greedy_link_steps(steps, radius: float, accept=None) -> list:
+    """Generic frame-to-frame linker shared by particle trajectories and
+    vortex-core tracking (stats/derived.py).
+
+    ``steps``: iterable of ``(index, pos_in [N,2], pos_out [N,2],
+    payloads)`` — this step's ``pos_in`` is matched (greedy unique
+    nearest-neighbour within ``radius``) against the previous step's
+    linked items' ``pos_out``; for single-position items pass the same
+    array twice.  An ``index`` gap closes every open track (nothing may
+    link across missing data).  ``accept(prev_payload, new_payload)`` can
+    veto a link (e.g. a vortex must keep its rotation sense).  Returns
+    chains as lists of ``(step_index, item_index, payload)``.
+    """
+    open_tracks: list = []
+    ends = np.zeros((0, 2))
+    done: list = []
+    prev_idx = None
+    for idx, pos_in, pos_out, payloads in steps:
+        if prev_idx is not None and idx != prev_idx + 1:
+            done.extend(open_tracks)
+            open_tracks = []
+            ends = np.zeros((0, 2))
+        prev_idx = idx
+        pos_in = np.asarray(pos_in, dtype=np.float64).reshape(-1, 2)
+        pos_out = np.asarray(pos_out, dtype=np.float64).reshape(-1, 2)
+        ia, ib, _ = match_particles(ends[:, 0], ends[:, 1],
+                                    pos_in[:, 0], pos_in[:, 1],
+                                    radius=radius)
+        linked = dict(zip(ia.tolist(), ib.tolist()))
+        n_items = pos_in.shape[0]
+        taken = np.zeros(n_items, dtype=bool)
+        nxt, nends = [], []
+        for t, trk in enumerate(open_tracks):
+            j = linked.get(t)
+            if j is None or (accept is not None
+                             and not accept(trk[-1][2], payloads[j])):
+                done.append(trk)
+                continue
+            taken[j] = True
+            trk.append((idx, j, payloads[j]))
+            nxt.append(trk)
+            nends.append(pos_out[j])
+        for j in np.nonzero(~taken)[0]:
+            nxt.append([(idx, int(j), payloads[j])])
+            nends.append(pos_out[j])
+        open_tracks = nxt
+        ends = np.asarray(nends) if nends else np.zeros((0, 2))
+    done.extend(open_tracks)
+    return done
+
+
 def link_trajectories(
     results,
     radius: float = 2.0,
     min_length: int = 3,
+    pair_indices=None,
 ) -> list:
     """Link per-pair PTV results over a SEQUENTIAL frame series into
     Lagrangian trajectories.
@@ -138,49 +190,37 @@ def link_trajectories(
     SAME physical frame, so they are linked by proximity alone
     (``radius`` absorbs detection noise, not motion — keep it ~1-2 px).
     Matching is the same greedy unique nearest-neighbour used for pair
-    tracking.  Returns trajectories with at least ``min_length`` samples,
-    longest first.
+    tracking.  ``pair_indices`` (optional) gives each result's actual
+    pair number when the series has gaps (e.g. an unreadable frame was
+    skipped): a gap CLOSES every open track — linking across it would
+    join positions a full frame of motion apart — and frame numbers in
+    the output stay aligned with the real series.  Returns trajectories
+    with at least ``min_length`` samples, longest first.
     """
-    open_tracks: list = []   # [(frames list, xs list, ys list)]
-    ends = np.zeros((0, 2))  # current endpoints of open tracks
-    done: list = []
+    if pair_indices is None:
+        pair_indices = list(range(len(results)))
+    if len(pair_indices) != len(results):
+        raise ValueError("pair_indices must match results")
 
-    for p, res in enumerate(results):
-        sx, sy = res.x, res.y
-        ex, ey = res.x + res.u, res.y + res.v
-        ia, ib, _ = match_particles(
-            ends[:, 0], ends[:, 1], sx, sy, radius=radius)
-        taken = np.zeros(sx.size, dtype=bool)
-        next_open: list = []
-        next_ends: list = []
-        linked = dict(zip(ia.tolist(), ib.tolist()))
-        for t, trk in enumerate(open_tracks):
-            j = linked.get(t)
-            if j is None:
-                done.append(trk)  # particle lost — close the track
-                continue
-            taken[j] = True
-            # the pair's frame-A detection re-measures the track's last
-            # sample (same physical frame) — keep the direct detection,
-            # it is more accurate than the propagated endpoint
-            trk[1][-1] = sx[j]
-            trk[2][-1] = sy[j]
-            trk[0].append(p + 1)
-            trk[1].append(ex[j])
-            trk[2].append(ey[j])
-            next_open.append(trk)
-            next_ends.append((ex[j], ey[j]))
-        for j in np.nonzero(~taken)[0]:
-            next_open.append(([p, p + 1], [sx[j], ex[j]], [sy[j], ey[j]]))
-            next_ends.append((ex[j], ey[j]))
-        open_tracks = next_open
-        ends = (np.asarray(next_ends)
-                if next_ends else np.zeros((0, 2)))
-    done.extend(open_tracks)
+    def steps():
+        for p, res in zip(pair_indices, results):
+            starts = np.column_stack([res.x, res.y])
+            ends = np.column_stack([res.x + res.u, res.y + res.v])
+            # payload: (start, end) positions of this pair's track
+            yield p, starts, ends, list(zip(starts, ends))
 
-    out = [Trajectory(frames=np.asarray(f), x=np.asarray(xs),
-                      y=np.asarray(ys))
-           for f, xs, ys in done if len(f) >= min_length]
+    out = []
+    for chain in greedy_link_steps(steps(), radius=radius):
+        if len(chain) + 1 < min_length:
+            continue
+        # per linked pair keep the frame-A detection (re-measured, more
+        # accurate than the previous pair's propagated endpoint); the
+        # chain's final endpoint supplies the last sample
+        frames = [p for p, _, _ in chain] + [chain[-1][0] + 1]
+        xs = [pl[0][0] for _, _, pl in chain] + [chain[-1][2][1][0]]
+        ys = [pl[0][1] for _, _, pl in chain] + [chain[-1][2][1][1]]
+        out.append(Trajectory(frames=np.asarray(frames),
+                              x=np.asarray(xs), y=np.asarray(ys)))
     out.sort(key=len, reverse=True)
     return out
 

@@ -145,9 +145,20 @@ def find_vortex_cores(u, v, dx: float = 1.0, dy: float = 1.0,
     """
     from scipy import ndimage
 
+    u = np.asarray(u, dtype=np.float64)
+    v = np.asarray(v, dtype=np.float64)
+    bad = ~np.isfinite(u) | ~np.isfinite(v)
+    if bad.any():
+        # invalid vectors poison the gradient stencil; zero lambda_ci on
+        # the contaminated cells so they can't become phantom cores
+        u = np.nan_to_num(u)
+        v = np.nan_to_num(v)
+        bad = ndimage.binary_dilation(bad, iterations=2)  # edge_order=2
     g = velocity_gradients(u, v, dx, dy)
     lam = swirling_strength(u, v, grads=g)
     w = vorticity(u, v, grads=g)
+    if bad.any():
+        lam = np.where(bad, 0.0, lam)
     peak = float(lam.max())
     if peak <= 0:
         z = np.zeros(0)
@@ -179,48 +190,33 @@ def track_vortex_cores(u_stack, v_stack, dx: float = 1.0, dy: float = 1.0,
     Returns a list of dicts ``{"frames", "cols", "rows", "strength"}``
     sorted longest-first — e.g. a shedding street yields one track per
     vortex, alternating in sign."""
-    from ..models.ptv import match_particles
+    from ..models.ptv import greedy_link_steps
 
     u = np.asarray(u_stack, dtype=np.float64)
     v = np.asarray(v_stack, dtype=np.float64)
     if u.ndim != 3 or u.shape != v.shape:
         raise ValueError("expected matching [T, R, C] stacks")
-    open_tracks, done = [], []
-    prev = None
-    for t in range(u.shape[0]):
-        cols, rows, s = find_vortex_cores(u[t], v[t], dx, dy,
-                                          rel_threshold=rel_threshold)
-        if prev is None:
-            open_tracks = [([t], [c], [r], [ss])
-                           for c, r, ss in zip(cols, rows, s)]
-        else:
-            ia, ib, _ = match_particles(
-                np.asarray([trk[1][-1] for trk in open_tracks]),
-                np.asarray([trk[2][-1] for trk in open_tracks]),
-                cols, rows, radius=match_radius)
-            linked = dict(zip(ia.tolist(), ib.tolist()))
-            nxt = []
-            taken = np.zeros(cols.size, dtype=bool)
-            for k, trk in enumerate(open_tracks):
-                j = linked.get(k)
-                # a vortex must keep its sense of rotation across frames
-                if j is None or s[j] * trk[3][-1] < 0:
-                    done.append(trk)
-                    continue
-                taken[j] = True
-                trk[0].append(t)
-                trk[1].append(cols[j])
-                trk[2].append(rows[j])
-                trk[3].append(s[j])
-                nxt.append(trk)
-            for j in np.nonzero(~taken)[0]:
-                nxt.append(([t], [cols[j]], [rows[j]], [s[j]]))
-            open_tracks = nxt
-        prev = t
-    done.extend(open_tracks)
-    out = [{"frames": np.asarray(f), "cols": np.asarray(c),
-            "rows": np.asarray(r), "strength": np.asarray(ss)}
-           for f, c, r, ss in done if len(f) >= min_length]
+
+    def steps():
+        for t in range(u.shape[0]):
+            cols, rows, s = find_vortex_cores(u[t], v[t], dx, dy,
+                                              rel_threshold=rel_threshold)
+            pos = np.column_stack([cols, rows])
+            yield t, pos, pos, list(zip(cols, rows, s))
+
+    # a vortex must keep its sense of rotation across frames
+    keep_sense = lambda prev, new: prev[2] * new[2] > 0  # noqa: E731
+    out = []
+    for chain in greedy_link_steps(steps(), radius=match_radius,
+                                   accept=keep_sense):
+        if len(chain) < min_length:
+            continue
+        out.append({
+            "frames": np.asarray([t for t, _, _ in chain]),
+            "cols": np.asarray([pl[0] for _, _, pl in chain]),
+            "rows": np.asarray([pl[1] for _, _, pl in chain]),
+            "strength": np.asarray([pl[2] for _, _, pl in chain]),
+        })
     out.sort(key=lambda d: -d["frames"].size)
     return out
 
