@@ -735,6 +735,142 @@ def cmd_temporal(args) -> int:
     return 0
 
 
+def cmd_report(args) -> int:
+    """One-command campaign report over saved per-pair binaries: mean
+    field + vorticity figures, convergence numbers, turbulence scales,
+    energy spectrum, POD energies, optional mean pressure — a markdown
+    file plus PNGs, ready to archive with the data."""
+    import os
+
+    import numpy as np
+
+    from .stats.pod import compute_pod
+    from .stats.derived import derived_fields
+    from .stats.pressure import mean_pressure_rans
+    from .stats.spectra import energy_spectrum
+    from .stats.temporal import convergence_report, load_pair_stack
+    from .stats.turbulence import turbulence_report
+
+    try:
+        stack = load_pair_stack(args.folder)
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    x, y, u, v = stack["x"], stack["y"], stack["u"], stack["v"]
+    out = args.out or os.path.join(args.folder, "report")
+    os.makedirs(out, exist_ok=True)
+    dx = abs(float(x[0, 1] - x[0, 0])) / 1000.0
+    dy = abs(float(y[1, 0] - y[0, 0])) / 1000.0
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    with np.errstate(invalid="ignore"):
+        mu = np.nan_to_num(np.nanmean(u, axis=0))
+        mv = np.nan_to_num(np.nanmean(v, axis=0))
+        uu = np.nan_to_num(np.nanmean((u - mu)**2, axis=0))
+        vv = np.nan_to_num(np.nanmean((v - mv)**2, axis=0))
+        uv = np.nan_to_num(np.nanmean((u - mu) * (v - mv), axis=0))
+
+    figs = []
+
+    def save_fig(fig, name):
+        path = os.path.join(out, name)
+        fig.tight_layout()
+        fig.savefig(path, dpi=110)
+        plt.close(fig)
+        figs.append(name)
+
+    fig, (a1, a2) = plt.subplots(1, 2, figsize=(12, 4.5))
+    im = a1.pcolormesh(x, y, np.hypot(mu, mv), cmap="viridis",
+                       shading="auto")
+    fig.colorbar(im, ax=a1, label="|V| [m/s]")
+    a1.set_title(f"mean speed ({u.shape[0]} snapshots)")
+    w = derived_fields(mu, mv, dx=dx, dy=dy)["vorticity"]
+    lim = np.abs(w).max() or 1.0
+    im = a2.pcolormesh(x, y, w, cmap="RdBu_r", vmin=-lim, vmax=lim,
+                       shading="auto")
+    fig.colorbar(im, ax=a2, label="ω [1/s]")
+    a2.set_title("mean vorticity")
+    for a in (a1, a2):
+        a.set_aspect("equal")
+    save_fig(fig, "mean_field.png")
+
+    lines = [f"# PIV campaign report — {os.path.abspath(args.folder)}",
+             "",
+             f"{u.shape[0]} snapshots, {u.shape[1]}x{u.shape[2]} vectors, "
+             f"grid step {dx*1000:g} x {dy*1000:g} mm",
+             "", "![mean field](mean_field.png)", ""]
+
+    rep = convergence_report(u, v, fs=args.fs)
+    lines += ["## Convergence", "",
+              f"* integral time scale {rep['integral_time_scale_s']:.4g} s "
+              f"→ {rep['effective_samples']:.0f} independent samples",
+              f"* mean speed {rep['mean_speed']:.4g} m/s, relative SEM "
+              f"{rep['relative_sem']:.2%}", ""]
+
+    tr = turbulence_report(u, v, nu=args.nu, dx=dx, dy=dy)
+    lines += ["## Turbulence scales", "",
+              "| quantity | value |", "|---|---|"]
+    units = {"tke": "m^2/s^2", "u_rms": "m/s", "dissipation": "m^2/s^3",
+             "eta": "m", "tau_eta": "s", "u_eta": "m/s",
+             "taylor_microscale": "m", "re_lambda": "-",
+             "integral_length": "m", "resolution_dx_over_eta": "-"}
+    for k, val in tr.items():
+        lines.append(f"| {k} | {val:.6g} {units.get(k, '')} |")
+    if tr["resolution_dx_over_eta"] > 3:
+        lines.append("")
+        lines.append("*dx/eta > 3: dissipative scales under-resolved — "
+                     "the direct dissipation estimate is a lower bound.*")
+    lines.append("")
+
+    try:
+        kx, Eu = energy_spectrum(u[0] - mu, v[0] - mv, dx=dx)
+        fig, a = plt.subplots(figsize=(6, 4.5))
+        a.loglog(kx[1:], Eu[1:], lw=1.2)
+        a.set_xlabel("k [1/m]")
+        a.set_ylabel("E(k)")
+        a.set_title("streamwise energy spectrum (first snapshot)")
+        a.grid(alpha=0.3, which="both")
+        save_fig(fig, "spectrum.png")
+        lines += ["## Spatial spectrum", "", "![spectrum](spectrum.png)",
+                  ""]
+    except Exception as e:  # tiny grids
+        print(f"spectrum skipped: {e}", file=sys.stderr)
+
+    if u.shape[0] >= 3:
+        pod = compute_pod(u, v, n_modes=min(6, u.shape[0] - 1))
+        fig, a = plt.subplots(figsize=(6, 4))
+        a.bar(np.arange(pod.energy_fraction.size),
+              100 * pod.energy_fraction, color="#4c78a8")
+        a.set_xlabel("POD mode")
+        a.set_ylabel("energy [%]")
+        a.spines[["top", "right"]].set_visible(False)
+        save_fig(fig, "pod.png")
+        lines += ["## POD energies", "", "![pod](pod.png)", ""]
+
+    if args.rho:
+        P = mean_pressure_rans(mu, mv, uu, vv, uv, dx, dy, rho=args.rho)
+        fig, a = plt.subplots(figsize=(6, 4.5))
+        im = a.pcolormesh(x, y, P, cmap="magma", shading="auto")
+        fig.colorbar(im, ax=a, label="P [Pa]")
+        a.set_title("mean (RANS) gauge pressure")
+        a.set_aspect("equal")
+        save_fig(fig, "pressure.png")
+        lines += ["## Mean pressure", "",
+                  f"rho = {args.rho:g} kg/m^3, range "
+                  f"[{P.min():.6g}, {P.max():.6g}] Pa",
+                  "", "![pressure](pressure.png)", ""]
+
+    path = os.path.join(out, "report.md")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    print(f"report: {path} (+ {len(figs)} figures)")
+    return 0
+
+
 def cmd_multidt(args) -> int:
     """Multi-frame (multi-Δt) analysis of a time-resolved folder
     (models/multidt.py): each window keeps the largest usable frame
@@ -1583,6 +1719,22 @@ def main(argv=None) -> int:
     p_tmp.add_argument("--out", default=None, metavar="DIR",
                        help="write PSD + running-mean tables here")
     p_tmp.set_defaults(fn=cmd_temporal)
+
+    p_rep = sub.add_parser(
+        "report",
+        help="one-command campaign report (markdown + figures) from "
+             "saved fields")
+    p_rep.add_argument("folder", help="folder of [4,R,C] .npy pair files")
+    p_rep.add_argument("--fs", type=float, default=1.0,
+                       help="pair acquisition rate, Hz")
+    p_rep.add_argument("--nu", type=float, default=1e-6,
+                       help="kinematic viscosity, m^2/s")
+    p_rep.add_argument("--rho", type=float, default=None,
+                       help="fluid density, kg/m^3 — adds the mean "
+                            "pressure section")
+    p_rep.add_argument("--out", default=None, metavar="DIR",
+                       help="report directory (default FOLDER/report)")
+    p_rep.set_defaults(fn=cmd_report)
 
     p_mdt = sub.add_parser(
         "multidt",
