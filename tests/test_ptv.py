@@ -354,6 +354,34 @@ def test_ptv_frame_mask_excludes_region():
         PTV((128, 128), frame_mask=np.zeros((64, 64), dtype=bool))
 
 
+def test_temporal_predictor_tracks_fast_sequence():
+    """Sequential tracking without the PIV engine: the previous pair's
+    tracks predict the next pair's matching, so displacements beyond the
+    inter-particle spacing stay tracked once bootstrapped."""
+    rng = np.random.default_rng(31)
+    shape = (256, 320)
+    n = 250  # mean spacing ~18 px
+    xs = rng.uniform(8, 300, n)
+    ys = rng.uniform(8, 248, n)
+    du = 8.0 + 0.04 * ys  # 8-18 px/frame, above NN ambiguity
+    frames = [_frame(xs + du * t, ys, shape=shape, seed=60 + t)
+              for t in range(3)]
+    # bootstrap pair 0 with a radius that covers the motion, then track
+    # pair 1 with a TIGHT radius that only works via the predictor
+    boot = PTV(shape, max_particles=512, search_radius=22.0)
+    res0 = boot(frames[0], frames[1])
+    tight = PTV(shape, max_particles=512, search_radius=3.0)
+    res_guided = tight(frames[1], frames[2], prev=res0)
+    res_plain = tight(frames[1], frames[2])
+    assert res_guided.x.size > 3 * max(res_plain.x.size, 1)
+    from scipy.spatial import cKDTree
+    d, j = cKDTree(np.column_stack([xs + du, ys])).query(
+        np.column_stack([res_guided.x, res_guided.y]))
+    ok = d < 1.0
+    err = np.abs(res_guided.u[ok] - du[j[ok]])
+    assert np.median(err) < 0.2
+
+
 def test_link_trajectories_gap_closes_tracks():
     """A skipped (unreadable) pair must break tracks, not join positions
     a full frame of motion apart."""

@@ -1009,6 +1009,7 @@ def cmd_ptv(args) -> int:
     ptv = None
     n_done = 0
     link_results = []
+    prev_i, prev_res = None, None
     n = len(ds) if args.pairs is None else min(len(ds), args.pairs)
     for i in range(n):
         fa, fb = ds[i]
@@ -1028,7 +1029,12 @@ def cmd_ptv(args) -> int:
                       smooth_sigma=args.smooth_sigma,
                       search_radius=args.search_radius,
                       frame_mask=args.mask)
-        res = ptv(fa, fb)
+        # sequential series: the previous pair's tracks predict this
+        # pair's matching (engine-free guidance; only frame-adjacent)
+        prev = (prev_res if args.folder_mode == "sequential"
+                and prev_i == i - 1 else None)
+        res = ptv(fa, fb, prev=prev)
+        prev_i, prev_res = i, res
         print(f"pair {i}: {res.n_a}/{res.n_b} particles detected, "
               f"{res.x.size} tracked "
               f"({res.x.size / max(res.n_a, 1):.0%}), "

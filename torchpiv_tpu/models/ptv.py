@@ -374,8 +374,35 @@ class PTV:
         pts = np.column_stack([ya, xa])
         return interp_u(pts), interp_v(pts)
 
-    def __call__(self, frame_a: np.ndarray, frame_b: np.ndarray
-                 ) -> PTVResult:
+    def _temporal_predictor(self, prev: PTVResult, xa, ya):
+        """Per-particle prediction from the previous pair's tracks: in a
+        sequential series the previous pair's endpoints live in THIS
+        pair's frame A, so each detection inherits the displacement of
+        the nearest previous track (zero where none is close)."""
+        from scipy.spatial import cKDTree
+
+        if prev.x.size == 0 or xa.size == 0:
+            return None, None
+        ends = np.column_stack([prev.x + prev.u, prev.y + prev.v])
+        tree = cKDTree(ends)
+        # inherit from tracks up to ~2 typical particle spacings away —
+        # the velocity field is smooth on that scale even when the
+        # match radius itself is tight
+        if ends.shape[0] > 1:
+            dnn, _ = tree.query(ends, k=2)
+            spacing = float(np.median(dnn[:, 1]))
+        else:
+            spacing = 3 * self.search_radius
+        bound = max(3 * self.search_radius, 2 * spacing)
+        d, j = tree.query(np.column_stack([xa, ya]),
+                          distance_upper_bound=bound)
+        ok = np.isfinite(d)
+        pu = np.where(ok, prev.u[np.minimum(j, prev.u.size - 1)], 0.0)
+        pv = np.where(ok, prev.v[np.minimum(j, prev.v.size - 1)], 0.0)
+        return pu, pv
+
+    def __call__(self, frame_a: np.ndarray, frame_b: np.ndarray,
+                 prev: Optional[PTVResult] = None) -> PTVResult:
         import jax.numpy as jnp
 
         import jax
@@ -405,6 +432,8 @@ class PTV:
         pu = pv = None
         if self._engine is not None and xa.size:
             pu, pv = self._predictor(a, b, xa, ya)
+        elif prev is not None and xa.size:
+            pu, pv = self._temporal_predictor(prev, xa, ya)
         ia, ib, dist = match_particles(xa, ya, xb, yb, pu, pv,
                                        radius=self.search_radius)
         return PTVResult(
