@@ -1,0 +1,115 @@
+"""Dense Lucas-Kanade PIV (models/folki.py) on canonical flows."""
+import numpy as np
+import pytest
+
+from torchpiv_tpu.models.folki import FolkiPIV, folki_flow
+from torchpiv_tpu.utils.synthetic import particle_pair
+
+
+@pytest.fixture(scope="module")
+def fp():
+    return FolkiPIV((256, 256), wind_size=32, overlap=16)
+
+
+def test_uniform_flow_dense_and_grid(fp):
+    fa, fb = particle_pair((256, 256), displacement=(3.3, -2.1), seed=1,
+                           density=0.05, noise=1.0)
+    import jax.numpy as jnp
+
+    u, v = map(np.asarray, folki_flow(jnp.asarray(fa), jnp.asarray(fb)))
+    assert np.abs(u[24:-24, 24:-24] - 3.3).mean() < 0.03
+    assert np.abs(v[24:-24, 24:-24] + 2.1).mean() < 0.03
+    ug, vg, bad = fp(fa, fb)
+    assert np.abs(ug[2:-2, 2:-2] - 3.3).mean() < 0.03
+    assert bad.mean() < 0.2
+
+
+def test_shear_and_vortex_accuracy(fp):
+    gx, gy = fp.coordinates
+
+    def shear(xs, ys):
+        return 1.0 + 0.03 * ys, np.zeros_like(xs)
+
+    fa, fb = particle_pair((256, 256), displacement=shear, seed=2,
+                           density=0.05, noise=1.0)
+    ug, vg, bad = fp(fa, fb)
+    err = (ug - (1.0 + 0.03 * gy))[2:-2, 2:-2]
+    assert np.sqrt((err**2).mean()) < 0.05
+
+    def vort(xs, ys):
+        return -0.015 * (ys - 128), 0.015 * (xs - 128)
+
+    fa, fb = particle_pair((256, 256), displacement=vort, seed=3,
+                           density=0.05, noise=1.0)
+    ug, vg, bad = fp(fa, fb)
+    err = (ug - (-0.015 * (gy - 128)))[2:-2, 2:-2]
+    assert np.sqrt((err**2).mean()) < 0.03
+
+
+def test_blank_regions_flagged(fp):
+    fa, fb = particle_pair((256, 256), displacement=(2.0, 0.0), seed=4,
+                           density=0.05, noise=0.5)
+    fa = fa.copy()
+    fb = fb.copy()
+    fa[:, :128] = 8  # left half: no particles at all
+    fb[:, :128] = 8
+    ug, vg, bad = fp(fa, fb)
+    gx, gy = fp.coordinates
+    left = gx < 100
+    right = gx > 156
+    assert bad[left].mean() > 0.8   # no signal -> flagged
+    assert bad[right].mean() < 0.3  # seeded half still fine
+
+
+def test_correlation_engine_wins_on_sparse_seeding():
+    """Honesty pin: dense LK needs texture everywhere; at sparse seeding
+    the correlation engine stays far more accurate — which is why the
+    multipass engine remains the default."""
+    import jax
+    import jax.numpy as jnp
+
+    from torchpiv_tpu.models.multipass import MultipassPIV, PIVConfig
+
+    fa, fb = particle_pair((256, 256), displacement=(3.3, -2.1), seed=5,
+                           density=0.003, noise=2.0)
+    fp = FolkiPIV((256, 256), wind_size=32, overlap=16)
+    uf, vf, badf = fp(fa, fb)
+    cfg = PIVConfig(frame_shape=(256, 256), wind_size=32, overlap=16,
+                    multipass=1)
+    uc, vc, badc = map(np.asarray, jax.jit(MultipassPIV(cfg))(
+        jnp.asarray(fa), jnp.asarray(fb)))
+    ok = (badc == 0) & ~badf
+    assert ok.sum() > 20
+    err_f = np.abs(uf - 3.3)[ok].mean()
+    err_c = np.abs(uc - 3.3)[ok].mean()
+    assert err_c < err_f
+
+
+def test_folki_validation_errors():
+    import jax.numpy as jnp
+
+    with pytest.raises(ValueError):
+        folki_flow(jnp.zeros((130, 128), jnp.uint8),
+                   jnp.zeros((130, 128), jnp.uint8), levels=3)
+
+
+def test_cli_dense(tmp_path):
+    import os
+
+    from torchpiv_tpu.cli import main as cli_main
+    from torchpiv_tpu.io.decode import imwrite_gray
+    from torchpiv_tpu.utils.persistence import load_table
+
+    fa, fb = particle_pair((256, 256), displacement=(2.0, -1.0), seed=6,
+                           density=0.05, noise=1.0)
+    folder = str(tmp_path / "frames")
+    os.makedirs(folder)
+    imwrite_gray(os.path.join(folder, "p0_a.bmp"), fa)
+    imwrite_gray(os.path.join(folder, "p0_b.bmp"), fb)
+    out = str(tmp_path / "out")
+    assert cli_main(["dense", folder, "--out", out]) == 0
+    t = load_table(os.path.join(out, "dense_0000.txt"))
+    inner = np.s_[2:-2, 2:-2]
+    # pipeline contract: defaults scale=dt=1 -> px*1000, Vy sign-flipped
+    assert abs(np.median(t["Vx[m/s]"][inner]) / 1000 - 2.0) < 0.05
+    assert abs(np.median(t["Vy[m/s]"][inner]) / 1000 - 1.0) < 0.05

@@ -735,6 +735,53 @@ def cmd_temporal(args) -> int:
     return 0
 
 
+def cmd_dense(args) -> int:
+    """Dense Lucas-Kanade (FOLKI-style) analysis of a folder
+    (models/folki.py): per-pixel optical-flow solve window-averaged onto
+    the PIV grid; output tables follow the pipeline contract (infill,
+    y flip, mm / m/s)."""
+    import numpy as np
+
+    from .io.dataset import PIVDataset
+    from .models.folki import FolkiPIV
+    from .pipeline import finalize_fields
+    from .utils.persistence import save_table
+
+    ds = PIVDataset(args.folder, args.file_fmt, folder_mode=args.folder_mode)
+    if len(ds) == 0:
+        print("no pairs found", file=sys.stderr)
+        return 1
+    fp = None
+    n_done = 0
+    n = len(ds) if args.pairs is None else min(len(ds), args.pairs)
+    for i in range(n):
+        fa, fb = ds[i]
+        if fa is None:
+            print(f"pair {i}: unreadable, skipped", file=sys.stderr)
+            continue
+        if fp is None:
+            fp = FolkiPIV(fa.shape, wind_size=args.wind_size,
+                          overlap=args.overlap, iters=args.iters,
+                          levels=args.levels)
+        u, v, bad = fp(fa, fb)
+        out = finalize_fields(u, v, bad, *fp.coordinates,
+                              scale=args.scale, dt=args.dt)
+        if out is None:
+            print(f"pair {i}: >50% untrusted windows, skipped",
+                  file=sys.stderr)
+            continue
+        x, y, up, vp = out
+        print(f"pair {i}: mean |V| {np.hypot(up, vp).mean():.4g} m/s, "
+              f"untrusted {bad.mean():.1%}")
+        if args.out:
+            save_table(f"dense_{i:04d}.txt", args.out, {
+                "x[mm]": x, "y[mm]": y, "Vx[m/s]": up, "Vy[m/s]": vp})
+        n_done += 1
+    if args.out and n_done:
+        print(f"{n_done} dense-field tables written to {args.out}")
+    return 0 if n_done else 1
+
+
 def cmd_report(args) -> int:
     """One-command campaign report over saved per-pair binaries: mean
     field + vorticity figures, convergence numbers, turbulence scales,
@@ -1725,6 +1772,26 @@ def main(argv=None) -> int:
     p_tmp.add_argument("--out", default=None, metavar="DIR",
                        help="write PSD + running-mean tables here")
     p_tmp.set_defaults(fn=cmd_temporal)
+
+    p_dns = sub.add_parser(
+        "dense",
+        help="dense Lucas-Kanade (FOLKI-style) analysis of a folder")
+    p_dns.add_argument("folder", help="folder of frame images")
+    p_dns.add_argument("--file-fmt", default=".bmp")
+    p_dns.add_argument("--folder-mode", choices=["pairs", "sequential"],
+                       default="pairs")
+    p_dns.add_argument("--pairs", type=int, default=None)
+    p_dns.add_argument("--wind-size", type=int, default=32,
+                       help="output-grid window (LK radius = this/4)")
+    p_dns.add_argument("--overlap", type=int, default=16)
+    p_dns.add_argument("--iters", type=int, default=8)
+    p_dns.add_argument("--levels", type=int, default=3)
+    p_dns.add_argument("--scale", type=float, default=1.0,
+                       help="mm per pixel")
+    p_dns.add_argument("--dt", type=float, default=1.0,
+                       help="frame interval, us")
+    p_dns.add_argument("--out", default=None, metavar="DIR")
+    p_dns.set_defaults(fn=cmd_dense)
 
     p_rep = sub.add_parser(
         "report",
