@@ -413,3 +413,27 @@ def test_particle_detection_shards_over_pairs():
         np.testing.assert_allclose(bx[i][sv], sx[sv], atol=1e-5)
         np.testing.assert_allclose(by[i][sv], sy[sv], atol=1e-5)
         assert sv.sum() >= 15  # overlaps merge under NMS
+
+
+def test_dense_folki_shards_over_pairs():
+    """folki_flow composes with vmap + pair-axis sharding (dense mode's
+    DP story), matching per-pair results."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from torchpiv_tpu.models.folki import folki_flow
+    from torchpiv_tpu.utils.synthetic import particle_pair
+
+    pairs = [particle_pair((128, 128), displacement=d, seed=s,
+                           density=0.05, noise=0.5)
+             for d, s in [((1.0, 0.5), 1), ((2.0, -1.0), 2)] * 4]
+    fa = jnp.asarray(np.stack([p[0] for p in pairs]))
+    fb = jnp.asarray(np.stack([p[1] for p in pairs]))
+    mesh = make_mesh({"pairs": 8})
+    sh = NamedSharding(mesh, P("pairs"))
+    fa_s, fb_s = jax.device_put(fa, sh), jax.device_put(fb, sh)
+    batched = jax.jit(jax.vmap(lambda a, b: folki_flow(a, b, levels=2)))
+    ub, vb = map(np.asarray, batched(fa_s, fb_s))
+    u0, v0 = map(np.asarray, folki_flow(fa[3], fb[3], levels=2))
+    np.testing.assert_allclose(ub[3], u0, atol=1e-5)
+    np.testing.assert_allclose(vb[3], v0, atol=1e-5)
+    assert abs(np.median(ub[1][16:-16, 16:-16]) - 2.0) < 0.05
