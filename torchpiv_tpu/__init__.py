@@ -8,7 +8,7 @@ validation with NaN infill, ensemble turbulence statistics, and an
 graph; pair batches shard over a device mesh.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from .models import MultipassPIV, PIVConfig, PTV  # noqa: F401
 
