@@ -624,3 +624,30 @@ def test_vortex_cores_none_in_pure_shear():
     y, x = np.mgrid[0:32, 0:32].astype(np.float64)
     cols, rows, s = find_vortex_cores(0.3 * (y - 16), np.zeros_like(x))
     assert cols.size == 0
+
+
+def test_gradient_uncertainty_matches_monte_carlo():
+    """Propagated sigma_vorticity matches the empirical scatter of
+    vorticity over noise realisations (stats/derived.py)."""
+    from torchpiv_tpu.stats.derived import gradient_uncertainty, vorticity
+
+    rng = np.random.default_rng(17)
+    r, c, dx, dy = 16, 20, 2.0, 3.0
+    su = np.full((r, c), 0.05)
+    sv = np.full((r, c), 0.08)
+    sig = gradient_uncertainty(su, sv, dx, dy)
+    ws = np.stack([
+        vorticity(su * rng.standard_normal((r, c)),
+                  sv * rng.standard_normal((r, c)), dx, dy)
+        for _ in range(3000)
+    ])
+    emp = ws.std(axis=0)[2:-2, 2:-2]
+    pred = sig["sigma_vorticity"][2:-2, 2:-2]
+    assert np.abs(emp / pred - 1).max() < 0.1
+    # divergence shares the structure with u/v roles swapped
+    assert np.allclose(
+        sig["sigma_divergence"],
+        gradient_uncertainty(sv, su, dx, dy)["sigma_vorticity"])
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        gradient_uncertainty(su, sv[:4], 1, 1)

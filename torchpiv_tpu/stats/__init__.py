@@ -8,6 +8,7 @@ scale, convergence); turbulence scales (TKE, dissipation, Kolmogorov /
 Taylor / integral scales)."""
 
 from .derived import (derived_fields, divergence, find_vortex_cores,
+                      gradient_uncertainty,
                       gamma_functions,
                       okubo_weiss, swirling_strength,
                       track_vortex_cores, velocity_gradients, vorticity)
@@ -56,6 +57,7 @@ __all__ = [
     "divergence",
     "gamma_functions",
     "find_vortex_cores",
+    "gradient_uncertainty",
     "track_vortex_cores",
     "energy_spectrum",
     "fractional_histogram",

@@ -73,6 +73,44 @@ def okubo_weiss(u, v, dx: float = 1.0, dy: float = 1.0, *, grads=None
     return s_n * s_n + s_s * s_s - w * w
 
 
+def gradient_uncertainty(su, sv, dx: float = 1.0, dy: float = 1.0):
+    """First-order propagation of per-vector uncertainties into the
+    derived gradient maps.
+
+    ``su``/``sv``: [R, C] standard uncertainties of u and v (e.g.
+    ``stats.quality.uncertainty_map``), assumed independent between
+    vectors.  Central differences ``(f[i+1]-f[i-1])/(2h)`` give
+    ``var = (s[i+1]^2 + s[i-1]^2) / (2h)^2``; the returned maps are
+
+    * ``sigma_vorticity`` — std of ``dv/dx - du/dy``
+    * ``sigma_divergence`` — std of ``du/dx + dv/dy``
+
+    (identical formulas — the two gradient terms are independent — so
+    one computation serves both; edges use the one-sided first-order
+    stencil's variance).
+    """
+    su2 = np.asarray(su, dtype=np.float64) ** 2
+    sv2 = np.asarray(sv, dtype=np.float64) ** 2
+    if su2.shape != sv2.shape or su2.ndim != 2:
+        raise ValueError(f"expected matching [R, C] maps, got "
+                         f"{su2.shape} / {sv2.shape}")
+
+    def var_ddx(s2, h):
+        out = np.empty_like(s2)
+        out[:, 1:-1] = (s2[:, 2:] + s2[:, :-2]) / (2 * h) ** 2
+        out[:, 0] = (s2[:, 0] + s2[:, 1]) / h**2   # one-sided edges
+        out[:, -1] = (s2[:, -1] + s2[:, -2]) / h**2
+        return out
+
+    def var_ddy(s2, h):
+        return var_ddx(s2.T, h).T
+
+    var_w = var_ddx(sv2, dx) + var_ddy(su2, dy)   # dv/dx - du/dy
+    var_d = var_ddx(su2, dx) + var_ddy(sv2, dy)   # du/dx + dv/dy
+    return {"sigma_vorticity": np.sqrt(var_w),
+            "sigma_divergence": np.sqrt(var_d)}
+
+
 def gamma_functions(u, v, dx: float = 1.0, dy: float = 1.0, radius: int = 2):
     """Graftieaux Gamma1 / Gamma2 vortex-identification functions
     (Graftieaux, Michard & Grosjean, Meas. Sci. Technol. 12 (2001)).
