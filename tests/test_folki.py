@@ -61,28 +61,42 @@ def test_blank_regions_flagged(fp):
     assert bad[right].mean() < 0.3  # seeded half still fine
 
 
-def test_correlation_engine_wins_on_sparse_seeding():
-    """Honesty pin: dense LK needs texture everywhere; at sparse seeding
-    the correlation engine stays far more accurate — which is why the
-    multipass engine remains the default."""
+def test_correlation_engine_wins_beyond_capture_range():
+    """Honesty pin: the pyramid's capture range (~2^levels px) is dense
+    LK's hard limit — at 12 px displacement it flags most windows and is
+    several times worse than correlation on the survivors, which is why
+    the multipass engine remains the default.  (At SMALL displacements
+    the texture-weighted plane fit keeps LK competitive even at sparse
+    seeding — also pinned.)"""
     import jax
     import jax.numpy as jnp
 
     from torchpiv_tpu.models.multipass import MultipassPIV, PIVConfig
 
-    fa, fb = particle_pair((256, 256), displacement=(3.3, -2.1), seed=5,
-                           density=0.003, noise=2.0)
+    cfg = PIVConfig(frame_shape=(256, 256), wind_size=64, overlap=32,
+                    multipass=2)  # final pass 32/16 = folki grid
+    corr = jax.jit(MultipassPIV(cfg))
     fp = FolkiPIV((256, 256), wind_size=32, overlap=16)
+
+    # beyond capture range: correlation wins decisively
+    fa, fb = particle_pair((256, 256), displacement=(12.0, -6.0), seed=5,
+                           density=0.02, noise=2.0)
     uf, vf, badf = fp(fa, fb)
-    cfg = PIVConfig(frame_shape=(256, 256), wind_size=32, overlap=16,
-                    multipass=1)
-    uc, vc, badc = map(np.asarray, jax.jit(MultipassPIV(cfg))(
-        jnp.asarray(fa), jnp.asarray(fb)))
+    uc, vc, badc = map(np.asarray, corr(jnp.asarray(fa), jnp.asarray(fb)))
     ok = (badc == 0) & ~badf
+    ok[:2] = ok[-2:] = ok[:, :2] = ok[:, -2:] = False
+    assert badf.mean() > 0.3  # LK itself reports the failure
+    assert np.abs(uc - 12.0)[ok].mean() < 0.5 * np.abs(uf - 12.0)[ok].mean()
+
+    # small displacement, sparse seeding: LK stays competitive
+    fa, fb = particle_pair((256, 256), displacement=(3.3, -2.1), seed=6,
+                           density=0.003, noise=2.0)
+    uf, vf, badf = fp(fa, fb)
+    uc, vc, badc = map(np.asarray, corr(jnp.asarray(fa), jnp.asarray(fb)))
+    ok = (badc == 0) & ~badf
+    ok[:2] = ok[-2:] = ok[:, :2] = ok[:, -2:] = False
     assert ok.sum() > 20
-    err_f = np.abs(uf - 3.3)[ok].mean()
-    err_c = np.abs(uc - 3.3)[ok].mean()
-    assert err_c < err_f
+    assert np.abs(uf - 3.3)[ok].mean() < 1.5 * np.abs(uc - 3.3)[ok].mean()
 
 
 def test_folki_validation_errors():
@@ -113,3 +127,42 @@ def test_cli_dense(tmp_path):
     # pipeline contract: defaults scale=dt=1 -> px*1000, Vy sign-flipped
     assert abs(np.median(t["Vx[m/s]"][inner]) / 1000 - 2.0) < 0.05
     assert abs(np.median(t["Vy[m/s]"][inner]) / 1000 - 1.0) < 0.05
+
+
+def test_hybrid_predictor_corrector():
+    """Correlation-anchored LK refinement: on dense seeding it reaches
+    plain-LK accuracy while the anchor restores the capture range."""
+    import jax
+    import jax.numpy as jnp
+
+    from torchpiv_tpu.models.multipass import MultipassPIV, PIVConfig
+    from torchpiv_tpu.utils.synthetic import shear_flow
+
+    SHAPE = (512, 512)
+    cfg = PIVConfig(frame_shape=SHAPE, wind_size=64, overlap=32,
+                    multipass=2)
+    hyb = FolkiPIV(SHAPE, wind_size=32, overlap=16, piv_config=cfg)
+    corr = jax.jit(MultipassPIV(cfg))
+    gx, gy = hyb.coordinates
+    inner = np.zeros(gx.shape, bool)
+    inner[3:-3, 3:-3] = True
+
+    fa, fb = particle_pair(SHAPE, displacement=shear_flow(1.0, 0.03),
+                           seed=1, density=0.04)
+    tru = 1.0 + 0.03 * gy
+    uh, vh, bh = hyb(fa, fb)
+    uc, vc, bc = map(np.asarray, corr(jnp.asarray(fa), jnp.asarray(fb)))
+    rms_h = np.sqrt(np.mean((uh - tru)[inner] ** 2))
+    rms_c = np.sqrt(np.mean((uc - tru)[inner & (bc == 0)] ** 2))
+    assert rms_h < 0.5 * rms_c  # measured ~0.009 vs 0.055
+
+    # beyond LK's own capture range the anchor keeps it working
+    fa, fb = particle_pair(SHAPE, displacement=(12.0, -6.0), seed=2,
+                           density=0.02, noise=2.0)
+    uh, vh, bh = hyb(fa, fb)
+    assert np.abs(np.median(uh[inner]) - 12.0) < 0.1
+
+    with pytest.raises(ValueError):
+        FolkiPIV(SHAPE, wind_size=64, overlap=32, piv_config=cfg)
+    with pytest.raises(ValueError):
+        FolkiPIV((128, 128), piv_config=cfg)

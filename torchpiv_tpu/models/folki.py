@@ -154,10 +154,33 @@ class FolkiPIV:
                  overlap: int = 16, radius: Optional[int] = None,
                  iters: int = 8, levels: int = 3,
                  residual_threshold: float = 0.12,
-                 min_contrast: float = 0.01):
+                 min_contrast: float = 0.01,
+                 piv_config=None):
         from ..ops.geometry import get_coordinates
 
         self.frame_shape = tuple(frame_shape)
+        # hybrid predictor-corrector: the correlation engine supplies the
+        # initial field (robust at any seeding), dense LK polishes it,
+        # and windows LK cannot trust fall back to the correlation value
+        self._engine = None
+        if piv_config is not None:
+            import jax as _jax
+
+            from .multipass import MultipassPIV
+
+            if tuple(piv_config.frame_shape) != self.frame_shape:
+                raise ValueError("piv_config.frame_shape "
+                                 f"{piv_config.frame_shape} != "
+                                 f"{self.frame_shape}")
+            self._engine = _jax.jit(MultipassPIV(piv_config))
+            ew, eo = piv_config.pass_schedule()[-1]
+            egx, egy = get_coordinates(self.frame_shape, ew, eo)
+            if egx.shape != get_coordinates(self.frame_shape, wind_size,
+                                            overlap)[0].shape:
+                raise ValueError(
+                    "hybrid mode needs matching grids: engine final pass "
+                    f"{egx.shape} vs dense output grid — pick wind_size/"
+                    "overlap equal to the engine's final pass")
         self.wind_size = int(wind_size)
         self.radius = int(radius if radius is not None else wind_size // 4)
         self.iters = int(iters)
@@ -169,23 +192,67 @@ class FolkiPIV:
         self._cols = jnp.asarray(np.rint(gx[0, :]).astype(np.int64))
         self.coordinates = (gx, gy)
 
-        @jax.jit
-        def run(a, b):
-            u, v = folki_flow(a, b, radius=self.radius, iters=self.iters,
-                              levels=self.levels)
+        def grid_output(a, b, u, v):
+            """Dense flow -> PIV grid: texture-weighted window average
+            (the flow is only OBSERVED at gradients — uniform averaging
+            lets the drift between sparse particles dominate, measured
+            2x worse at density 0.003) + residual/contrast validity."""
             af = a.astype(jnp.float32) / 255.0
             bf = b.astype(jnp.float32) / 255.0
             res = jnp.abs(_warp(bf, u, v) - af)
-            # window-average the dense fields onto the PIV grid
             w = self.wind_size
             area = float(w * w)
-            r = (w - 1) // 2
 
             def avg(x):
                 s = lax.reduce_window(x, 0.0, lax.add, (w, w), (1, 1),
                                       "SAME") / area
                 return s[self._rows][:, self._cols]
 
+            gy_, gx_ = jnp.gradient(_blur(af, 1.0))
+            tex = gx_ * gx_ + gy_ * gy_
+
+            # weighted LINEAR fit per window, evaluated at the node: a
+            # plain texture-weighted mean is biased on sheared flows
+            # (the texture centroid shifts off-node), while uniform
+            # averaging lets inter-particle drift dominate at sparse
+            # seeding — the plane fit is unbiased for linear flows under
+            # ANY weight distribution (both measured).
+            H_, W_ = af.shape
+            yy, xx = jnp.mgrid[0:H_, 0:W_]
+            xs = (xx - W_ / 2.0) / w  # conditioned coordinates
+            ys = (yy - H_ / 2.0) / w
+            s0 = avg(tex) + 1e-12
+            sx_g = avg(tex * xs)
+            sy_g = avg(tex * ys)
+            sxx_g = avg(tex * xs * xs)
+            sxy_g = avg(tex * xs * ys)
+            syy_g = avg(tex * ys * ys)
+            xc = xs[self._rows][:, self._cols]
+            yc = ys[self._rows][:, self._cols]
+            # recenter the moments on each node (f32 conditioning: the
+            # recentered coordinates are O(window/w), not O(frame/w))
+            sx = sx_g - xc * s0
+            sy = sy_g - yc * s0
+            sxx = sxx_g - 2 * xc * sx_g + xc * xc * s0
+            sxy = sxy_g - xc * sy_g - yc * sx_g + xc * yc * s0
+            syy = syy_g - 2 * yc * sy_g + yc * yc * s0
+            c11 = sxx * syy - sxy * sxy
+            c12 = sy * sxy - sx * syy
+            c13 = sx * sxy - sy * sxx
+            det = s0 * c11 + sx * c12 + sy * c13
+            ok = jnp.abs(det) > 1e-6 * jnp.maximum(s0, 1e-12) ** 3
+
+            def fit_at_node(f):
+                s1 = avg(tex * f)
+                s1x = avg(tex * xs * f) - xc * s1
+                s1y = avg(tex * ys * f) - yc * s1
+                val = (c11 * s1 + c12 * s1x + c13 * s1y) / det
+                # degenerate texture (too few/collinear particles):
+                # fall back to the weighted mean
+                return jnp.where(ok, val, s1 / s0)
+
+            uw = fit_at_node(u)
+            vw = fit_at_node(v)
             # two ways a window can be untrustworthy: the fit didn't
             # explain the data (high residual relative to contrast), or
             # there is no texture at all (flow unobservable — residual is
@@ -194,10 +261,50 @@ class FolkiPIV:
                 avg(af * af) - avg(af) ** 2, 1e-8))
             bad = ((avg(res) / contrast > self.residual_threshold)
                    | (contrast < self.min_contrast))
-            return avg(u), avg(v), bad
+            return uw, vw, bad
+
+        @jax.jit
+        def run(a, b):
+            u, v = folki_flow(a, b, radius=self.radius, iters=self.iters,
+                              levels=self.levels)
+            return grid_output(a, b, u, v)
 
         self._run = run
 
+        @jax.jit
+        def refine(a, b, u0d, v0d):
+            af = _blur(a.astype(jnp.float32) / 255.0, 1.0)
+            bf = _blur(b.astype(jnp.float32) / 255.0, 1.0)
+            u, v = _level_flow(af, bf, u0d, v0d, self.radius, self.iters)
+            return grid_output(a, b, u, v)
+
+        self._refine = refine
+
     def __call__(self, frame_a, frame_b):
-        u, v, bad = self._run(jnp.asarray(frame_a), jnp.asarray(frame_b))
-        return np.asarray(u), np.asarray(v), np.asarray(bad)
+        a = jnp.asarray(frame_a)
+        b = jnp.asarray(frame_b)
+        if self._engine is None:
+            u, v, bad = self._run(a, b)
+            return np.asarray(u), np.asarray(v), np.asarray(bad)
+        u0, v0, inval = self._engine(a, b)
+        u0 = np.asarray(u0, dtype=np.float64)
+        v0 = np.asarray(v0, dtype=np.float64)
+        bad0 = np.asarray(inval, dtype=bool)
+        if bad0.any():
+            fill_u = np.median(u0[~bad0]) if (~bad0).any() else 0.0
+            fill_v = np.median(v0[~bad0]) if (~bad0).any() else 0.0
+            u0 = np.where(bad0, fill_u, u0)
+            v0 = np.where(bad0, fill_v, v0)
+        u0d = jax.image.resize(jnp.asarray(u0, jnp.float32),
+                               self.frame_shape, "bilinear")
+        v0d = jax.image.resize(jnp.asarray(v0, jnp.float32),
+                               self.frame_shape, "bilinear")
+        u, v, bad = (np.asarray(x) for x in self._refine(a, b, u0d, v0d))
+        # LK is a sub-pixel REFINEMENT of the correlation anchor: keep it
+        # only where it stayed near the anchor and passed its own gates —
+        # a large deviation means LK drifted (texture gaps), not that it
+        # found a better answer (measured on sparse seeding)
+        keep = (~bad & (np.abs(u - u0) < 0.5) & (np.abs(v - v0) < 0.5))
+        u = np.where(keep, u, u0)
+        v = np.where(keep, v, v0)
+        return u, v, ~keep & bad0
