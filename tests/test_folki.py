@@ -166,3 +166,23 @@ def test_hybrid_predictor_corrector():
         FolkiPIV(SHAPE, wind_size=64, overlap=32, piv_config=cfg)
     with pytest.raises(ValueError):
         FolkiPIV((128, 128), piv_config=cfg)
+
+
+def test_cli_dense_hybrid(tmp_path):
+    import os
+
+    from torchpiv_tpu.cli import main as cli_main
+    from torchpiv_tpu.io.decode import imwrite_gray
+    from torchpiv_tpu.utils.persistence import load_table
+
+    # displacement beyond plain LK's capture range: only works --hybrid
+    fa, fb = particle_pair((256, 256), displacement=(11.0, 0.0), seed=8,
+                           density=0.03, noise=1.0)
+    folder = str(tmp_path / "frames")
+    os.makedirs(folder)
+    imwrite_gray(os.path.join(folder, "p0_a.bmp"), fa)
+    imwrite_gray(os.path.join(folder, "p0_b.bmp"), fb)
+    out = str(tmp_path / "out")
+    assert cli_main(["dense", folder, "--hybrid", "--out", out]) == 0
+    t = load_table(os.path.join(out, "dense_0000.txt"))
+    assert abs(np.median(t["Vx[m/s]"][2:-2, 2:-2]) / 1000 - 11.0) < 0.1

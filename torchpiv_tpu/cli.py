@@ -760,9 +760,17 @@ def cmd_dense(args) -> int:
             print(f"pair {i}: unreadable, skipped", file=sys.stderr)
             continue
         if fp is None:
+            cfg = None
+            if args.hybrid:
+                from .models.multipass import PIVConfig
+
+                cfg = PIVConfig(frame_shape=fa.shape,
+                                wind_size=args.wind_size * 2,
+                                overlap=args.wind_size,
+                                multipass=2)
             fp = FolkiPIV(fa.shape, wind_size=args.wind_size,
                           overlap=args.overlap, iters=args.iters,
-                          levels=args.levels)
+                          levels=args.levels, piv_config=cfg)
         u, v, bad = fp(fa, fb)
         out = finalize_fields(u, v, bad, *fp.coordinates,
                               scale=args.scale, dt=args.dt)
@@ -1784,6 +1792,10 @@ def main(argv=None) -> int:
     p_dns.add_argument("--wind-size", type=int, default=32,
                        help="output-grid window (LK radius = this/4)")
     p_dns.add_argument("--overlap", type=int, default=16)
+    p_dns.add_argument("--hybrid", action="store_true",
+                       help="anchor on the correlation engine "
+                            "(predictor-corrector: full capture range "
+                            "+ LK precision)")
     p_dns.add_argument("--iters", type=int, default=8)
     p_dns.add_argument("--levels", type=int, default=3)
     p_dns.add_argument("--scale", type=float, default=1.0,
