@@ -641,8 +641,9 @@ def test_gradient_uncertainty_matches_monte_carlo():
                   sv * rng.standard_normal((r, c)), dx, dy)
         for _ in range(3000)
     ])
-    emp = ws.std(axis=0)[2:-2, 2:-2]
-    pred = sig["sigma_vorticity"][2:-2, 2:-2]
+    emp = ws.std(axis=0)
+    pred = sig["sigma_vorticity"]
+    # full field INCLUDING edges (edge_order=2 one-sided stencil variance)
     assert np.abs(emp / pred - 1).max() < 0.1
     # divergence shares the structure with u/v roles swapped
     assert np.allclose(

@@ -764,14 +764,21 @@ def cmd_dense(args) -> int:
             if args.hybrid:
                 from .models.multipass import PIVConfig
 
+                # the engine's FINAL pass must land on the dense grid:
+                # 2-pass halving doubles both knobs
                 cfg = PIVConfig(frame_shape=fa.shape,
                                 wind_size=args.wind_size * 2,
-                                overlap=args.wind_size,
+                                overlap=args.overlap * 2,
                                 multipass=2)
             fp = FolkiPIV(fa.shape, wind_size=args.wind_size,
                           overlap=args.overlap, iters=args.iters,
                           levels=args.levels, piv_config=cfg)
-        u, v, bad = fp(fa, fb)
+        try:
+            u, v, bad = fp(fa, fb)
+        except ValueError as e:
+            print(f"dense solve failed: {e} (hint: --levels or frame "
+                  f"padding)", file=sys.stderr)
+            return 1
         out = finalize_fields(u, v, bad, *fp.coordinates,
                               scale=args.scale, dt=args.dt)
         if out is None:
@@ -825,9 +832,6 @@ def cmd_report(args) -> int:
     with np.errstate(invalid="ignore"):
         mu = np.nan_to_num(np.nanmean(u, axis=0))
         mv = np.nan_to_num(np.nanmean(v, axis=0))
-        uu = np.nan_to_num(np.nanmean((u - mu)**2, axis=0))
-        vv = np.nan_to_num(np.nanmean((v - mv)**2, axis=0))
-        uv = np.nan_to_num(np.nanmean((u - mu) * (v - mv), axis=0))
 
     figs = []
 
@@ -907,6 +911,10 @@ def cmd_report(args) -> int:
         lines += ["## POD energies", "", "![pod](pod.png)", ""]
 
     if args.rho:
+        with np.errstate(invalid="ignore"):
+            uu = np.nan_to_num(np.nanmean((u - mu)**2, axis=0))
+            vv = np.nan_to_num(np.nanmean((v - mv)**2, axis=0))
+            uv = np.nan_to_num(np.nanmean((u - mu) * (v - mv), axis=0))
         P = mean_pressure_rans(mu, mv, uu, vv, uv, dx, dy, rho=args.rho)
         fig, a = plt.subplots(figsize=(6, 4.5))
         im = a.pcolormesh(x, y, P, cmap="magma", shading="auto")

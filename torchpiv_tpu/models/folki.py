@@ -175,12 +175,13 @@ class FolkiPIV:
             self._engine = _jax.jit(MultipassPIV(piv_config))
             ew, eo = piv_config.pass_schedule()[-1]
             egx, egy = get_coordinates(self.frame_shape, ew, eo)
-            if egx.shape != get_coordinates(self.frame_shape, wind_size,
-                                            overlap)[0].shape:
+            dgx, dgy = get_coordinates(self.frame_shape, wind_size, overlap)
+            if not (np.array_equal(egx, dgx) and np.array_equal(egy, dgy)):
                 raise ValueError(
-                    "hybrid mode needs matching grids: engine final pass "
-                    f"{egx.shape} vs dense output grid — pick wind_size/"
-                    "overlap equal to the engine's final pass")
+                    "hybrid mode needs IDENTICAL grids (node positions, "
+                    f"not just counts): engine final pass ({ew}, {eo}) vs "
+                    f"dense output ({wind_size}, {overlap}) — pick "
+                    "wind_size/overlap equal to the engine's final pass")
         self.wind_size = int(wind_size)
         self.radius = int(radius if radius is not None else wind_size // 4)
         self.iters = int(iters)
@@ -191,6 +192,13 @@ class FolkiPIV:
         self._rows = jnp.asarray(np.rint(gy[:, 0]).astype(np.int64))
         self._cols = jnp.asarray(np.rint(gx[0, :]).astype(np.int64))
         self.coordinates = (gx, gy)
+        # strided-window bookkeeping: node k's window starts at
+        # off + k*step (windows are fully inside the frame by
+        # get_field_shape construction)
+        self._step = wind_size - overlap
+        self._off_y = int(round(float(gy[0, 0]))) - wind_size // 2
+        self._off_x = int(round(float(gx[0, 0]))) - wind_size // 2
+        self._grid_shape = gx.shape
 
         def grid_output(a, b, u, v):
             """Dense flow -> PIV grid: texture-weighted window average
@@ -202,11 +210,18 @@ class FolkiPIV:
             res = jnp.abs(_warp(bf, u, v) - af)
             w = self.wind_size
             area = float(w * w)
+            step = self._step
+            R, C = self._grid_shape
 
             def avg(x):
-                s = lax.reduce_window(x, 0.0, lax.add, (w, w), (1, 1),
-                                      "SAME") / area
-                return s[self._rows][:, self._cols]
+                # one complete w x w window per grid node (strided VALID
+                # windows: ~step^2 cheaper than full-frame SAME sums, and
+                # edge nodes average over their FULL window instead of a
+                # zero-padded truncation)
+                s = lax.reduce_window(x[self._off_y:, self._off_x:], 0.0,
+                                      lax.add, (w, w), (step, step),
+                                      "VALID") / area
+                return s[:R, :C]
 
             gy_, gx_ = jnp.gradient(_blur(af, 1.0))
             tex = gx_ * gx_ + gy_ * gy_

@@ -86,20 +86,25 @@ def gradient_uncertainty(su, sv, dx: float = 1.0, dy: float = 1.0):
     * ``sigma_divergence`` — std of ``du/dx + dv/dy``
 
     (identical formulas — the two gradient terms are independent — so
-    one computation serves both; edges use the one-sided first-order
-    stencil's variance).
+    one computation serves both; edges use the variance of the same
+    second-order one-sided stencil ``(-3f0+4f1-f2)/(2h)`` that
+    ``np.gradient(edge_order=2)`` applies in the maps themselves).
     """
     su2 = np.asarray(su, dtype=np.float64) ** 2
     sv2 = np.asarray(sv, dtype=np.float64) ** 2
     if su2.shape != sv2.shape or su2.ndim != 2:
         raise ValueError(f"expected matching [R, C] maps, got "
                          f"{su2.shape} / {sv2.shape}")
+    if min(su2.shape) < 3:
+        raise ValueError("need at least a 3x3 grid for the edge stencils")
 
     def var_ddx(s2, h):
         out = np.empty_like(s2)
         out[:, 1:-1] = (s2[:, 2:] + s2[:, :-2]) / (2 * h) ** 2
-        out[:, 0] = (s2[:, 0] + s2[:, 1]) / h**2   # one-sided edges
-        out[:, -1] = (s2[:, -1] + s2[:, -2]) / h**2
+        # edge_order=2 one-sided stencil (-3 f0 + 4 f1 - f2)/(2h)
+        out[:, 0] = (9 * s2[:, 0] + 16 * s2[:, 1] + s2[:, 2]) / (2 * h) ** 2
+        out[:, -1] = (9 * s2[:, -1] + 16 * s2[:, -2]
+                      + s2[:, -3]) / (2 * h) ** 2
         return out
 
     def var_ddy(s2, h):
