@@ -45,8 +45,12 @@ def _blur(x: jnp.ndarray, sigma: float) -> jnp.ndarray:
     k = np.exp(-(span**2) / (2.0 * sigma * sigma))
     k = jnp.asarray(k / k.sum())
     y = x[None, None]
-    y = lax.conv_general_dilated(y, k.reshape(1, 1, 1, -1), (1, 1), "SAME")
-    y = lax.conv_general_dilated(y, k.reshape(1, 1, -1, 1), (1, 1), "SAME")
+    # TPU convs default to bf16 accumulation; the blur feeds sub-pixel
+    # gradients, so force full precision (CLAUDE.md parity rule)
+    y = lax.conv_general_dilated(y, k.reshape(1, 1, 1, -1), (1, 1), "SAME",
+                                 precision="highest")
+    y = lax.conv_general_dilated(y, k.reshape(1, 1, -1, 1), (1, 1), "SAME",
+                                 precision="highest")
     return y[0, 0]
 
 

@@ -38,8 +38,12 @@ def _gaussian_blur(f: jnp.ndarray, sigma: float) -> jnp.ndarray:
     k /= k.sum()
     k = jnp.asarray(k)
     x = f[None, None]  # NCHW
-    x = lax.conv_general_dilated(x, k.reshape(1, 1, 1, -1), (1, 1), "SAME")
-    x = lax.conv_general_dilated(x, k.reshape(1, 1, -1, 1), (1, 1), "SAME")
+    # full precision: the filtered response feeds the 3-point sub-pixel
+    # fit, and TPU convs default to bf16 accumulation
+    x = lax.conv_general_dilated(x, k.reshape(1, 1, 1, -1), (1, 1), "SAME",
+                                 precision="highest")
+    x = lax.conv_general_dilated(x, k.reshape(1, 1, -1, 1), (1, 1), "SAME",
+                                 precision="highest")
     return x[0, 0]
 
 
