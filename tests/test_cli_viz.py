@@ -423,3 +423,22 @@ def test_cli_compare(tmp_path):
                               "Vx[m/s]": u[:4], "Vy[m/s]": v[:4]})
     assert cli_main(["compare", os.path.join(out, "a.txt"),
                      os.path.join(out, "c.txt")]) == 1
+
+
+def test_cli_help_for_every_subcommand(capsys):
+    """Every subcommand's parser builds and prints help (catches argparse
+    conflicts/regressions across the whole CLI surface)."""
+    import pytest as _pytest
+
+    from torchpiv_tpu.cli import main as cli_main
+
+    subs = ["run", "online", "watch", "view", "gui", "settings", "video",
+            "bench", "doctor", "warmup", "ensemble", "export", "pod",
+            "qc", "temporal", "calib", "dewarp", "stereo", "ptv",
+            "turbulence", "dmd", "pressure", "compare", "multidt",
+            "dense", "report"]
+    for s in subs:
+        with _pytest.raises(SystemExit) as e:
+            cli_main([s, "--help"])
+        assert e.value.code == 0, s
+        assert capsys.readouterr().out, s
