@@ -438,3 +438,22 @@ def test_ptv_frame_shape_mismatch_raises():
     cfg = PIVConfig(frame_shape=(128, 128), wind_size=32, overlap=16)
     with pytest.raises(ValueError):
         PTV((256, 256), piv_config=cfg)
+
+
+def test_vtk_tracks_written(tmp_path):
+    from torchpiv_tpu.models.ptv import Trajectory
+    from torchpiv_tpu.utils.persistence import save_vtk_tracks
+
+    tracks = [Trajectory(frames=np.array([0, 1, 2]),
+                         x=np.array([1.0, 2.0, 3.0]),
+                         y=np.array([5.0, 5.5, 6.0])),
+              Trajectory(frames=np.array([1, 2]),
+                         x=np.array([10.0, 11.0]),
+                         y=np.array([0.0, 0.1]))]
+    out = save_vtk_tracks("t.vtk", str(tmp_path), tracks, scale=2.0)
+    txt = open(out).read()
+    assert "DATASET POLYDATA" in txt
+    assert "POINTS 5 float" in txt
+    assert "LINES 2 7" in txt       # (3+1) + (2+1)
+    assert "2 10 0" in txt          # scaled first point (x*2, y*2)
+    assert "SCALARS track float 1" in txt

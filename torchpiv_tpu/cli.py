@@ -1150,7 +1150,12 @@ def cmd_ptv(args) -> int:
                 cols["y[mm]"].extend((h - 1 - trk.y) * args.scale)
             save_table("ptv_tracks.txt", args.out,
                        {k: np.asarray(v) for k, v in cols.items()})
-            print(f"trajectories written to {args.out}")
+            from .utils.persistence import save_vtk_tracks
+
+            save_vtk_tracks("ptv_tracks.vtk", args.out, tracks,
+                            scale=args.scale)
+            print(f"trajectories written to {args.out} "
+                  f"(ptv_tracks.txt + .vtk)")
     if args.out and n_done:
         print(f"{n_done} scattered-vector tables written to {args.out}")
     return 0 if n_done else 1

@@ -155,6 +155,42 @@ def save_hdf5(name: str, path: str, x, y, u, v,
     return out
 
 
+def save_vtk_tracks(name: str, path: str, tracks, scale: float = 1.0
+                    ) -> str:
+    """Write Lagrangian trajectories as legacy-ASCII VTK polylines (loads
+    directly in ParaView: one line per track, per-point ``track`` and
+    ``frame`` scalars for coloring).  ``tracks``: iterables with
+    ``.frames``/``.x``/``.y`` (models/ptv.py ``Trajectory``); positions
+    are multiplied by ``scale`` (mm per px).  Returns the path written."""
+    os.makedirs(path, exist_ok=True)
+    out = uniquify(os.path.join(path, name))
+    pts, lines, tids, frames = [], [], [], []
+    for tid, trk in enumerate(tracks):
+        start = len(pts)
+        n = len(trk.frames)
+        pts.extend((float(x) * scale, float(y) * scale)
+                   for x, y in zip(trk.x, trk.y))
+        tids.extend([float(tid)] * n)
+        frames.extend(float(f) for f in trk.frames)
+        lines.append(list(range(start, start + n)))
+    with open(out, "w") as f:
+        f.write("# vtk DataFile Version 3.0\n"
+                "torchpiv-tpu trajectories\nASCII\n"
+                "DATASET POLYDATA\n")
+        f.write(f"POINTS {len(pts)} float\n")
+        for x, y in pts:
+            f.write(f"{x:.6g} {y:.6g} 0\n")
+        total = sum(len(l) + 1 for l in lines)
+        f.write(f"LINES {len(lines)} {total}\n")
+        for l in lines:
+            f.write(" ".join([str(len(l))] + [str(i) for i in l]) + "\n")
+        f.write(f"POINT_DATA {len(pts)}\n")
+        for nm, vals in (("track", tids), ("frame", frames)):
+            f.write(f"SCALARS {nm} float 1\nLOOKUP_TABLE default\n")
+            f.write("\n".join(f"{v:.6g}" for v in vals) + "\n")
+    return out
+
+
 def save_vtk(name: str, path: str, x, y, u, v,
              scalars: Optional[Dict[str, np.ndarray]] = None) -> str:
     """Write a velocity field as legacy-ASCII VTK structured grid (beyond
