@@ -36,3 +36,21 @@ def test_report_end_to_end(tmp_path, capsys):
 
 def test_report_missing_folder(tmp_path):
     assert cli_main(["report", str(tmp_path / "nope")]) == 1
+
+
+def test_report_tolerates_nan_holes(tmp_path):
+    """Invalid (NaN) vectors in some snapshots must not break the report
+    (nan-aware means; spectrum may be skipped but the report completes)."""
+    folder = str(tmp_path / "fields")
+    _write_stack(folder, T=6)
+    import glob
+
+    f = sorted(glob.glob(os.path.join(folder, "*.npy")))[0]
+    arr = np.load(f)
+    arr[2, 3:5, 3:5] = np.nan
+    np.save(f, arr)
+    out = str(tmp_path / "rep")
+    rc = cli_main(["report", folder, "--rho", "998", "--out", out])
+    assert rc == 0
+    md = open(os.path.join(out, "report.md")).read()
+    assert "Turbulence scales" in md
