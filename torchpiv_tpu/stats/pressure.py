@@ -30,7 +30,7 @@ Host-side numpy/scipy on final [R, C] fields, like the rest of stats/
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
