@@ -17,7 +17,7 @@ def main(out_dir="./demo_out"):
     import jax
     import jax.numpy as jnp
 
-    from torchpiv_tpu.models import FolkiPIV, MultipassPIV, PIVConfig
+    from torchpiv_tpu.models import FolkiPIV, PIVConfig
     from torchpiv_tpu.utils.synthetic import particle_pair, shear_flow
 
     os.makedirs(out_dir, exist_ok=True)
@@ -27,9 +27,9 @@ def main(out_dir="./demo_out"):
 
     cfg = PIVConfig(frame_shape=(H, W), wind_size=64, overlap=32,
                     multipass=2, multipass_mode="CWS")
-    corr = jax.jit(MultipassPIV(cfg))
     plain = FolkiPIV((H, W), wind_size=32, overlap=16)
     hybrid = FolkiPIV((H, W), wind_size=32, overlap=16, piv_config=cfg)
+    corr = hybrid._engine  # one compiled graph serves both panels
 
     gx, gy = plain.coordinates
     tru = 1.0 + 0.03 * gy

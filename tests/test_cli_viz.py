@@ -432,11 +432,14 @@ def test_cli_help_for_every_subcommand(capsys):
 
     from torchpiv_tpu.cli import main as cli_main
 
-    subs = ["run", "online", "watch", "view", "gui", "settings", "video",
-            "bench", "doctor", "warmup", "ensemble", "export", "pod",
-            "qc", "temporal", "calib", "dewarp", "stereo", "ptv",
-            "turbulence", "dmd", "pressure", "compare", "multidt",
-            "dense", "report"]
+    import argparse
+
+    from torchpiv_tpu.cli import build_parser
+
+    subactions = [a for a in build_parser()._actions
+                  if isinstance(a, argparse._SubParsersAction)]
+    subs = sorted(subactions[0].choices)
+    assert len(subs) >= 26  # grows with the CLI — derived, never stale
     for s in subs:
         with _pytest.raises(SystemExit) as e:
             cli_main([s, "--help"])

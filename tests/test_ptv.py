@@ -457,3 +457,10 @@ def test_vtk_tracks_written(tmp_path):
     assert "LINES 2 7" in txt       # (3+1) + (2+1)
     assert "2 10 0" in txt          # scaled first point (x*2, y*2)
     assert "SCALARS track float 1" in txt
+    # physical y flip matches the .txt outputs' convention
+    out2 = save_vtk_tracks("t2.vtk", str(tmp_path), tracks, scale=2.0,
+                           frame_height=256)
+    assert "2 500 0" in open(out2).read()  # (256-1-5)*2
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        save_vtk_tracks("t3.vtk", str(tmp_path), [])

@@ -1153,7 +1153,7 @@ def cmd_ptv(args) -> int:
             from .utils.persistence import save_vtk_tracks
 
             save_vtk_tracks("ptv_tracks.vtk", args.out, tracks,
-                            scale=args.scale)
+                            scale=args.scale, frame_height=h)
             print(f"trajectories written to {args.out} "
                   f"(ptv_tracks.txt + .vtk)")
     if args.out and n_done:
@@ -1607,12 +1607,8 @@ def cmd_settings(args) -> int:
     return 0
 
 
-def main(argv=None) -> int:
-    # every subcommand that touches the engine benefits from the persistent
-    # compile cache; enabling it costs nothing for the ones that don't
-    from .utils.compile_cache import enable_compile_cache
-
-    enable_compile_cache()
+def build_parser() -> argparse.ArgumentParser:
+    """The full ``tpiv`` argument parser (exposed for tests/tooling)."""
     parser = argparse.ArgumentParser(
         prog="tpiv", description="TPU-native PIV engine"
     )
@@ -2009,7 +2005,16 @@ def main(argv=None) -> int:
                       help="also write a VTK file with dz/residual scalars")
     p_st.set_defaults(fn=cmd_stereo)
 
-    args = parser.parse_args(argv)
+    return parser
+
+
+def main(argv=None) -> int:
+    # every subcommand that touches the engine benefits from the persistent
+    # compile cache; enabling it costs nothing for the ones that don't
+    from .utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    args = build_parser().parse_args(argv)
     logging.basicConfig(
         level=logging.INFO if getattr(args, "verbose", False) else logging.WARNING,
         format="%(levelname)s %(name)s: %(message)s",

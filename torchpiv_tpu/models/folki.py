@@ -35,23 +35,12 @@ def _box(x: jnp.ndarray, radius: int) -> jnp.ndarray:
 
 
 def _blur(x: jnp.ndarray, sigma: float) -> jnp.ndarray:
-    """Separable Gaussian blur — PIV particle images are only ~2-3 px
-    wide, so they alias away under plain decimation and their gradients
-    under-sample; smoothing is what makes LK converge on them."""
-    import math
+    """PIV particle images are only ~2-3 px wide, so they alias away
+    under plain decimation and their gradients under-sample; smoothing
+    is what makes LK converge on them (shared full-precision op)."""
+    from ..ops.filters import gaussian_blur
 
-    r = max(1, int(math.ceil(2.5 * sigma)))
-    span = np.arange(-r, r + 1, dtype=np.float32)
-    k = np.exp(-(span**2) / (2.0 * sigma * sigma))
-    k = jnp.asarray(k / k.sum())
-    y = x[None, None]
-    # TPU convs default to bf16 accumulation; the blur feeds sub-pixel
-    # gradients, so force full precision (CLAUDE.md parity rule)
-    y = lax.conv_general_dilated(y, k.reshape(1, 1, 1, -1), (1, 1), "SAME",
-                                 precision="highest")
-    y = lax.conv_general_dilated(y, k.reshape(1, 1, -1, 1), (1, 1), "SAME",
-                                 precision="highest")
-    return y[0, 0]
+    return gaussian_blur(x, sigma, truncate=2.5)
 
 
 def _warp(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:

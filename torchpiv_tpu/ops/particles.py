@@ -20,7 +20,6 @@ so the fit remains unbiased for symmetric particles.
 """
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Optional, Tuple
 
@@ -31,20 +30,9 @@ from jax import lax
 
 
 def _gaussian_blur(f: jnp.ndarray, sigma: float) -> jnp.ndarray:
-    """Separable 'SAME' Gaussian blur of a 2-D float frame."""
-    r = max(1, int(math.ceil(3.0 * sigma)))
-    span = np.arange(-r, r + 1, dtype=np.float32)
-    k = np.exp(-(span**2) / (2.0 * sigma * sigma))
-    k /= k.sum()
-    k = jnp.asarray(k)
-    x = f[None, None]  # NCHW
-    # full precision: the filtered response feeds the 3-point sub-pixel
-    # fit, and TPU convs default to bf16 accumulation
-    x = lax.conv_general_dilated(x, k.reshape(1, 1, 1, -1), (1, 1), "SAME",
-                                 precision="highest")
-    x = lax.conv_general_dilated(x, k.reshape(1, 1, -1, 1), (1, 1), "SAME",
-                                 precision="highest")
-    return x[0, 0]
+    from .filters import gaussian_blur
+
+    return gaussian_blur(f, sigma, truncate=3.0)
 
 
 @partial(jax.jit,

@@ -155,21 +155,29 @@ def save_hdf5(name: str, path: str, x, y, u, v,
     return out
 
 
-def save_vtk_tracks(name: str, path: str, tracks, scale: float = 1.0
-                    ) -> str:
+def save_vtk_tracks(name: str, path: str, tracks, scale: float = 1.0,
+                    frame_height: Optional[int] = None) -> str:
     """Write Lagrangian trajectories as legacy-ASCII VTK polylines (loads
     directly in ParaView: one line per track, per-point ``track`` and
     ``frame`` scalars for coloring).  ``tracks``: iterables with
     ``.frames``/``.x``/``.y`` (models/ptv.py ``Trajectory``); positions
-    are multiplied by ``scale`` (mm per px).  Returns the path written."""
+    are multiplied by ``scale`` (mm per px).  Pass ``frame_height`` (px)
+    to apply the pipeline's image->physical y flip ((H-1-y)*scale), so
+    the polylines overlay the field exports, which use that convention.
+    Returns the path written."""
+    tracks = list(tracks)
+    if not tracks:
+        raise ValueError("no trajectories to write")
     os.makedirs(path, exist_ok=True)
     out = uniquify(os.path.join(path, name))
     pts, lines, tids, frames = [], [], [], []
     for tid, trk in enumerate(tracks):
         start = len(pts)
         n = len(trk.frames)
+        ys = (trk.y if frame_height is None
+              else (frame_height - 1) - np.asarray(trk.y))
         pts.extend((float(x) * scale, float(y) * scale)
-                   for x, y in zip(trk.x, trk.y))
+                   for x, y in zip(trk.x, ys))
         tids.extend([float(tid)] * n)
         frames.extend(float(f) for f in trk.frames)
         lines.append(list(range(start, start + n)))
