@@ -29,17 +29,9 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/torchpiv_jaxcache")
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+import subprocess  # noqa: E402
 
-from torchpiv_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
-
-enable_compile_cache()
-
-from torchpiv_tpu.models import MultipassPIV, PIVConfig  # noqa: E402
-from torchpiv_tpu.pipeline import finalize_fields  # noqa: E402
-from torchpiv_tpu.utils.synthetic import particle_pair  # noqa: E402
+import numpy as np  # noqa: E402
 
 BASELINE_PAIRS_PER_SEC = 6.7  # reference README: 4000 pairs / <10 min
 FRAME = (2048, 2048)  # 4 MP
@@ -58,7 +50,79 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+# Bounded-retry backend acquisition.  The axon tunnel can be hard-down for
+# hours; a failed ``jax.devices()`` blocks ~25 min and then raises — AND
+# caches the failure in-process (jax freezes the backend registry), so
+# retries only work from a fresh process.  Probe in subprocesses; the main
+# process touches jax only after a probe succeeds.  Each probe returns
+# naturally (seconds when up, ~25 min when down) — never killed, because
+# interrupting a mid-setup TPU connection wedges the remote compile
+# service for 20-40 min (see CLAUDE.md).
+INIT_ATTEMPTS = int(os.environ.get("BENCH_INIT_ATTEMPTS", 3))
+INIT_BUDGET_S = float(os.environ.get("BENCH_INIT_BUDGET_S", 5400))
+
+_PROBE_SRC = (
+    "import jax, sys; d = jax.devices(); "
+    "print('BENCH_PROBE_OK', d, flush=True)"
+)
+
+
+def backend_ready() -> tuple[bool, str]:
+    """Probe TPU backend init in fresh subprocesses with a bounded retry
+    budget.  Returns (ok, diagnostic)."""
+    t_start = time.monotonic()
+    last_err = ""
+    for attempt in range(1, INIT_ATTEMPTS + 1):
+        elapsed = time.monotonic() - t_start
+        if attempt > 1 and elapsed >= INIT_BUDGET_S:
+            return False, (
+                f"backend unavailable: budget {INIT_BUDGET_S:.0f}s exhausted "
+                f"after {attempt - 1} attempts; last error: {last_err}")
+        log(f"backend probe attempt {attempt}/{INIT_ATTEMPTS} "
+            f"(elapsed {elapsed:.0f}s of {INIT_BUDGET_S:.0f}s budget)...")
+        t0 = time.monotonic()
+        proc = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC],
+            capture_output=True, text=True)
+        dt = time.monotonic() - t0
+        if proc.returncode == 0 and "BENCH_PROBE_OK" in proc.stdout:
+            log(f"backend probe OK in {dt:.1f}s: "
+                f"{proc.stdout.strip().splitlines()[-1]}")
+            return True, "ok"
+        tail = (proc.stderr or proc.stdout).strip().splitlines()
+        last_err = tail[-1] if tail else f"rc={proc.returncode}"
+        log(f"backend probe failed in {dt:.1f}s: {last_err}")
+    return False, (
+        f"backend unavailable after {INIT_ATTEMPTS} attempts: {last_err}")
+
+
 def main():
+    ok, diag = backend_ready()
+    if not ok:
+        # machine-readable failure: same metric key, null value, exit 0 —
+        # the driver records the outage instead of a traceback.
+        log(f"GIVING UP: {diag}")
+        print(json.dumps({
+            "metric": "4MP_pairs_per_sec",
+            "value": None,
+            "unit": "pairs/s",
+            "vs_baseline": None,
+            "error": diag,
+        }))
+        return
+
+    global jax, jnp
+    import jax
+    import jax.numpy as jnp
+
+    from torchpiv_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    from torchpiv_tpu.models import MultipassPIV, PIVConfig
+    from torchpiv_tpu.pipeline import finalize_fields
+    from torchpiv_tpu.utils.synthetic import particle_pair
+
     log(f"devices: {jax.devices()}")
     cfg = PIVConfig(
         frame_shape=FRAME,
@@ -160,25 +224,37 @@ def main():
     }
     if os.environ.get("BENCH_PIPELINE", "1") != "0":
         try:
-            rate, bound = bench_pipeline(pairs_per_sec)
-            out["pipeline_pairs_per_sec"] = round(rate, 2)
+            p = bench_pipeline(pairs_per_sec)
+            out["pipeline_pairs_per_sec"] = round(p["rate"], 2)
             # achieved-vs-bound: the bound is computed from the H2D
             # bandwidth the tunnel actually sustained DURING the run
             # (transfer intervals recorded inside the prefetcher, merged),
             # because the shared tunnel drifts on minute scales and any
             # probe taken before/after misattributes that drift to the
             # pipeline.  A production PCIe host's bound is the engine.
-            out["pipeline_h2d_bound_pairs_per_sec"] = round(bound, 2)
-            out["pipeline_vs_bound"] = round(rate / bound, 2)
-            log(f"pipeline bound check: {rate:.2f} pairs/s achieved vs "
-                f"{bound:.2f} pairs/s in-run bound "
-                f"({100 * rate / bound:.0f}%)")
+            out["pipeline_h2d_bound_pairs_per_sec"] = round(p["bound"], 2)
+            out["pipeline_vs_bound"] = round(p["rate"] / p["bound"], 2)
+            # explicit measured bound table for the <60 s end-to-end claim:
+            # every term of "X pairs/s here; ingest-bound at Y MB/s;
+            # >=67 pairs/s needs Z MB/s (local PCIe >10 GB/s provides it)"
+            frame_mb = FRAME[0] * FRAME[1] / 2**20
+            out["bound_table"] = {
+                "decode_gb_per_sec": round(p["decode_gb_s"], 2),
+                "h2d_mb_per_sec_in_run": round(p["h2d_mb_s"], 1),
+                "h2d_mb_per_sec_needed_for_67_pairs": round(
+                    67 * 2 * frame_mb, 0),
+                "engine_pairs_per_sec": round(pairs_per_sec, 2),
+                "target_pairs_per_sec": 66.7,
+            }
+            log(f"pipeline bound check: {p['rate']:.2f} pairs/s achieved vs "
+                f"{p['bound']:.2f} pairs/s in-run bound "
+                f"({100 * p['rate'] / p['bound']:.0f}%)")
         except Exception as e:  # never lose the headline to a pipeline fault
             log(f"pipeline bench failed: {e!r}")
     print(json.dumps(out))
 
 
-def bench_pipeline(engine_pairs_per_sec: float = float("inf")) -> tuple:
+def bench_pipeline(engine_pairs_per_sec: float = float("inf")) -> dict:
     """Production-path benchmark: OfflinePIV end-to-end from on-disk BMPs
     (native C++ decode -> threaded prefetch + H2D -> scan dispatch ->
     overlapped host tail), the loop a user actually runs.
@@ -188,11 +264,13 @@ def bench_pipeline(engine_pairs_per_sec: float = float("inf")) -> tuple:
     headline; the native decode throughput is reported separately to show
     the ingest side meets the SURVEY §7 ~0.5 GB/s requirement.
 
-    Returns ``(achieved_pairs_per_sec, bound_pairs_per_sec)`` where the
-    bound is ``min(in-run tunnel H2D rate, engine rate)`` — the throughput
-    a perfectly overlapped pipeline could reach under the exact link
-    conditions of THIS run (the tunnel drifts 4 MB/s..1.2 GB/s on minute
-    scales, so probes taken around the run are not a valid denominator).
+    Returns a dict with ``rate`` (achieved pairs/s), ``bound`` (pairs/s =
+    ``min(in-run tunnel H2D rate, engine rate)`` — the throughput a
+    perfectly overlapped pipeline could reach under the exact link
+    conditions of THIS run; the tunnel drifts 4 MB/s..1.2 GB/s on minute
+    scales, so probes taken around the run are not a valid denominator),
+    ``h2d_mb_s`` (in-run tunnel bandwidth) and ``decode_gb_s`` (native
+    warm-cache decode throughput).
     """
     import glob
     import shutil
@@ -225,6 +303,7 @@ def bench_pipeline(engine_pairs_per_sec: float = float("inf")) -> tuple:
     from torchpiv_tpu.native import loader as fastio
 
     files = sorted(glob.glob(os.path.join(folder, "*.bmp")))
+    decode_gb_s = 0.0
     if fastio.available():
         dims = fastio.probe_gray(files[0])
         fastio.read_batch_gray(files, dims, threads=8)  # warm page cache
@@ -232,8 +311,9 @@ def bench_pipeline(engine_pairs_per_sec: float = float("inf")) -> tuple:
         frames, status = fastio.read_batch_gray(files, dims, threads=8)
         dt = time.perf_counter() - t0
         mb = frames.nbytes / 2**20
+        decode_gb_s = mb / dt / 1024
         log(f"native decode (warm cache): {len(files)} files, {mb:.0f} MB in "
-            f"{dt:.2f} s = {mb / dt / 1024:.2f} GB/s "
+            f"{dt:.2f} s = {decode_gb_s:.2f} GB/s "
             f"(errors: {(status != 0).sum()})")
 
     kwargs = dict(file_fmt=".bmp", wind_size=64, overlap=32, multipass=2,
@@ -257,18 +337,21 @@ def bench_pipeline(engine_pairs_per_sec: float = float("inf")) -> tuple:
     for a, b_ in _merge_intervals([(s, e) for s, e, _ in tlog]):
         busy += b_ - a
     if busy > 0:
-        h2d_rate = total_mb / busy / (2 * frame_mb)  # pairs/s if H2D-bound
+        h2d_mb_s = total_mb / busy
+        h2d_rate = h2d_mb_s / (2 * frame_mb)  # pairs/s if H2D-bound
         log(f"in-run H2D: {total_mb:.0f} MB in {busy:.2f} s busy "
-            f"({total_mb / busy:.0f} MB/s) over {len(tlog)} batch "
+            f"({h2d_mb_s:.0f} MB/s) over {len(tlog)} batch "
             f"transfers; wall {wall:.2f} s")
     else:  # device_put disabled (mesh) or no batches — engine-bound
+        h2d_mb_s = float("inf")
         h2d_rate = float("inf")
     bound = min(h2d_rate, engine_pairs_per_sec)
     log(f"pipeline: {done} pairs end-to-end in {wall:.2f} s = "
         f"{rate:.1f} pairs/s (disk->decode->H2D over tunnel->engine->tail); "
         f"bound components: H2D {h2d_rate:.1f} / engine "
         f"{engine_pairs_per_sec:.1f} pairs/s")
-    return rate, bound
+    return {"rate": rate, "bound": bound, "h2d_mb_s": h2d_mb_s,
+            "decode_gb_s": decode_gb_s}
 
 
 def _merge_intervals(spans):
