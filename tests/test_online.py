@@ -111,6 +111,77 @@ def test_video_cli(tmp_path):
                for f in os.listdir(tmp_path / "out"))
 
 
+@pytest.mark.slow
+def test_online_piv_soak_keeps_up_at_camera_rate(tmp_path):
+    """Sustained camera-rate soak: a writer thread emits pairs at a fixed
+    Hz while OnlinePIV consumes.  Proves keep-up (no backlog growth): the
+    post-warmup write->yield latency stays bounded and does NOT trend
+    upward across the run, and the stream drains fully after the camera
+    stops.  (VERDICT r3 item 8 — the unit tests above only cover single
+    bursts.)"""
+    n_warm, n_pairs, hz = 5, 40, 12.0
+    piv = OnlinePIV(
+        str(tmp_path), device="cpu", file_fmt=".bmp", wind_size=32,
+        overlap=16, multipass=2, poll_interval=0.02, idle_timeout=30.0,
+        catchup_batch=4,
+    )
+    write_t = {}
+    # pre-render frames so writer-loop jitter never masks consumer lag
+    rendered = [
+        particle_pair((128, 128), displacement=(2.0, 1.0), seed=200 + i)
+        for i in range(n_warm + n_pairs)
+    ]
+    warm_done = threading.Event()
+
+    def camera():
+        # warmup burst: compiles the single-pair graph AND (>= catchup
+        # batch pairs at once) the catch-up scan graph before timing starts
+        for i in range(n_warm):
+            fa, fb = rendered[i]
+            imwrite_gray(str(tmp_path / f"s{i:03d}_b.bmp"), fb)
+            imwrite_gray(str(tmp_path / f"s{i:03d}_a.bmp"), fa)
+        assert warm_done.wait(120.0), "warmup never drained"
+        period = 1.0 / hz
+        t_next = time.perf_counter()
+        for i in range(n_warm, n_warm + n_pairs):
+            now = time.perf_counter()
+            if now < t_next:
+                time.sleep(t_next - now)
+            fa, fb = rendered[i]
+            # write _b first so a pair never appears half-written
+            imwrite_gray(str(tmp_path / f"s{i:03d}_b.bmp"), fb)
+            imwrite_gray(str(tmp_path / f"s{i:03d}_a.bmp"), fa)
+            write_t[i] = time.perf_counter()
+            t_next += period
+
+    t = threading.Thread(target=camera)
+    t.start()
+    yield_t = []
+    results = []
+    for res in piv():
+        yield_t.append(time.perf_counter())
+        results.append(res)
+        if len(results) == n_warm:
+            warm_done.set()
+        if len(results) == n_warm + n_pairs:
+            piv.stop()
+    t.join()
+
+    total = n_warm + n_pairs
+    assert len(results) == total, f"only {len(results)}/{total} yielded"
+    lat = np.array([yield_t[i] - write_t[i]
+                    for i in range(n_warm, total)])
+    mid = np.median(lat[n_pairs // 3: 2 * n_pairs // 3])
+    end = np.median(lat[2 * n_pairs // 3:])
+    assert end < 1.5, f"steady-state latency {end:.2f}s at {hz} Hz"
+    # no backlog growth: the last third must not lag materially behind
+    # the middle third (growth means the consumer is slower than the
+    # camera and latency rises linearly across the run)
+    assert end < mid + 0.75, f"latency trending up: {mid:.2f}s -> {end:.2f}s"
+    for x, y, u, v in results:
+        assert abs(np.nanmean(u) - 2000.0) < 200
+
+
 def test_online_piv_catchup_batches_backlog(tmp_path):
     """When many pairs are already on disk by the time the stream sees
     them (camera outran processing), OnlinePIV drains them in

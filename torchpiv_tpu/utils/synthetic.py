@@ -129,6 +129,93 @@ def static_background(
     return f - f.min()
 
 
+def camera_degraded_pair(
+    shape: Tuple[int, int],
+    displacement=(3.3, -2.1),
+    density: float = 0.012,
+    diameter: float = 2.5,
+    dropout: float = 0.15,
+    intensity_flicker: float = 0.25,
+    vignette: float = 0.55,
+    glare_amplitude: float = 45.0,
+    read_noise: float = 4.0,
+    shot_noise: bool = True,
+    hot_pixel_rate: float = 3e-5,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """A frame pair degraded like a real PIV camera recording — the
+    validation stand-in for the reference's real ``test_images/`` dataset
+    (stripped from its snapshot, /root/reference/.MISSING_LARGE_BLOBS;
+    README.md:34 quotes numbers from it).  Degradations, each individually
+    controllable:
+
+    * **out-of-plane dropout** — a fraction ``dropout`` of frame-A
+      particles leaves the light sheet before frame B; an equal number of
+      fresh particles enters (seeding density stays constant, pairing
+      information is lost for those particles).
+    * **intensity flicker** — per-particle lognormal brightness change
+      between frames (movement within the Gaussian sheet profile).
+    * **vignetting** — multiplicative radial illumination falloff
+      ``1 - vignette * (r / r_corner)^2`` on particles AND glare (it is an
+      illumination/collection effect, not a sensor offset).
+    * **glare** — stationary background texture added to both frames
+      (wall reflection / flare); frame-correlated, plants a spurious
+      zero-displacement correlation peak.
+    * **sensor noise** — Poisson shot noise on the collected signal plus
+      Gaussian read noise, i.i.d. per frame.
+    * **hot pixels** — saturated stuck pixels at fixed sensor sites
+      (identical in both frames, like a real defect map).
+    """
+    H, W = shape
+    rng = np.random.default_rng(seed)
+    n = int(density * H * W)
+    margin = 16
+    xs = rng.uniform(-margin, W + margin, n)
+    ys = rng.uniform(-margin, H + margin, n)
+    inten = rng.uniform(100, 220, n)
+
+    if callable(displacement):
+        u, v = displacement(xs, ys)
+    else:
+        u = np.full(n, displacement[0])
+        v = np.full(n, displacement[1])
+
+    # frame B particle set: survivors (advected, flickered) + replacements
+    keep = rng.random(n) >= dropout
+    flick = np.exp(rng.normal(0.0, intensity_flicker, n))
+    xs_b = np.concatenate([
+        (xs + u)[keep],
+        rng.uniform(-margin, W + margin, int((~keep).sum())),
+    ])
+    ys_b = np.concatenate([
+        (ys + v)[keep],
+        rng.uniform(-margin, H + margin, int((~keep).sum())),
+    ])
+    inten_b = np.concatenate([
+        (inten * flick)[keep],
+        rng.uniform(100, 220, int((~keep).sum())),
+    ])
+
+    fa = render_particles((H, W), xs, ys, inten, diameter)
+    fb = render_particles((H, W), xs_b, ys_b, inten_b, diameter)
+
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    r2 = ((yy - (H - 1) / 2) ** 2 + (xx - (W - 1) / 2) ** 2)
+    vig = 1.0 - vignette * r2 / r2.max()
+    glare = static_background(shape, glare_amplitude, seed=seed + 7919)
+    hot = rng.random((H, W)) < hot_pixel_rate  # fixed sensor defect map
+
+    def finish(f):
+        signal = (f + glare) * vig
+        if shot_noise:
+            signal = rng.poisson(np.maximum(signal, 0.0)).astype(np.float64)
+        signal = signal + 8.0 + rng.normal(0, read_noise, f.shape)
+        signal[hot] = 255.0
+        return np.clip(signal, 0, 255).astype(np.uint8)
+
+    return finish(fa), finish(fb)
+
+
 def contaminated_pair(
     shape: Tuple[int, int],
     displacement=(3.3, -2.1),
