@@ -240,6 +240,8 @@ def main():
             frame_mb = FRAME[0] * FRAME[1] / 2**20
             out["bound_table"] = {
                 "decode_gb_per_sec": round(p["decode_gb_s"], 2),
+                "ingest_pairs_per_sec_local": round(
+                    p["ingest_pairs_per_sec"], 1),
                 "h2d_mb_per_sec_in_run": round(p["h2d_mb_s"], 1),
                 "h2d_mb_per_sec_needed_for_67_pairs": round(
                     67 * 2 * frame_mb, 0),
@@ -316,6 +318,30 @@ def bench_pipeline(engine_pairs_per_sec: float = float("inf")) -> dict:
             f"{dt:.2f} s = {decode_gb_s:.2f} GB/s "
             f"(errors: {(status != 0).sum()})")
 
+    # ingest machinery at local-memory speed (tunnel-independent): the
+    # SAME feeder the pipeline uses (PIVDataset -> threaded PairPrefetcher
+    # batches) minus device placement — what a PCIe host's ingest side
+    # sustains, since its DMA runs at >10 GB/s and never binds.
+    from torchpiv_tpu.io.dataset import PIVDataset
+    from torchpiv_tpu.io.prefetch import PairPrefetcher
+
+    ds = PIVDataset(folder, ".bmp", "pairs")
+
+    def drain():
+        t0 = time.perf_counter()
+        got = sum(
+            len(ids)
+            for _, _, ids in PairPrefetcher(
+                ds, batch_size=BATCH, device_put=False, num_threads=8))
+        return got, time.perf_counter() - t0
+
+    drain()  # warm page cache / thread pool
+    got, dt_ing = drain()
+    ingest_rate = got / dt_ing
+    log(f"ingest machinery (disk->decode->batch, no device): {got} pairs "
+        f"in {dt_ing:.2f} s = {ingest_rate:.0f} pairs/s "
+        f"({ingest_rate * 2 * FRAME[0] * FRAME[1] / 2**30:.1f} GB/s)")
+
     kwargs = dict(file_fmt=".bmp", wind_size=64, overlap=32, multipass=2,
                   multipass_mode="CWS", batch_size=BATCH)
     # first drain includes compile (cached across runs); time the second
@@ -351,7 +377,7 @@ def bench_pipeline(engine_pairs_per_sec: float = float("inf")) -> dict:
         f"bound components: H2D {h2d_rate:.1f} / engine "
         f"{engine_pairs_per_sec:.1f} pairs/s")
     return {"rate": rate, "bound": bound, "h2d_mb_s": h2d_mb_s,
-            "decode_gb_s": decode_gb_s}
+            "decode_gb_s": decode_gb_s, "ingest_pairs_per_sec": ingest_rate}
 
 
 def _merge_intervals(spans):

@@ -48,6 +48,30 @@ def test_extract_windows_matches_strided(rng, shape, win, ov):
     np.testing.assert_array_equal(ours, theirs)
 
 
+@pytest.mark.parametrize(
+    "shape,win,ov",
+    [
+        ((256, 256), 64, 32),   # 50% overlap (f=2), the headline geometry
+        ((128, 160), 32, 16),
+        ((96, 96), 16, 12),     # f=4
+        ((123, 257), 32, 8),    # gather path: variant is a no-op there
+    ],
+)
+def test_extract_windows_tilemajor_bit_identical(rng, shape, win, ov):
+    """The tile-major assembly variant (frame-sized transpose instead of
+    window-tensor transpose — the pass-1 perf lever) must be bit-identical
+    to the default stack assembly on every path."""
+    frame = rng.integers(0, 255, shape, dtype=np.uint8)
+    a = np.asarray(extract_windows(jnp.asarray(frame), win, ov, "stack"))
+    b = np.asarray(extract_windows(jnp.asarray(frame), win, ov, "tilemajor"))
+    np.testing.assert_array_equal(a, b)
+    # batched frames too (the sharded path vmaps over a leading axis)
+    frames = rng.integers(0, 255, (2, *shape), dtype=np.uint8)
+    a = np.asarray(extract_windows(jnp.asarray(frames), win, ov, "stack"))
+    b = np.asarray(extract_windows(jnp.asarray(frames), win, ov, "tilemajor"))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_extract_windows_batched(rng):
     frames = rng.integers(0, 255, (3, 128, 128), dtype=np.uint8)
     ours = np.asarray(extract_windows(jnp.asarray(frames), 32, 16))

@@ -1,10 +1,14 @@
-"""A/B the production engine between pass-fusion strategies on the TPU.
+"""A/B the production engine between PIVConfig settings on the TPU.
 
 Times the headline config (4 MP pair, 2-pass CWS, scan batch 8) for each
-``fused`` setting given on the command line (default: off split), and
-reports the on-TPU field agreement between the first two settings.
+setting given on the command line, and reports the on-TPU field agreement
+between the first two settings.  Each argument is either a bare ``fused``
+value (off / split / on — historic usage) or comma-separated
+``key=value`` PIVConfig overrides.
 
-Usage: python tools/bench_engine_ab.py [off split on ...]
+Usage:
+  python tools/bench_engine_ab.py off split
+  python tools/bench_engine_ab.py extract_variant=stack extract_variant=tilemajor
 """
 from __future__ import annotations
 
@@ -31,9 +35,21 @@ BATCH = 8
 MODE = os.environ.get("AB_MODE", "CWS")
 
 
-def build(fused):
+def parse_setting(s: str) -> dict:
+    """Bare word -> {"fused": word}; "k=v,k2=v2" -> override dict."""
+    if "=" not in s:
+        return {"fused": s}
+    out = {}
+    for kv in s.split(","):
+        k, v = kv.split("=", 1)
+        out[k.strip()] = v.strip()
+    return out
+
+
+def build(setting: str):
     cfg = PIVConfig(frame_shape=FRAME, wind_size=64, overlap=32,
-                    multipass=2, multipass_mode=MODE, fused=fused)
+                    multipass=2, multipass_mode=MODE,
+                    **parse_setting(setting))
     engine = MultipassPIV(cfg)
 
     def batched(fa, fb):

@@ -160,6 +160,13 @@ class PIVConfig:
     # XLA peak-fit chain only.
     second_peak_fallback: bool = False
     fallback_threshold: float = 2.0
+    # Pass-1 window-extraction assembly (ops/windows.py, divisible-stride
+    # path; both bit-identical): "stack" transposes the assembled WINDOW
+    # tensor (~4x frame bytes at 50% overlap); "tilemajor" transposes the
+    # FRAME to tile-major first and stacks straight into window order.
+    # A/B lever for the measured ~0.59 ms/pair pass-1 transpose
+    # (docs/ROADMAP.md round-4 levers).
+    extract_variant: str = "stack"  # "stack" | "tilemajor"
 
     def pass_schedule(self) -> List[Tuple[int, int]]:
         """Per-pass (wind_size, overlap), shrunk by int floor-division per
@@ -222,6 +229,9 @@ class PIVConfig:
             raise ValueError(f"unknown subpixel {self.subpixel!r}")
         if self.subpixel != "gauss3" and self.peakfit == "pallas":
             raise ValueError("subpixel='gauss2d' requires peakfit='xla'")
+        if self.extract_variant not in ("stack", "tilemajor"):
+            raise ValueError(
+                f"unknown extract_variant {self.extract_variant!r}")
         if not 1 <= self.def_margin <= 8:
             raise ValueError("def_margin must be in [1, 8]")
         for name, lim in (("u_limits", self.u_limits),
@@ -600,8 +610,8 @@ class MultipassPIV:
             # product (dc_normalize): bilinearity makes it one scalar per
             # window there, instead of a full read+write pass over the
             # window tensor here.
-            aa = extract_windows(frame_a, w, o).astype(dt)
-            bb = extract_windows(frame_b, w, o).astype(dt)
+            aa = extract_windows(frame_a, w, o, cfg.extract_variant).astype(dt)
+            bb = extract_windows(frame_b, w, o, cfg.extract_variant).astype(dt)
             wgt = self._window_weight(0)
             if wgt is None:
                 corr = self._correlate(aa, bb, dc_normalize=True)

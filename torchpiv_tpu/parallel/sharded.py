@@ -158,8 +158,8 @@ class ShardedPIV:
         slice_h = (rloc - 1) * step + w
         fa = jax.lax.dynamic_slice(frame_a, (org * step, 0), (slice_h, W))
         fb = jax.lax.dynamic_slice(frame_b, (org * step, 0), (slice_h, W))
-        aa = extract_windows(fa, w, o).astype(dt)
-        bb = extract_windows(fb, w, o).astype(dt)
+        aa = extract_windows(fa, w, o, cfg.extract_variant).astype(dt)
+        bb = extract_windows(fb, w, o, cfg.extract_variant).astype(dt)
         wgt = eng._window_weight(0)
         if wgt is None:
             corr = eng._correlate(aa, bb, dc_normalize=True)
