@@ -120,7 +120,7 @@ def main():
     enable_compile_cache()
 
     from torchpiv_tpu.models import MultipassPIV, PIVConfig
-    from torchpiv_tpu.pipeline import finalize_fields
+    from torchpiv_tpu.pipeline import build_packed_scan, finalize_fields
     from torchpiv_tpu.utils.synthetic import particle_pair
 
     log(f"devices: {jax.devices()}")
@@ -132,23 +132,11 @@ def main():
         multipass_mode="CWS",
     )
     engine = MultipassPIV(cfg)
-
-    def batched(fa, fb):
-        # packed [B, 3, R, C] output — ONE device->host buffer per
-        # dispatch instead of three.  Each output buffer pays a fixed
-        # per-dispatch round trip on the tunnel (~20 ms); packing measured
-        # 12.3 -> 10.7 ms/pair end-to-end, bit-identical fields (and it is
-        # what the production OfflinePIV dispatches too).
-        def step(carry, ab):
-            u, v, inval = engine(ab[0], ab[1])
-            if inval is None:
-                inval = jnp.zeros(u.shape, bool)
-            return carry, jnp.stack([u, v, inval.astype(jnp.float32)])
-
-        _, out = jax.lax.scan(step, 0, (fa, fb))
-        return out
-
-    fn = jax.jit(batched)
+    # THE production dispatch graph (packed [B, 3, R, C] scan — one
+    # device->host buffer per dispatch; each buffer pays a fixed round
+    # trip on the tunnel).  Shared builder so this bench compiles/uses
+    # the same persistent-cache entry as OfflinePIV and `tpiv warmup`.
+    fn = build_packed_scan(engine)
 
     log(f"generating {UNIQUE_PAIRS} unique 4 MP synthetic pairs...")
     t0 = time.perf_counter()

@@ -495,3 +495,31 @@ def test_offline_piv_preprocess(pair_folder):
     assert abs(np.mean(u) / 1000 - shifts[0][0]) < 0.1
     with pytest.raises(ValueError):
         OfflinePIV(folder, device="cpu", preprocess="bogus")
+
+
+def test_warmup_compiles_the_production_graph(pair_folder):
+    """`tpiv warmup` must trace the EXACT graph OfflinePIV dispatches —
+    the persistent compile cache keys on the traced HLO, so a
+    structurally different scan (the old tuple-output warmup) caches a
+    different executable and the first real run still pays the full
+    compile.  Pin: identical lowered text for the same config."""
+    import jax.numpy as jnp
+
+    from torchpiv_tpu.models import MultipassPIV, PIVConfig
+    from torchpiv_tpu.pipeline import build_packed_scan
+
+    folder, _ = pair_folder
+    piv = OfflinePIV(folder, device="cpu", file_fmt=".bmp",
+                     folder_mode="pairs", batch_size=4,
+                     wind_size=64, overlap=32, multipass=2)
+
+    # what `tpiv warmup 256x256 --wind-size 64 --overlap 32 --multipass 2`
+    # builds (cli.cmd_warmup uses the same shared builder)
+    cfg = PIVConfig(frame_shape=(256, 256), wind_size=64, overlap=32,
+                    multipass=2, multipass_mode="CWS")
+    warm_fn = build_packed_scan(MultipassPIV(cfg))
+
+    z = jnp.zeros((4, 256, 256), jnp.uint8)
+    warm_txt = warm_fn.lower(z, z).as_text()
+    prod_txt = piv._batched_fn.lower(z, z).as_text()
+    assert warm_txt == prod_txt

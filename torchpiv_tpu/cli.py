@@ -313,7 +313,6 @@ def cmd_warmup(args) -> int:
     --overlap 32 --multipass 2``."""
     import time
 
-    import jax
     import jax.numpy as jnp
     import numpy as np
 
@@ -333,23 +332,18 @@ def cmd_warmup(args) -> int:
     engine = MultipassPIV(cfg)
     batch = max(1, args.batch_size)
 
-    def batched(fa, fb):
-        def step(c, ab):
-            u, v, inval = engine(ab[0], ab[1])
-            if inval is None:
-                inval = jnp.zeros(u.shape, bool)
-            return c, (u, v, inval)
+    # the EXACT production dispatch graph (packed [B,3,R,C] scan): the
+    # compile cache keys on the traced graph, so warming any other
+    # structure (e.g. tuple outputs) would cache a different executable
+    # and the first real run would still pay the full compile
+    from .pipeline import build_packed_scan
 
-        _, out = jax.lax.scan(step, 0, (fa, fb))
-        return out
-
-    fn = jax.jit(batched)
+    fn = build_packed_scan(engine)
     t0 = time.perf_counter()
     sizes = sorted({min(4, batch), batch})  # ramp-up size + full batch
     for b in sizes:
         fa = jnp.zeros((b, h, w), jnp.uint8)
-        u, _, _ = fn(fa, fa)
-        np.asarray(u)
+        np.asarray(fn(fa, fa))
     print(f"engine compiled + cached in {time.perf_counter() - t0:.1f} s "
           f"(frame {h}x{w}, wind {args.wind_size}, batch sizes {sizes}, "
           f"{args.multipass}-pass {args.multipass_mode}); subsequent "

@@ -125,6 +125,38 @@ def finalize_fields(
     return x * scale, y * scale, u, v
 
 
+def build_packed_scan(engine: MultipassPIV, background=None):
+    """THE production batched dispatch graph: scan the fused per-pair
+    engine over ``[B, H, W]`` uint8 batches, packing each pair's results
+    into one ``[3, R, C]`` f32 slab -> one ``[B, 3, R, C]`` output buffer
+    per dispatch (each output buffer pays a fixed round trip on
+    network-attached hosts; packing measured 12.3 -> 10.7 ms/pair).
+
+    Every entry point that wants the production executable MUST build it
+    through here — ``OfflinePIV``, ``OnlinePIV`` catch-up, ``tpiv
+    warmup``, bench.py — because the persistent compile cache keys on the
+    traced graph: a structurally different scan (e.g. tuple outputs)
+    compiles and caches a DIFFERENT executable and warms nothing.
+    """
+    bg = jnp.asarray(background) if background is not None else None
+
+    def batched(fa, fb):
+        def step(carry, ab):
+            a, b = ab
+            if bg is not None:  # saturating uint8 background subtract
+                a = jnp.where(a > bg, a - bg, 0)
+                b = jnp.where(b > bg, b - bg, 0)
+            u, v, inval = engine(a, b)
+            if inval is None:
+                inval = jnp.zeros(u.shape, dtype=bool)
+            return carry, jnp.stack([u, v, inval.astype(jnp.float32)])
+
+        _, out = jax.lax.scan(step, 0, (fa, fb))
+        return out
+
+    return jax.jit(batched)
+
+
 def resolve_frame_mask(mask):
     """Normalise a region-of-interest mask argument: ``None``, a [H, W]
     bool-like array (True = excluded), or the path of a mask image whose
@@ -276,34 +308,9 @@ class OfflinePIV:
             self._batched_fn = sharded.jit_packed()
             return
 
-        bg = (
-            jnp.asarray(self._background)
-            if self._background is not None
-            else None
-        )
-
-        def batched(fa, fb):
-            # One dispatch per batch: scan the fused per-pair graph.  The
-            # three per-pair results are PACKED into one [B, 3, R, C]
-            # output buffer: on network-attached devices each output
-            # buffer costs a fixed per-dispatch round trip (~20 ms on the
-            # dev tunnel), and one buffer instead of three measured
-            # 12.3 -> 10.7 ms/pair end-to-end (bit-identical fields).
-            def step(carry, ab):
-                a, b = ab
-                if bg is not None:  # saturating uint8 background subtract
-                    a = jnp.where(a > bg, a - bg, 0)
-                    b = jnp.where(b > bg, b - bg, 0)
-                u, v, inval = self._engine(a, b)
-                if inval is None:
-                    inval = jnp.zeros(u.shape, dtype=bool)
-                return carry, jnp.stack(
-                    [u, v, inval.astype(jnp.float32)])
-
-            _, out = jax.lax.scan(step, 0, (fa, fb))
-            return out
-
-        self._batched_fn = jax.jit(batched)
+        # One dispatch per batch: scan the fused per-pair graph, results
+        # packed into one [B, 3, R, C] buffer (see build_packed_scan).
+        self._batched_fn = build_packed_scan(self._engine, self._background)
 
     @property
     def engine(self) -> Optional[MultipassPIV]:
@@ -627,20 +634,9 @@ class OnlinePIV:
                 while len(backlog) >= B > 1:
                     chunk, backlog = backlog[:B], backlog[B:]
                     if self._fn_batch is None:
-                        eng = self._engine
-
-                        def batched(fa, fb):
-                            def step(c, ab):
-                                u, v, iv = eng(ab[0], ab[1])
-                                if iv is None:
-                                    iv = jnp.zeros(u.shape, bool)
-                                return c, jnp.stack(
-                                    [u, v, iv.astype(jnp.float32)])
-
-                            _, out = jax.lax.scan(step, 0, (fa, fb))
-                            return out
-
-                        self._fn_batch = jax.jit(batched)
+                        # the production packed-scan graph (shared builder:
+                        # same trace -> same compile-cache entry)
+                        self._fn_batch = build_packed_scan(self._engine)
                     fa = jnp.asarray(np.stack([p[0] for p in chunk]))
                     fb = jnp.asarray(np.stack([p[1] for p in chunk]))
                     arr = np.asarray(self._fn_batch(fa, fb))
@@ -715,19 +711,8 @@ class VideoPIV:
             cfg, frame_mask=resolve_frame_mask(frame_mask),
             mask_threshold=mask_threshold)
 
-        def batched(fa, fb):
-            # packed [B, 3, R, C] output: one device->host buffer per
-            # dispatch (see OfflinePIV.batched)
-            def step(carry, ab):
-                u, v, inval = self._engine(ab[0], ab[1])
-                if inval is None:
-                    inval = jnp.zeros(u.shape, dtype=bool)
-                return carry, jnp.stack([u, v, inval.astype(jnp.float32)])
-
-            _, out = jax.lax.scan(step, 0, (fa, fb))
-            return out
-
-        self._fn = jax.jit(batched)
+        # packed [B, 3, R, C] output via the shared production builder
+        self._fn = build_packed_scan(self._engine)
 
     @property
     def engine(self) -> MultipassPIV:
