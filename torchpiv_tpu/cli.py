@@ -129,11 +129,20 @@ def cmd_run(args) -> int:
             print(f"\rprogress: {pct:3d}%", end="", file=sys.stderr, flush=True)
 
     engine_options = _engine_options(args)
+    shard = None
+    if getattr(args, "shard", None):
+        from .parallel.distributed import parse_shard
+
+        shard = parse_shard(args.shard)
+        if not args.checkpoint:
+            raise SystemExit("tpiv: --shard requires --checkpoint PATH "
+                             "(the shard's statistics state to merge later)")
     runner = PIVRunner(
         params,
         on_progress=on_progress,
         checkpoint_path=args.checkpoint,
         checkpoint_every=args.checkpoint_every,
+        shard=shard,
         batch_size=args.batch_size,
         validate=not args.no_validate,
         background=args.background,
@@ -147,6 +156,22 @@ def cmd_run(args) -> int:
         print("no pairs processed", file=sys.stderr)
         return 1
     print(f"processed fields; statistics columns: {list(table.keys())}",
+          file=sys.stderr)
+    return 0
+
+
+def cmd_merge_stats(args) -> int:
+    """Merge shard statistics states (`tpiv run --shard I/N --checkpoint
+    s<I>.npz`) into the single 13-column table a sequential run over all
+    pairs would produce (exact Welford-state merge, parallel.distributed)."""
+    from .parallel.distributed import merge_checkpoints
+    from .utils.persistence import save_table
+
+    acc, total, x, y = merge_checkpoints(args.states)
+    table = acc.finalize(x, y)
+    save_table(f"{args.name}_statistics.txt", args.save_dir, dict(table))
+    print(f"merged {len(args.states)} shard states ({total} pairs, "
+          f"{acc.n} fields) -> {args.save_dir}/{args.name}_statistics.txt",
           file=sys.stderr)
     return 0
 
@@ -1622,7 +1647,23 @@ def build_parser() -> argparse.ArgumentParser:
              "(no value = GCV-chosen parameter, or a fixed float)")
     p_run.add_argument("--checkpoint-every", type=int, default=50,
                        metavar="N", help="pairs between checkpoint writes")
+    p_run.add_argument(
+        "--shard", default=None, metavar="I/N",
+        help="multi-host campaign sharding: process only pair block I of "
+             "N (contiguous split of the sorted pair list) and KEEP the "
+             "final statistics state at --checkpoint for `tpiv "
+             "merge-stats` (requires --checkpoint)")
     p_run.set_defaults(fn=cmd_run)
+
+    p_merge = sub.add_parser(
+        "merge-stats",
+        help="merge shard statistics states into one statistics table")
+    p_merge.add_argument("states", nargs="+",
+                         help="shard checkpoint .npz files (tpiv run --shard)")
+    p_merge.add_argument("--save-dir", default="./Out")
+    p_merge.add_argument("--name", default="merged",
+                         help="output base name (<name>_statistics.txt)")
+    p_merge.set_defaults(fn=cmd_merge_stats)
 
     p_on = sub.add_parser("online", help="streaming analysis of a growing folder")
     _add_common(p_on)

@@ -203,6 +203,7 @@ class OfflinePIV:
         val_ratio: float = 1.2,
         decode_threads: int = 4,
         skip_pairs: int = 0,
+        max_pairs: Optional[int] = None,
         mesh=None,
         background="none",
         preprocess="none",
@@ -218,6 +219,8 @@ class OfflinePIV:
         self._dataset = PIVDataset(folder, file_fmt, folder_mode)
         if skip_pairs:  # resume support: pairs are consumed in sorted order
             self._dataset.img_pairs = self._dataset.img_pairs[skip_pairs:]
+        if max_pairs is not None:  # block sharding / previews
+            self._dataset.img_pairs = self._dataset.img_pairs[:max_pairs]
         # frame conditioning (CLAHE / percentile stretch, io/preprocess.py)
         # wraps the dataset so it runs in the prefetcher's decode threads;
         # anything downstream (background estimate, engine) sees the
@@ -779,6 +782,7 @@ class PIVRunner:
         checkpoint_path: Optional[str] = None,
         checkpoint_every: int = 50,
         smooth: bool | float = False,
+        shard: Optional[Tuple[int, int]] = None,
         **offline_kwargs,
     ):
         self.params = params
@@ -793,6 +797,11 @@ class PIVRunner:
         # robust smoothn post-smoothing of each field (stats/smoothing.py);
         # True = GCV-chosen parameter per pair, a float = fixed parameter
         self.smooth = smooth
+        # multi-host campaign sharding: (shard_index, num_shards) makes
+        # this runner process only its contiguous pair block and KEEP the
+        # final statistics state at checkpoint_path for `tpiv merge-stats`
+        # (parallel.distributed — zero-communication DP across hosts)
+        self.shard = shard
         self._offline_kwargs = offline_kwargs
 
     def stop(self) -> None:
@@ -815,6 +824,16 @@ class PIVRunner:
             if state is not None:
                 acc, skip, x, y = state
                 log.info("resuming from checkpoint: %d pairs done", skip)
+        shard_start, shard_count = 0, None
+        if self.shard is not None:
+            from .io.dataset import PIVDataset
+            from .parallel.distributed import pair_block
+
+            si, sn = self.shard
+            n_all = len(PIVDataset(p.folder, p.file_fmt, p.folder_mode))
+            shard_start, shard_count = pair_block(n_all, si, sn)
+            log.info("shard %d/%d: pairs [%d, %d)", si, sn,
+                     shard_start, shard_start + shard_count)
         piv_gen = OfflinePIV(
             folder=p.folder,
             device=p.device,
@@ -827,7 +846,9 @@ class PIVRunner:
             scale=p.scale,
             multipass_scale=p.multipass_scale,
             folder_mode=p.folder_mode,
-            skip_pairs=skip,
+            skip_pairs=shard_start + skip,
+            max_pairs=(None if shard_count is None
+                       else max(0, shard_count - skip)),
             **self._offline_kwargs,
         )
         total = len(piv_gen) + skip
@@ -884,7 +905,12 @@ class PIVRunner:
         table = acc.finalize(x, y)
         if p.save_opt != "Dont save":
             save_table(f"{name}_statistics.txt", p.save_dir, dict(table))
-        if self.checkpoint_path and self.is_running and os.path.exists(self.checkpoint_path):
-            os.remove(self.checkpoint_path)  # completed: clear resume state
+        if self.checkpoint_path and self.is_running:
+            if self.shard is not None:
+                # shard mode: the final state IS the product (merged later
+                # by `tpiv merge-stats` / parallel.merge_checkpoints)
+                save_checkpoint(self.checkpoint_path, acc, done, x, y)
+            elif os.path.exists(self.checkpoint_path):
+                os.remove(self.checkpoint_path)  # completed: clear resume state
         self.on_finished(table)
         return table

@@ -47,6 +47,32 @@ class EnsembleAccumulator:
         self._mvv += dv * (v - self._mv)
         self._muv += du * (v - self._mv)
 
+    def merge(self, other: "EnsembleAccumulator") -> "EnsembleAccumulator":
+        """Fold another accumulator into this one (in place) — the Chan
+        et al. parallel combination of Welford moments, exact up to fp
+        rounding.  Enables sharded campaigns: each process/host accumulates
+        its own pair block and the states merge into the same statistics a
+        single sequential pass would produce (see parallel.distributed).
+        """
+        if other.n == 0:
+            return self
+        if self.n == 0:
+            self.n = other.n
+            for f in ("_mu", "_mv", "_muu", "_mvv", "_muv"):
+                setattr(self, f, np.copy(getattr(other, f)))
+            return self
+        na, nb = self.n, other.n
+        n = na + nb
+        du = other._mu - self._mu
+        dv = other._mv - self._mv
+        self._muu += other._muu + du * du * (na * nb / n)
+        self._mvv += other._mvv + dv * dv * (na * nb / n)
+        self._muv += other._muv + du * dv * (na * nb / n)
+        self._mu += du * (nb / n)
+        self._mv += dv * (nb / n)
+        self.n = n
+        return self
+
     def finalize(self, x: np.ndarray, y: np.ndarray) -> Dict[str, np.ndarray]:
         if self.n == 0:
             raise ValueError("no fields accumulated")
