@@ -445,3 +445,27 @@ def test_cli_help_for_every_subcommand(capsys):
             cli_main([s, "--help"])
         assert e.value.code == 0, s
         assert capsys.readouterr().out, s
+
+
+def test_doctor_bounded_when_backend_hangs(capsys, monkeypatch, tmp_path):
+    """On a hard-down device relay, backend init blocks ~25 min; the
+    doctor must report the outage within TPIV_DOCTOR_TIMEOUT and skip the
+    device-touching checks while the host-side checks still run."""
+    import time as _time
+
+    import jax
+
+    monkeypatch.setenv("TORCHPIV_CACHE_DIR", str(tmp_path / "cache"))
+    monkeypatch.setenv("TPIV_DOCTOR_TIMEOUT", "0.2")
+    monkeypatch.setattr(jax, "devices", lambda *a: _time.sleep(5))
+    t0 = _time.perf_counter()
+    rc = cli_main(["doctor", "--device", "cpu", "--bandwidth-mb", "1"])
+    out = capsys.readouterr().out
+    assert _time.perf_counter() - t0 < 4.0, "doctor must not wait out the dial"
+    assert rc == 1
+    assert "backend not responding after 0s" in out or \
+        "backend not responding" in out
+    assert "skipped: backend unreachable" in out
+    # host-side checks still ran and passed
+    assert "compile cache" in out and "native decoder" in out
+    assert "FAILED" in out

@@ -32,15 +32,50 @@ def _check(results: List[dict], name: str, fn: Callable[[], str]):
 def run_doctor(device: str = "auto", engine_check: bool = True,
                bandwidth_mb: int = 64) -> List[dict]:
     """Run all checks; returns a list of
-    ``{name, ok, detail, seconds}`` dicts (order = execution order)."""
+    ``{name, ok, detail, seconds}`` dicts (order = execution order).
+
+    The first device contact is time-bounded (``TPIV_DOCTOR_TIMEOUT``
+    seconds, default 120): on a network-attached device whose relay is
+    down, backend init blocks ~25 minutes before raising — a diagnostic
+    tool must report the outage in bounded time instead.  On timeout the
+    device-touching checks are marked failed/skipped; host-side checks
+    (cache, native decoder) still run.  The probing thread is left to
+    finish naturally (interrupting a mid-setup device connection can
+    wedge the remote compile service)."""
+    import threading
+
     results: List[dict] = []
+    backend_ok = True
 
     def jax_devices():
+        nonlocal backend_ok
         import jax
 
-        devs = jax.devices()
-        plats = sorted({d.platform for d in devs})
-        return f"{len(devs)} device(s), platform(s) {plats}: {devs[:4]}"
+        timeout = float(os.environ.get("TPIV_DOCTOR_TIMEOUT", 120))
+        box: Dict[str, object] = {}
+
+        def dial():
+            try:
+                box["devs"] = jax.devices()
+            except Exception as e:  # noqa: BLE001 - reported below
+                box["err"] = e
+
+        t = threading.Thread(target=dial, name="doctor-backend-dial",
+                             daemon=True)
+        t.start()
+        t.join(timeout)
+        if t.is_alive():
+            backend_ok = False
+            raise RuntimeError(
+                f"backend not responding after {timeout:.0f}s — likely a "
+                "device-relay outage (init keeps blocking in the "
+                "background; a hard-down tunnel raises after ~25 min)")
+        if "err" in box:
+            backend_ok = False
+            raise box["err"]  # type: ignore[misc]
+        devs = box["devs"]
+        plats = sorted({d.platform for d in devs})  # type: ignore[union-attr]
+        return f"{len(devs)} device(s), platform(s) {plats}: {devs[:4]}"  # type: ignore[arg-type]
 
     _check(results, "jax devices", jax_devices)
 
@@ -96,6 +131,9 @@ def run_doctor(device: str = "auto", engine_check: bool = True,
 
     _check(results, "native decoder", native)
 
+    def skipped():
+        raise RuntimeError("skipped: backend unreachable (see 'jax devices')")
+
     def bandwidth():
         import jax
         import numpy as np
@@ -113,7 +151,7 @@ def run_doctor(device: str = "auto", engine_check: bool = True,
                     "fine if frames are staged once")
         return f"host->device {mbps:.0f} MB/s ({bandwidth_mb} MB probe){note}"
 
-    _check(results, "h2d bandwidth", bandwidth)
+    _check(results, "h2d bandwidth", bandwidth if backend_ok else skipped)
 
     def dispatch():
         import jax
@@ -136,7 +174,7 @@ def run_doctor(device: str = "auto", engine_check: bool = True,
         note = " — network-attached device?" if ms > 5 else ""
         return f"{ms:.1f} ms/dispatch+readback round trip{note}"
 
-    _check(results, "dispatch latency", dispatch)
+    _check(results, "dispatch latency", dispatch if backend_ok else skipped)
 
     if engine_check:
         def engine():
@@ -171,7 +209,7 @@ def run_doctor(device: str = "auto", engine_check: bool = True,
                     f"= truth {d} on {dev} "
                     f"(compile+run {compile_s:.1f} s)")
 
-        _check(results, "engine smoke", engine)
+        _check(results, "engine smoke", engine if backend_ok else skipped)
 
     return results
 
