@@ -363,6 +363,31 @@ def test_cli_export_mat_h5(tmp_path):
         np.testing.assert_allclose(f["v"][...], v)
 
 
+def test_cli_spod(tmp_path, capsys):
+    """tpiv spod finds a travelling wave's frequency and writes the
+    spectrum + peak mode artifacts."""
+    from torchpiv_tpu.utils.persistence import save_binary
+    fs, f0 = 32.0, 4.0
+    gx, gy = np.meshgrid(np.linspace(0, 1, 16), np.linspace(0, 1, 8))
+    src = tmp_path / "fields"
+    for i in range(64):
+        ph = 2 * np.pi * (2 * gx - f0 * i / fs)
+        save_binary("run_pair.npy", str(src),
+                    {"x": gx, "y": gy, "u": np.cos(ph),
+                     "v": np.zeros_like(gx)})
+    out = tmp_path / "spod"
+    rc = cli_main(["spod", str(src), "--fs", str(fs), "--n-fft", "16",
+                   "--peaks", "2", "--out", str(out)])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "f =         4 Hz" in text or "f =  4" in text.replace("   ", " ")
+    assert (out / "spod_spectrum.txt").exists()
+    assert any(f.startswith("spod_f4") for f in os.listdir(out))
+    empty = tmp_path / "none"
+    empty.mkdir()
+    assert cli_main(["spod", str(empty), "--fs", "1"]) == 1
+
+
 def test_doctor_reports_all_checks(capsys, monkeypatch, tmp_path):
     """tpiv doctor runs every check on CPU and exits 0 when healthy."""
     monkeypatch.setenv("TORCHPIV_CACHE_DIR", str(tmp_path / "cache"))

@@ -31,7 +31,7 @@ from torchpiv_tpu.models import MultipassPIV, PIVConfig  # noqa: E402
 from torchpiv_tpu.utils.synthetic import particle_pair  # noqa: E402
 
 FRAME = (2048, 2048)
-BATCH = 8
+BATCH = int(os.environ.get("AB_BATCH", 8))
 MODE = os.environ.get("AB_MODE", "CWS")
 
 

@@ -512,6 +512,61 @@ def cmd_pod(args) -> int:
     return 0
 
 
+def cmd_spod(args) -> int:
+    """Spectral POD over saved per-pair binary fields (stats/spod.py):
+    per-frequency coherent structures of a TIME-RESOLVED sequence sampled
+    at --fs.  Input format as `tpiv pod` (``[4, R, C]`` .npy files)."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from .stats.spod import compute_spod
+    from .utils.persistence import natural_keys, save_binary, save_table
+
+    files = sorted(glob.glob(os.path.join(args.folder, "*.npy")),
+                   key=natural_keys)
+    stacks_u, stacks_v = [], []
+    x = y = None
+    for f in files:
+        arr = np.load(f)
+        if arr.ndim != 3 or arr.shape[0] != 4:
+            print(f"skipping {f}: not a [4, R, C] pair file",
+                  file=sys.stderr)
+            continue
+        x, y = arr[0], arr[1]
+        stacks_u.append(arr[2])
+        stacks_v.append(arr[3])
+    if len(stacks_u) < 4:
+        print("need >= 4 saved pair files for SPOD", file=sys.stderr)
+        return 1
+    res = compute_spod(np.stack(stacks_u), np.stack(stacks_v), fs=args.fs,
+                       n_fft=args.n_fft, overlap=args.overlap,
+                       n_modes=args.modes)
+    spec = res.spectrum()
+    print(f"{len(stacks_u)} snapshots, {res.n_blocks} Welch blocks, "
+          f"df = {res.freqs[1] - res.freqs[0]:.4g} Hz")
+    order = np.argsort(spec)[::-1][: args.peaks]
+    for j in sorted(order):
+        lead = res.energies[j, 0] / spec[j] if spec[j] > 0 else 0.0
+        print(f"f = {res.freqs[j]:9.4g} Hz: energy {spec[j]:.4g} "
+              f"({spec[j] / spec.sum():.1%} of total), "
+              f"mode-1 share {lead:.1%}")
+    if args.out:
+        save_table("spod_spectrum.txt", args.out,
+                   {"f[Hz]": res.freqs,
+                    **{f"lambda{m}[.]": res.energies[:, m]
+                       for m in range(res.energies.shape[1])}})
+        for j in order:
+            mode_u, mode_v = res.modes_u[j, 0], res.modes_v[j, 0]
+            save_binary(f"spod_f{res.freqs[j]:.4g}Hz_mode0.npy", args.out,
+                        {"x": x, "y": y,
+                         "u_re": mode_u.real, "u_im": mode_u.imag,
+                         "v_re": mode_v.real, "v_im": mode_v.imag})
+        print(f"spectrum + peak modes written to {args.out}")
+    return 0
+
+
 def cmd_export(args) -> int:
     """Convert a saved PIV result (CSV table from ``save_table`` or
     ``[4, R, C]`` .npy from ``save_binary``) to legacy-ASCII VTK for
@@ -1795,6 +1850,23 @@ def build_parser() -> argparse.ArgumentParser:
     p_pod.add_argument("--out", default=None, metavar="DIR",
                        help="write mode fields + temporal coefficients here")
     p_pod.set_defaults(fn=cmd_pod)
+
+    p_spod = sub.add_parser(
+        "spod",
+        help="spectral POD of a time-resolved saved-field sequence")
+    p_spod.add_argument("folder")
+    p_spod.add_argument("--fs", type=float, required=True,
+                        help="field sampling rate in Hz")
+    p_spod.add_argument("--n-fft", type=int, default=None,
+                        help="Welch block length (default: auto)")
+    p_spod.add_argument("--overlap", type=float, default=0.5)
+    p_spod.add_argument("--modes", type=int, default=3,
+                        help="modes kept per frequency (default 3)")
+    p_spod.add_argument("--peaks", type=int, default=5,
+                        help="spectral peaks to report/save (default 5)")
+    p_spod.add_argument("--out", default=None, metavar="DIR",
+                        help="write spectrum table + peak mode fields here")
+    p_spod.set_defaults(fn=cmd_spod)
 
     p_qc = sub.add_parser(
         "qc", help="measurement-quality report (SNR map, peak locking)")

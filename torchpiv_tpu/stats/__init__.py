@@ -15,6 +15,7 @@ from .derived import (derived_fields, divergence, find_vortex_cores,
 from .dmd import DMDResult, compute_dmd
 from .ensemble import EnsembleAccumulator, compute_statistics
 from .pod import PODResult, compute_pod
+from .spod import SPODResult, compute_spod
 from .pressure import (mean_pressure_rans, pressure_from_stack,
                        pressure_poisson, solve_poisson_neumann)
 from .quality import (fractional_histogram, peak_locking_degree,
@@ -35,6 +36,8 @@ __all__ = [
     "PODResult",
     "autocorrelation",
     "compute_pod",
+    "SPODResult",
+    "compute_spod",
     "DMDResult",
     "compute_dmd",
     "compute_statistics",
