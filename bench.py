@@ -226,11 +226,16 @@ def main():
             # every term of "X pairs/s here; ingest-bound at Y MB/s;
             # >=67 pairs/s needs Z MB/s (local PCIe >10 GB/s provides it)"
             frame_mb = FRAME[0] * FRAME[1] / 2**20
+            # strict JSON on stdout: json.dumps would emit the
+            # non-standard `Infinity` token for the engine-bound case
+            # (no logged transfers); use null there instead
+            h2d = p["h2d_mb_s"]
             out["bound_table"] = {
                 "decode_gb_per_sec": round(p["decode_gb_s"], 2),
                 "ingest_pairs_per_sec_local": round(
                     p["ingest_pairs_per_sec"], 1),
-                "h2d_mb_per_sec_in_run": round(p["h2d_mb_s"], 1),
+                "h2d_mb_per_sec_in_run": (round(h2d, 1)
+                                          if np.isfinite(h2d) else None),
                 "h2d_mb_per_sec_needed_for_67_pairs": round(
                     67 * 2 * frame_mb, 0),
                 "engine_pairs_per_sec": round(pairs_per_sec, 2),

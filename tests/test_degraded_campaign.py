@@ -19,9 +19,6 @@ from pathlib import Path
 import numpy as np
 import pytest
 
-from torchpiv_tpu.io.decode import imwrite_gray
-from torchpiv_tpu.utils.synthetic import camera_degraded_pair
-
 REPO = Path(__file__).resolve().parents[1]
 
 
@@ -34,41 +31,31 @@ def dc():
     return mod
 
 
-def _make(folder, tier_params, n=3, size=256):
-    os.makedirs(folder, exist_ok=True)
-    for i in range(n):
-        fa, fb = camera_degraded_pair(
-            (size, size), displacement=(3.3, -2.1), seed=100 + i,
-            **tier_params)
-        imwrite_gray(os.path.join(folder, f"d{i:03d}_a.bmp"), fa)
-        imwrite_gray(os.path.join(folder, f"d{i:03d}_b.bmp"), fb)
-
-
 @pytest.fixture(scope="module")
 def harsh_folder(dc, tmp_path_factory):
     folder = str(tmp_path_factory.mktemp("harsh"))
-    _make(folder, dc.TIERS["harsh"])
+    dc.make_dataset(folder, size=256, n_pairs=3, tier="harsh")
     return folder
 
 
 def test_moderate_tier_accuracy_floor(dc, tmp_path):
     folder = str(tmp_path)
-    _make(folder, dc.TIERS["moderate"], n=2)
-    m = dc.run_ours(folder, 2)
+    dc.make_dataset(folder, size=256, n_pairs=2, tier="moderate")
+    m = dc.run_ours(folder)
     assert m["pairs_yielded"] == 2
     assert m["bad_pct"] < 1.0
     assert m["rms_good_px"] < 0.3
 
 
 def test_harsh_tier_scc_skips_and_recovery_modes_yield(dc, harsh_folder):
-    scc = dc.run_ours(harsh_folder, 3)
+    scc = dc.run_ours(harsh_folder)
     # the >50%-invalid skip quirk engages on most harsh pairs (reference
     # parity semantics) — that is WHY the recovery modes matter
     assert scc["pairs_yielded"] <= 1, scc
 
-    spf = dc.run_ours(harsh_folder, 3,
+    spf = dc.run_ours(harsh_folder,
                       engine_options={"second_peak_fallback": True})
-    rpc = dc.run_ours(harsh_folder, 3,
+    rpc = dc.run_ours(harsh_folder,
                       engine_options={"correlation": "rpc"})
     assert spf["pairs_yielded"] > scc["pairs_yielded"], (scc, spf)
     assert rpc["pairs_yielded"] > scc["pairs_yielded"], (scc, rpc)
@@ -82,7 +69,7 @@ def test_harsh_tier_parity_with_reference(dc, harsh_folder):
     if ref is None:
         pytest.skip("torch reference unavailable")
     theirs = dc.run_reference(ref, harsh_folder)
-    ours = dc.run_ours(harsh_folder, 3)
+    ours = dc.run_ours(harsh_folder)
     assert ours["pairs_yielded"] == theirs["pairs_yielded"]
     if ours["pairs_yielded"]:
         # same data, same algorithm contract: the accuracy metrics of the

@@ -164,3 +164,27 @@ def test_merge_stats_cli(campaign_folder, tmp_path):
     assert rc == 0
     with pytest.raises(ValueError):
         merge_checkpoints([str(tmp_path / "s0.npz"), str(tmp_path / "sx.npz")])
+
+
+def test_merge_refuses_interrupted_shard_state(tmp_path, rng):
+    """An interrupted shard's resume checkpoint must not silently merge
+    into campaign statistics (it under-counts); --allow-partial opts in."""
+    from torchpiv_tpu.utils.checkpoint import save_checkpoint
+
+    x, y = np.meshgrid(np.arange(4.0), np.arange(3.0))
+    done_acc = EnsembleAccumulator()
+    part_acc = EnsembleAccumulator()
+    for k in range(3):
+        done_acc.add(rng.normal(size=(3, 4)), rng.normal(size=(3, 4)))
+    part_acc.add(rng.normal(size=(3, 4)), rng.normal(size=(3, 4)))
+    save_checkpoint(str(tmp_path / "done.npz"), done_acc, 3, x, y,
+                    complete=True)
+    save_checkpoint(str(tmp_path / "part.npz"), part_acc, 1, x, y)  # resume
+
+    with pytest.raises(ValueError, match="not marked complete"):
+        merge_checkpoints([str(tmp_path / "done.npz"),
+                           str(tmp_path / "part.npz")])
+    acc, total, _, _ = merge_checkpoints(
+        [str(tmp_path / "done.npz"), str(tmp_path / "part.npz")],
+        allow_partial=True)
+    assert acc.n == 4 and total == 4

@@ -106,3 +106,22 @@ def test_compile_cache_env_dir(tmp_path, monkeypatch):
     monkeypatch.delenv("TORCHPIV_NO_COMPILE_CACHE", raising=False)
     monkeypatch.setenv("TORCHPIV_CACHE_DIR", str(tmp_path / "envdir"))
     assert cc.enable_compile_cache() == str(tmp_path / "envdir")
+
+
+def test_saved_series_key_orders_uniquified_outputs():
+    """Files written through uniquify() ('name.npy', 'name (1).npy', ...)
+    must sort in ACQUISITION order — plain natural_keys puts the bare
+    name last (' ' < '.'), rotating the time series fed to DMD/SPOD."""
+    from torchpiv_tpu.utils.persistence import natural_keys, saved_series_key
+
+    files = [f"run_pair ({i}).npy" for i in range(1, 12)] + ["run_pair.npy"]
+    got = sorted(files, key=saved_series_key)
+    assert got[0] == "run_pair.npy"
+    assert got[1] == "run_pair (1).npy"
+    assert got[-1] == "run_pair (11).npy"
+    # the buggy ordering this guards against
+    assert sorted(files, key=natural_keys)[-1] == "run_pair.npy"
+    # distinct explicit names keep plain natural order
+    named = [f"f{i:d}.npy" for i in (10, 2, 1)]
+    assert sorted(named, key=saved_series_key) == ["f1.npy", "f2.npy",
+                                                   "f10.npy"]

@@ -127,7 +127,7 @@ def field_metrics(fields: list) -> dict:
     }
 
 
-def run_ours(folder: str, n_pairs: int, **extra) -> dict:
+def run_ours(folder: str, **extra) -> dict:
     from torchpiv_tpu.pipeline import OfflinePIV
 
     kw = dict(file_fmt=".bmp", wind_size=64, overlap=32, multipass=2,
@@ -204,7 +204,7 @@ def main():
     ]
     for name, extra in configs:
         print(f"running {name}...", file=sys.stderr)
-        rows[name] = run_ours(folder, args.pairs, **extra)
+        rows[name] = run_ours(folder, **extra)
 
     # markdown table
     print("| engine / config | pairs | bad vectors | RMS (good) px | "

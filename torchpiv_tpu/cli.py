@@ -167,7 +167,8 @@ def cmd_merge_stats(args) -> int:
     from .parallel.distributed import merge_checkpoints
     from .utils.persistence import save_table
 
-    acc, total, x, y = merge_checkpoints(args.states)
+    acc, total, x, y = merge_checkpoints(args.states,
+                                         allow_partial=args.allow_partial)
     table = acc.finalize(x, y)
     save_table(f"{args.name}_statistics.txt", args.save_dir, dict(table))
     print(f"merged {len(args.states)} shard states ({total} pairs, "
@@ -474,10 +475,10 @@ def cmd_pod(args) -> int:
     import numpy as np
 
     from .stats.pod import compute_pod
-    from .utils.persistence import natural_keys, save_binary, save_table
+    from .utils.persistence import saved_series_key, save_binary, save_table
 
     files = sorted(glob.glob(os.path.join(args.folder, "*.npy")),
-                   key=natural_keys)
+                   key=saved_series_key)
     stacks_u, stacks_v = [], []
     x = y = None
     for f in files:
@@ -522,10 +523,10 @@ def cmd_spod(args) -> int:
     import numpy as np
 
     from .stats.spod import compute_spod
-    from .utils.persistence import natural_keys, save_binary, save_table
+    from .utils.persistence import saved_series_key, save_binary, save_table
 
     files = sorted(glob.glob(os.path.join(args.folder, "*.npy")),
-                   key=natural_keys)
+                   key=saved_series_key)
     stacks_u, stacks_v = [], []
     x = y = None
     for f in files:
@@ -539,6 +540,9 @@ def cmd_spod(args) -> int:
         stacks_v.append(arr[3])
     if len(stacks_u) < 4:
         print("need >= 4 saved pair files for SPOD", file=sys.stderr)
+        return 1
+    if args.modes < 1 or args.peaks < 1:
+        print("--modes and --peaks must be >= 1", file=sys.stderr)
         return 1
     res = compute_spod(np.stack(stacks_u), np.stack(stacks_v), fs=args.fs,
                        n_fft=args.n_fft, overlap=args.overlap,
@@ -1718,6 +1722,10 @@ def build_parser() -> argparse.ArgumentParser:
     p_merge.add_argument("--save-dir", default="./Out")
     p_merge.add_argument("--name", default="merged",
                          help="output base name (<name>_statistics.txt)")
+    p_merge.add_argument("--allow-partial", action="store_true",
+                         help="merge states from interrupted shards too "
+                              "(default: refuse, to avoid silently "
+                              "under-counted campaign statistics)")
     p_merge.set_defaults(fn=cmd_merge_stats)
 
     p_on = sub.add_parser("online", help="streaming analysis of a growing folder")

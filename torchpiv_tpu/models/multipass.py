@@ -600,8 +600,12 @@ class MultipassPIV:
         elif self._use_split():
             # reshape-assembled windows -> lane-packed -> fused
             # correlate+peakfit kernel (mean normalisation via the DC fold)
-            aa = self._pack(extract_windows(frame_a, w, o).astype(dt), 0)
-            bb = self._pack(extract_windows(frame_b, w, o).astype(dt), 0)
+            aa = self._pack(
+                extract_windows(frame_a, w, o, cfg.extract_variant)
+                .astype(dt), 0)
+            bb = self._pack(
+                extract_windows(frame_b, w, o, cfg.extract_variant)
+                .astype(dt), 0)
             u, v, inval = self._corrfit(
                 0, aa, bb, cfg.validate, dc_normalize=True)
         else:

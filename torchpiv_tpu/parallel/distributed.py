@@ -57,10 +57,12 @@ def initialize_distributed(
         os.environ.get("TPIV_NUM_PROCESSES", 0) or 0)
     process_id = process_id if process_id is not None else int(
         os.environ.get("TPIV_PROCESS_ID", 0) or 0)
-    if coordinator_address is None or num_processes <= 1:
-        return 0, 1
-    if coordinator_address == "auto":  # TPU pod metadata autodetection
+    if coordinator_address == "auto":
+        # TPU pod metadata autodetection: jax discovers the coordinator
+        # and process count itself, so no TPIV_NUM_PROCESSES needed
         jax.distributed.initialize()
+    elif coordinator_address is None or num_processes <= 1:
+        return 0, 1
     else:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -98,11 +100,16 @@ def parse_shard(spec: str) -> Tuple[int, int]:
 
 def merge_checkpoints(
     paths: Sequence[str],
+    allow_partial: bool = False,
 ) -> Tuple[EnsembleAccumulator, int, np.ndarray, np.ndarray]:
     """Merge shard statistics states (``utils.checkpoint`` files) into one
     accumulator: ``(acc, total_pairs_done, x, y)``.  Exact up to fp
-    rounding vs a single sequential pass over all pairs."""
-    from ..utils.checkpoint import load_checkpoint
+    rounding vs a single sequential pass over all pairs.
+
+    A state not marked complete (an interrupted shard's resume
+    checkpoint) is REFUSED unless ``allow_partial=True`` — merging it
+    would silently under-count the campaign."""
+    from ..utils.checkpoint import checkpoint_is_complete, load_checkpoint
 
     acc = EnsembleAccumulator()
     total = 0
@@ -111,6 +118,11 @@ def merge_checkpoints(
         state = load_checkpoint(p)
         if state is None:
             raise FileNotFoundError(p)
+        if not allow_partial and not checkpoint_is_complete(p):
+            raise ValueError(
+                f"{p}: shard state is not marked complete (interrupted "
+                "run?) — finish the shard, or pass allow_partial=True / "
+                "--allow-partial to merge it anyway")
         a, done, xs, ys = state
         if x is None:
             x, y = xs, ys

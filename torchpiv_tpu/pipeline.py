@@ -908,8 +908,11 @@ class PIVRunner:
         if self.checkpoint_path and self.is_running:
             if self.shard is not None:
                 # shard mode: the final state IS the product (merged later
-                # by `tpiv merge-stats` / parallel.merge_checkpoints)
-                save_checkpoint(self.checkpoint_path, acc, done, x, y)
+                # by `tpiv merge-stats` / parallel.merge_checkpoints);
+                # complete=True distinguishes it from an interrupted
+                # shard's resume checkpoint
+                save_checkpoint(self.checkpoint_path, acc, done, x, y,
+                                complete=True)
             elif os.path.exists(self.checkpoint_path):
                 os.remove(self.checkpoint_path)  # completed: clear resume state
         self.on_finished(table)

@@ -87,6 +87,8 @@ def compute_spod(
             f"expected matching [N,R,C] stacks, got {u.shape} / {v.shape}")
     if not 0.0 <= overlap < 1.0:
         raise ValueError(f"overlap must be in [0, 1), got {overlap}")
+    if n_modes is not None and n_modes < 1:
+        raise ValueError(f"n_modes must be >= 1, got {n_modes}")
     n, r, c = u.shape
     nfft = _default_nfft(n) if n_fft is None else int(n_fft)
     if not 2 <= nfft <= n:

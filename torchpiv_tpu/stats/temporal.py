@@ -188,14 +188,16 @@ def load_pair_stack(folder: str, min_snapshots: int = 2
                     ) -> Dict[str, np.ndarray]:
     """Load a folder of ``[4, R, C]`` per-pair ``.npy`` binaries (as
     written by ``--save 'Save all binary'``) into ``{"x", "y",
-    "u" [T,R,C], "v" [T,R,C]}`` in natural filename order."""
+    "u" [T,R,C], "v" [T,R,C]}`` in acquisition order (the runner's
+    uniquified ``name.npy, name (1).npy, ...`` series sorts with the
+    bare name FIRST — see ``saved_series_key``)."""
     import glob
     import os
 
-    from ..utils.persistence import natural_keys
+    from ..utils.persistence import saved_series_key
 
     files = sorted(glob.glob(os.path.join(folder, "*.npy")),
-                   key=natural_keys)
+                   key=saved_series_key)
     us, vs = [], []
     x = y = None
     shape = None

@@ -20,9 +20,14 @@ from ..stats.ensemble import EnsembleAccumulator
 
 def save_checkpoint(
     path: str, acc: EnsembleAccumulator, done: int,
-    x: np.ndarray, y: np.ndarray,
+    x: np.ndarray, y: np.ndarray, complete: bool = False,
 ) -> None:
-    """Atomically persist the accumulator state, progress counter and grid."""
+    """Atomically persist the accumulator state, progress counter and grid.
+
+    ``complete=True`` marks a FINISHED shard state (every pair of the
+    shard's block processed) — ``parallel.merge_checkpoints`` refuses
+    in-progress resume checkpoints by default, so a crashed shard cannot
+    silently under-count a merged campaign."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(path)),
                                suffix=".npz")
@@ -33,6 +38,7 @@ def save_checkpoint(
             np.savez(
                 f,
                 done=done,
+                complete=bool(complete),
                 n=acc.n,
                 x=x,
                 y=y,
@@ -65,3 +71,10 @@ def load_checkpoint(
             acc._mvv = z["mvv"]
             acc._muv = z["muv"]
         return acc, int(z["done"]), z["x"], z["y"]
+
+
+def checkpoint_is_complete(path: str) -> bool:
+    """True when the state was saved with ``complete=True`` (a finished
+    shard); pre-flag files and resume checkpoints read as False."""
+    with np.load(path) as z:
+        return bool(z["complete"]) if "complete" in z.files else False

@@ -23,6 +23,24 @@ def natural_keys(text: str):
     return [atoi(c) for c in re.split(r"(\d+)", text)]
 
 
+_UNIQ_RE = re.compile(r"^(?P<base>.*) \((?P<n>\d+)\)$")
+
+
+def saved_series_key(path: str):
+    """Sort key for SAVED-OUTPUT series (files written via
+    :func:`uniquify`): the bare name is snapshot 0 and ' (n)' suffixes
+    are snapshots n, so ``run_pair.npy`` orders BEFORE
+    ``run_pair (1).npy``.  Plain ``natural_keys`` puts the bare name
+    LAST (' ' < '.'), which rotates a time series — fatal for
+    order-sensitive analyses (DMD, SPOD, temporal spectra)."""
+    d, fname = os.path.split(path)
+    stem, ext = os.path.splitext(fname)
+    m = _UNIQ_RE.match(stem)
+    if m:
+        return (d, natural_keys(m.group("base") + ext), int(m.group("n")))
+    return (d, natural_keys(fname), 0)
+
+
 def uniquify(path: str) -> str:
     """Append ' (n)' until the path is free — outputs are never overwritten
     (reference :16-24)."""
