@@ -209,3 +209,31 @@ def test_python_decoder_corrupt_bmp_fallback(tmp_path):
     p = str(tmp_path / "junk.bmp")
     open(p, "wb").write(b"not an image at all")
     assert imread_gray(p) is None
+
+
+def test_native_write_table_byte_identical_to_savetxt(tmp_path):
+    """The C table formatter must be byte-identical to
+    np.savetxt(fmt='%.6f') — including negative zero, infinities, NaN,
+    and round-to-even ties — so save_table output is writer-independent."""
+    from torchpiv_tpu.native import loader as fastio
+
+    if not fastio.available():
+        pytest.skip("native fastio unavailable")
+    rng = np.random.default_rng(0)
+    arr = np.concatenate([
+        rng.normal(0, 100, (2000, 4)),
+        rng.normal(0, 1e-6, (100, 4)),
+        np.array([[0.0, -0.0, 1e-7, -1e-7],
+                  [np.inf, -np.inf, np.nan, 123456789.123456789],
+                  [0.0000005, -0.0000005, 2.5e-7, 1.5]]),
+    ])
+    hdr = "x[mm], y[mm], Vx[m/s], Vy[m/s]"
+    p1, p2 = str(tmp_path / "native.txt"), str(tmp_path / "numpy.txt")
+    fastio.write_table(p1, hdr, arr)
+    np.savetxt(p2, arr, delimiter=", ", header=hdr, comments="", fmt="%.6f")
+    with open(p1, "rb") as f1, open(p2, "rb") as f2:
+        assert f1.read() == f2.read()
+    with pytest.raises(OSError):
+        fastio.write_table(str(tmp_path / "no_dir" / "x.txt"), hdr, arr)
+    with pytest.raises(ValueError):
+        fastio.write_table(p1, hdr, arr.ravel())

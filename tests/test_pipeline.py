@@ -523,3 +523,41 @@ def test_warmup_compiles_the_production_graph(pair_folder):
     warm_txt = warm_fn.lower(z, z).as_text()
     prod_txt = piv._batched_fn.lower(z, z).as_text()
     assert warm_txt == prod_txt
+
+
+def test_runner_per_pair_saves_async(pair_folder, tmp_path):
+    """'Save all text/binary' runs on the async writer thread: every pair
+    file lands with correct content, and a failing save surfaces instead
+    of being swallowed."""
+    import glob
+
+    from torchpiv_tpu.pipeline import _AsyncSaver
+    from torchpiv_tpu.utils.persistence import load_table
+
+    folder, shifts = pair_folder
+    p = PIVParams()
+    p.folder = folder
+    p.device = "cpu"
+    p.file_fmt = ".bmp"
+    p.wind_size = 64
+    p.overlap = 32
+    p.multipass = 1
+    p.save_opt = "Save all text"
+    p.save_dir = str(tmp_path / "out")
+    table = PIVRunner(p, batch_size=2).run()
+    assert table is not None
+    files = sorted(glob.glob(os.path.join(p.save_dir, "*_pair*.txt")))
+    assert len(files) == len(shifts)
+    cols = load_table(files[0])
+    assert set(cols) == {"x[mm]", "y[mm]", "Vx[m/s]", "Vy[m/s]"}
+    assert np.isfinite(cols["Vx[m/s]"]).all()
+
+    # error propagation: a writer failure raises at submit/close
+    saver = _AsyncSaver(maxsize=2)
+
+    def boom(*a):
+        raise OSError("disk full")
+
+    saver.submit(boom)
+    with pytest.raises(OSError, match="disk full"):
+        saver.close()

@@ -764,6 +764,49 @@ class VideoPIV:
             yield from flush(batch)
 
 
+class _AsyncSaver:
+    """Per-pair saves on a writer thread with a bounded queue.
+
+    The reference saves synchronously in its worker loop (workers.py:70-76);
+    at this engine's throughput a synchronous text save would BE the
+    pipeline bottleneck (~31 ms/pair C-formatted, ~75 ms via np.savetxt),
+    so writes overlap with compute and backpressure only when the disk
+    genuinely cannot keep up.  Errors surface on the next submit/close.
+    """
+
+    def __init__(self, maxsize: int = 8):
+        self._q: "queue.Queue" = queue.Queue(maxsize=maxsize)
+        self._err: Optional[BaseException] = None
+        self._t = threading.Thread(
+            target=self._run, name="piv-saver", daemon=True)
+        self._t.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            fn, args = item
+            try:
+                fn(*args)
+            except BaseException as e:  # surfaced at next submit/close
+                self._err = e
+
+    def _check(self):
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+    def submit(self, fn, *args) -> None:
+        self._check()
+        self._q.put((fn, args))
+
+    def close(self) -> None:
+        self._q.put(None)
+        self._t.join()
+        self._check()
+
+
 class PIVRunner:
     """Headless equivalent of the reference's Qt ``PIVWorker``
     (workers.py:18-124): drives OfflinePIV, reports progress through plain
@@ -859,6 +902,9 @@ class PIVRunner:
         name = os.path.basename(os.path.normpath(p.folder))
         start = time.perf_counter()
         done = skip
+        saver = (_AsyncSaver()
+                 if p.save_opt in ("Save all binary", "Save all text")
+                 else None)
         for i, (x, y, u, v) in enumerate(piv_gen()):
             while self.is_paused and self.is_running:
                 time.sleep(0)
@@ -883,10 +929,15 @@ class PIVRunner:
             done += 1
             self.on_progress(int(done / total * 100))
             output = {"x[mm]": x, "y[mm]": y, "Vx[m/s]": u, "Vy[m/s]": v}
+            # per-pair saves overlap with compute on the writer thread
+            # (yielded arrays are never mutated after this point); the
+            # file-sequence order is preserved by the single writer
             if p.save_opt == "Save all binary":
-                save_binary(f"{name}_pair.npy", p.save_dir, dict(output))
+                saver.submit(save_binary, f"{name}_pair.npy", p.save_dir,
+                             dict(output))
             elif p.save_opt == "Save all text":
-                save_table(f"{name}_pair.txt", p.save_dir, dict(output))
+                saver.submit(save_table, f"{name}_pair.txt", p.save_dir,
+                             dict(output))
             self.on_output(output)
             if (
                 self.checkpoint_path
@@ -895,6 +946,8 @@ class PIVRunner:
             ):
                 save_checkpoint(self.checkpoint_path, acc, done, x, y)
 
+        if saver is not None:
+            saver.close()  # drain pending writes; re-raise any save error
         if acc.n == 0:
             self.on_failed()
             return None
