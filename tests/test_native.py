@@ -237,3 +237,45 @@ def test_native_write_table_byte_identical_to_savetxt(tmp_path):
         fastio.write_table(str(tmp_path / "no_dir" / "x.txt"), hdr, arr)
     with pytest.raises(ValueError):
         fastio.write_table(p1, hdr, arr.ravel())
+
+
+def test_native_pgm_8_and_16bit(tmp_path):
+    """Netpbm P5 decode: 8-bit exact (incl. '#' comment lines in the
+    header); 16-bit big-endian scaled to 8 via the high byte."""
+    rng = np.random.default_rng(6)
+    img8 = rng.integers(0, 255, (32, 48), dtype=np.uint8)
+    p8 = str(tmp_path / "g8.pgm")
+    with open(p8, "wb") as f:
+        f.write(b"P5\n# a comment line\n48 32\n# another\n255\n")
+        f.write(img8.tobytes())
+
+    img16 = rng.integers(0, 65535, (32, 48), dtype=np.uint16)
+    p16 = str(tmp_path / "g16.pgm")
+    with open(p16, "wb") as f:
+        f.write(b"P5 48 32 65535\n")
+        f.write(img16.byteswap().tobytes())  # PGM 16-bit is big-endian
+
+    assert native.probe_gray(p8) == (32, 48)
+    assert native.probe_gray(p16) == (32, 48)
+    frames, status = native.read_batch_gray([p8, p16], (32, 48), threads=2)
+    assert (status == 0).all(), status
+    np.testing.assert_array_equal(frames[0], img8)
+    np.testing.assert_array_equal(frames[1], (img16 >> 8).astype(np.uint8))
+
+    # truncated data / wrong dims rejected, not crashed
+    bad = str(tmp_path / "trunc.pgm")
+    with open(bad, "wb") as f:
+        f.write(b"P5\n48 32\n255\n")
+        f.write(img8.tobytes()[:100])
+    _, status = native.read_batch_gray([bad], (32, 48))
+    assert status[0] != 0
+    _, status = native.read_batch_gray([p8], (32, 47))
+    assert status[0] != 0
+
+    # cross-check against cv2's reading of the same file when available
+    try:
+        import cv2
+    except Exception:
+        return
+    ref = cv2.imread(p8, cv2.IMREAD_GRAYSCALE)
+    np.testing.assert_array_equal(frames[0], ref)

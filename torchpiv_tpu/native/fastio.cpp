@@ -4,8 +4,9 @@
 // sustained read+decode; Python-side decoding holds the GIL and caps the
 // prefetcher's thread pool.  This library does batched file read + decode
 // in C++ threads into a caller-provided contiguous buffer.  Formats:
-// 8-bit palette BMP (the reference's camera format) and uncompressed
-// grayscale TIFF at 8 or 16 bits/sample (the scientific-camera staple);
+// 8-bit palette BMP (the reference's camera format), uncompressed
+// grayscale TIFF at 8 or 16 bits/sample (the scientific-camera staple)
+// and Netpbm PGM (P5) at 8/16 bits;
 // 16-bit samples are scaled to 8 bits (>> 8), matching what cv2's
 // IMREAD_GRAYSCALE — the reference's decoder (PIVbackend.py:136-137) —
 // produces for such files.
@@ -207,6 +208,68 @@ int decode_tiff_into(const uint8_t* buf, int64_t len, uint8_t* out, int64_t H,
   return row == H ? 0 : -7;
 }
 
+// --- PGM (Netpbm P5 binary graymap): "P5" <ws/comments> width height
+// maxval, one whitespace byte, then raw samples (8-bit, or 16-bit
+// BIG-endian per the Netpbm spec when maxval > 255, scaled to 8 via the
+// high byte like the 16-bit TIFF path).
+struct PgmInfo {
+  int64_t width = 0, height = 0, maxval = 0, data_off = 0;
+};
+
+int pgm_parse(const uint8_t* buf, int64_t len, PgmInfo* pi) {
+  if (len < 10 || buf[0] != 'P' || buf[1] != '5') return -1;
+  int64_t pos = 2;
+  int64_t vals[3];
+  for (int v = 0; v < 3; ++v) {
+    // skip whitespace and '#' comment lines
+    for (;;) {
+      while (pos < len && (buf[pos] == ' ' || buf[pos] == '\t' ||
+                           buf[pos] == '\r' || buf[pos] == '\n'))
+        ++pos;
+      if (pos < len && buf[pos] == '#') {
+        while (pos < len && buf[pos] != '\n') ++pos;
+        continue;
+      }
+      break;
+    }
+    int64_t x = 0, digits = 0;
+    while (pos < len && buf[pos] >= '0' && buf[pos] <= '9') {
+      x = x * 10 + (buf[pos] - '0');
+      ++pos;
+      ++digits;
+    }
+    if (!digits) return -40;
+    vals[v] = x;
+  }
+  if (pos >= len) return -40;
+  ++pos;  // exactly one whitespace byte after maxval
+  pi->width = vals[0];
+  pi->height = vals[1];
+  pi->maxval = vals[2];
+  pi->data_off = pos;
+  if (pi->width <= 0 || pi->height <= 0 || pi->maxval <= 0 ||
+      pi->maxval > 65535)
+    return -41;
+  return 0;
+}
+
+int decode_pgm_into(const uint8_t* buf, int64_t len, uint8_t* out, int64_t H,
+                    int64_t W) {
+  PgmInfo pi;
+  const int rc = pgm_parse(buf, len, &pi);
+  if (rc != 0) return rc;
+  if (pi.height != H || pi.width != W) return -42;
+  const int bytes = pi.maxval > 255 ? 2 : 1;
+  if (pi.data_off + H * W * bytes > len) return -43;
+  const uint8_t* src = buf + pi.data_off;
+  if (bytes == 1) {
+    std::memcpy(out, src, static_cast<size_t>(H * W));
+  } else {  // 16-bit big-endian: high byte first
+    for (int64_t i = 0; i < H * W; ++i) out[i] = src[2 * i];
+  }
+  return 0;
+}
+
 int decode_any_into(const uint8_t* buf, int64_t len, uint8_t* out, int64_t H,
                     int64_t W) {
   if (len >= 2 && buf[0] == 'B' && buf[1] == 'M')
@@ -214,6 +277,8 @@ int decode_any_into(const uint8_t* buf, int64_t len, uint8_t* out, int64_t H,
   if (len >= 4 && ((buf[0] == 'I' && buf[1] == 'I') ||
                    (buf[0] == 'M' && buf[1] == 'M')))
     return decode_tiff_into(buf, len, out, H, W);
+  if (len >= 2 && buf[0] == 'P' && buf[1] == '5')
+    return decode_pgm_into(buf, len, out, H, W);
   return -1;
 }
 
@@ -261,6 +326,22 @@ int fastio_probe_bmp8(const char* path, int64_t* dims) {
     if (rc != 0) return rc;
     dims[0] = ti.height;
     dims[1] = ti.width;
+    return 0;
+  }
+  if (got >= 2 && hdr[0] == 'P' && hdr[1] == '5') {
+    // PGM: comments can push the dims arbitrarily far in; parse the file.
+    std::fseek(f, 0, SEEK_END);
+    const long size = std::ftell(f);
+    std::fseek(f, 0, SEEK_SET);
+    std::vector<uint8_t> buf(static_cast<size_t>(size > 0 ? size : 0));
+    const size_t rd = std::fread(buf.data(), 1, buf.size(), f);
+    std::fclose(f);
+    if (rd != buf.size()) return -12;
+    PgmInfo pi;
+    const int rc = pgm_parse(buf.data(), static_cast<int64_t>(rd), &pi);
+    if (rc != 0) return rc;
+    dims[0] = pi.height;
+    dims[1] = pi.width;
     return 0;
   }
   std::fclose(f);

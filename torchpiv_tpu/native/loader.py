@@ -92,7 +92,8 @@ def available() -> bool:
 def probe_gray(path: str) -> Optional[Tuple[int, int]]:
     """(H, W) if the native decoder can handle this file, else None.
 
-    Handles 8-bit palette BMP and uncompressed grayscale TIFF (8/16-bit).
+    Handles 8-bit palette BMP, uncompressed grayscale TIFF (8/16-bit)
+    and Netpbm PGM P5 (8/16-bit).
     """
     lib = _load()
     if lib is None:
@@ -108,9 +109,10 @@ def read_batch_gray(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Read+decode a batch of same-shape gray frames on C++ threads.
 
-    Formats: 8-bit palette BMP and uncompressed grayscale TIFF at 8 or
-    16 bits/sample (16-bit scaled to 8 via the high byte, matching the
-    reference's cv2.IMREAD_GRAYSCALE output for such files).
+    Formats: 8-bit palette BMP, uncompressed grayscale TIFF at 8 or 16
+    bits/sample, and Netpbm PGM P5 at 8/16 bits (16-bit scaled to 8 via
+    the high byte, matching the reference's cv2.IMREAD_GRAYSCALE output
+    for such files).
 
     Returns ``(frames [n, H, W] uint8, status [n] int32)``; status != 0 means
     that file failed (caller falls back / skips, preserving the reference's
