@@ -1,0 +1,117 @@
+"""HTTP serving mode (serve.py / `tpiv serve`): the engine stays hot
+across requests; clients POST npz frame pairs (or server-readable paths)
+and get physical-unit fields back."""
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from torchpiv_tpu.serve import PIVService, make_server
+from torchpiv_tpu.utils.synthetic import particle_pair
+
+
+@pytest.fixture(scope="module")
+def server():
+    service = PIVService(device="cpu", wind_size=32, overlap=16,
+                         multipass=2, dt=1.0, scale=1.0)
+    srv = make_server(service, "127.0.0.1", 0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    host, port = srv.server_address
+    yield f"http://{host}:{port}", service
+    srv.shutdown()
+    srv.server_close()
+
+
+def _post(url, body, ctype):
+    req = urllib.request.Request(url, data=body, method="POST",
+                                 headers={"Content-Type": ctype})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, r.read()
+
+
+def _npz(**arrays):
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+def test_serve_piv_roundtrip(server):
+    base, service = server
+    fa, fb = particle_pair((128, 128), displacement=(2.0, 1.0), seed=3)
+    status, body = _post(f"{base}/piv", _npz(a=fa, b=fb),
+                         "application/octet-stream")
+    assert status == 200
+    with np.load(io.BytesIO(body)) as z:
+        u, v, inval = z["u"], z["v"], z["invalid"]
+    # physical units: px * scale/dt * 1000, y-flip on v
+    assert abs(np.nanmean(u) - 2000.0) < 200
+    assert abs(np.nanmean(v) + 1000.0) < 200
+    assert inval.dtype == np.bool_
+    # second pair reuses the compiled engine (served fast, counted)
+    n0 = service.pairs_served
+    status, _ = _post(f"{base}/piv", _npz(a=fa, b=fb),
+                      "application/octet-stream")
+    assert status == 200 and service.pairs_served == n0 + 1
+    assert list(service._engines) == [(128, 128)]
+
+
+def test_serve_piv_files_and_health_metrics(server, tmp_path):
+    from torchpiv_tpu.io.decode import imwrite_gray
+
+    base, _ = server
+    fa, fb = particle_pair((128, 128), displacement=(1.0, -1.0), seed=4)
+    pa, pb = str(tmp_path / "a.bmp"), str(tmp_path / "b.bmp")
+    imwrite_gray(pa, fa)
+    imwrite_gray(pb, fb)
+    status, body = _post(f"{base}/piv_files",
+                         json.dumps({"a": pa, "b": pb}).encode(),
+                         "application/json")
+    assert status == 200
+    with np.load(io.BytesIO(body)) as z:
+        assert abs(np.nanmean(z["u"]) - 1000.0) < 200
+
+    with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+        h = json.loads(r.read())
+    assert h["ok"] and [128, 128] in h["compiled_shapes"]
+    with urllib.request.urlopen(f"{base}/config", timeout=30) as r:
+        cfg = json.loads(r.read())
+    assert cfg["wind_size"] == 32 and cfg["multipass"] == 2
+    with urllib.request.urlopen(f"{base}/metrics", timeout=30) as r:
+        text = r.read().decode()
+    assert "tpiv_pairs_served" in text and "tpiv_latency_ms_median" in text
+
+
+def test_serve_error_paths(server, tmp_path):
+    base, service = server
+    # malformed npz -> 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(f"{base}/piv", b"not an npz", "application/octet-stream")
+    assert ei.value.code in (400, 500)
+    # missing arrays -> 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(f"{base}/piv", _npz(q=np.zeros((8, 8))),
+              "application/octet-stream")
+    assert ei.value.code == 400
+    # mismatched shapes -> 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(f"{base}/piv",
+              _npz(a=np.zeros((64, 64), np.uint8),
+                   b=np.zeros((64, 32), np.uint8)),
+              "application/octet-stream")
+    assert ei.value.code == 400
+    # unreadable files -> 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(f"{base}/piv_files",
+              json.dumps({"a": str(tmp_path / "no.bmp"), "b": "x"}).encode(),
+              "application/json")
+    assert ei.value.code == 400
+    # unknown path -> 404
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(f"{base}/nope", timeout=30)
+    assert ei.value.code == 404
+    assert service.errors >= 3

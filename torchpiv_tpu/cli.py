@@ -160,6 +160,53 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Long-lived HTTP analysis service (serve.py): the engine compiles
+    once and stays hot; acquisition machines POST frame pairs and get
+    fields back.  Endpoints: /healthz /config /metrics, POST /piv (npz
+    a/b), POST /piv_files (server-readable paths)."""
+    import ast
+
+    from .serve import PIVService, run_server
+
+    engine_options = {}
+    for kv in args.engine_option or []:
+        if "=" not in kv:
+            raise SystemExit(f"tpiv: --engine-option expects KEY=VALUE, "
+                             f"got {kv!r}")
+        k, v = kv.split("=", 1)
+        try:
+            engine_options[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            engine_options[k] = v  # plain string (e.g. median_filter=median)
+    service = PIVService(
+        device=args.device,
+        wind_size=args.wind_size,
+        overlap=args.overlap,
+        multipass=args.multipass,
+        multipass_mode=args.multipass_mode,
+        multipass_scale=args.multipass_scale,
+        dt=args.dt,
+        scale=args.scale,
+        validate=not args.no_validate,
+        engine_options=engine_options or None,
+    )
+    if args.warmup:
+        try:
+            h, w = (int(t) for t in args.warmup.lower().split("x"))
+        except ValueError:
+            raise SystemExit(f"tpiv: bad --warmup {args.warmup!r}: "
+                             "expected HxW")
+        import numpy as np
+
+        print(f"warming engine for {h}x{w}...", file=sys.stderr)
+        service.analyze(np.zeros((h, w), np.uint8),
+                        np.zeros((h, w), np.uint8))
+        service.pairs_served = 0  # the warmup pair is not traffic
+    run_server(service, args.host, args.port)
+    return 0
+
+
 def cmd_merge_stats(args) -> int:
     """Merge shard statistics states (`tpiv run --shard I/N --checkpoint
     s<I>.npz`) into the single 13-column table a sequential run over all
@@ -1713,6 +1760,27 @@ def build_parser() -> argparse.ArgumentParser:
              "final statistics state at --checkpoint for `tpiv "
              "merge-stats` (requires --checkpoint)")
     p_run.set_defaults(fn=cmd_run)
+
+    p_srv = sub.add_parser(
+        "serve", help="long-lived HTTP analysis service (engine stays hot)")
+    p_srv.add_argument("--host", default="127.0.0.1")
+    p_srv.add_argument("--port", type=int, default=8477)
+    p_srv.add_argument("--device", default="auto")
+    p_srv.add_argument("--wind-size", type=int, default=64)
+    p_srv.add_argument("--overlap", type=int, default=32)
+    p_srv.add_argument("--multipass", type=int, default=2)
+    p_srv.add_argument("--multipass-mode", default="CWS",
+                       choices=["CWS", "DWS", "DEF"])
+    p_srv.add_argument("--multipass-scale", type=float, default=2.0)
+    p_srv.add_argument("--dt", type=float, default=1.0)
+    p_srv.add_argument("--scale", type=float, default=1.0)
+    p_srv.add_argument("--no-validate", action="store_true")
+    p_srv.add_argument("--engine-option", action="append", metavar="K=V",
+                       help="extra PIVConfig field (repeatable), e.g. "
+                            "--engine-option median_filter=normmedian")
+    p_srv.add_argument("--warmup", default=None, metavar="HxW",
+                       help="compile for this frame shape before listening")
+    p_srv.set_defaults(fn=cmd_serve)
 
     p_merge = sub.add_parser(
         "merge-stats",

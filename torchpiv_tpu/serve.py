@@ -1,0 +1,275 @@
+"""HTTP serving mode (``tpiv serve``): a long-lived PIV analysis service.
+
+The reference is a desktop app; a production TPU host is typically a
+shared resource driven by acquisition machines over the network.  This
+module wraps the engine in a small stdlib HTTP server so clients submit
+frame pairs (or point the server at files it can read) and get fields
+back, with the engine compiled ONCE and kept hot across requests —
+amortising the multi-minute XLA compile that makes per-request process
+spawning a non-starter.
+
+Endpoints (all responses JSON unless noted):
+
+* ``GET /healthz`` — liveness + device + compiled frame shapes.
+* ``GET /config`` — the analysis settings the server applies.
+* ``GET /metrics`` — Prometheus-style text: pairs served, error count,
+  rolling latency.
+* ``POST /piv`` — body: an ``.npz`` with uint8 arrays ``a`` and ``b``
+  (same shape).  Response: an ``.npz`` with ``x, y, u, v`` (physical
+  units, same contract as ``OfflinePIV``) and ``invalid`` mask.
+* ``POST /piv_files`` — body: JSON ``{"a": path, "b": path}`` naming
+  files the SERVER can read (shared filesystem); same ``.npz`` response.
+
+Transport is deliberately dependency-free (``http.server``): no flask /
+grpc in the image, and PIV fields are small (a 4 MP pair in -> ~500 kB
+out), so a threading stdlib server saturates the engine long before the
+transport matters.  Engine dispatch is serialized with a lock — requests
+queue; the engine itself batches internally per call.
+"""
+from __future__ import annotations
+
+import io
+import json
+import logging
+import threading
+import time
+from collections import deque
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+log = logging.getLogger("torchpiv_tpu")
+
+
+class PIVService:
+    """Engine state shared across requests: per-frame-shape compiled
+    graphs (lazy, like ``OnlinePIV``), physical-unit finalization, and
+    rolling metrics."""
+
+    def __init__(
+        self,
+        device: str = "auto",
+        wind_size: int = 64,
+        overlap: int = 32,
+        multipass: int = 1,
+        multipass_mode: str = "CWS",
+        dt: float = 1.0,
+        scale: float = 1.0,
+        multipass_scale: float = 2.0,
+        validate: bool = True,
+        engine_options: Optional[dict] = None,
+    ):
+        from .pipeline import DeviceMap
+
+        self._device = DeviceMap.resolve(device)
+        self._dt = dt
+        self._scale = scale
+        self._settings = dict(
+            wind_size=wind_size,
+            overlap=overlap,
+            multipass=multipass,
+            multipass_mode=multipass_mode,
+            multipass_scale=multipass_scale,
+            validate=validate,
+            **(engine_options or {}),
+        )
+        if self._device.platform != "tpu":
+            self._settings.setdefault("use_pallas", "off")
+        self._engines: Dict[Tuple[int, int], tuple] = {}
+        self._lock = threading.Lock()  # engine build + dispatch
+        self.pairs_served = 0
+        self.errors = 0
+        self.latencies_ms: deque = deque(maxlen=256)
+        self.started = time.time()
+
+    # ---- engine -----------------------------------------------------------
+    def _engine_for(self, shape: Tuple[int, int]):
+        eng_fn = self._engines.get(shape)
+        if eng_fn is None:
+            import jax
+            import jax.numpy as jnp
+
+            from .models import MultipassPIV, PIVConfig
+            from .utils.compile_cache import enable_compile_cache
+
+            enable_compile_cache()
+            cfg = PIVConfig(frame_shape=shape, **self._settings)
+            engine = MultipassPIV(cfg)
+
+            def single(a, b):
+                u, v, iv = engine(a, b)
+                if iv is None:
+                    iv = jnp.zeros(u.shape, bool)
+                return jnp.stack([u, v, iv.astype(jnp.float32)])
+
+            eng_fn = (engine, jax.jit(single))
+            self._engines[shape] = eng_fn
+            log.info("serve: compiled engine for frame shape %s", shape)
+        return eng_fn
+
+    def analyze(self, frame_a: np.ndarray, frame_b: np.ndarray) -> dict:
+        """Run one pair through the (lazily compiled) engine; returns the
+        OfflinePIV-contract fields in physical units."""
+        import jax
+        import jax.numpy as jnp
+
+        from .pipeline import finalize_fields
+
+        if frame_a.shape != frame_b.shape or frame_a.ndim != 2:
+            raise ValueError(
+                f"expected two matching 2-D frames, got {frame_a.shape} "
+                f"vs {frame_b.shape}")
+        frame_a = np.asarray(frame_a, dtype=np.uint8)
+        frame_b = np.asarray(frame_b, dtype=np.uint8)
+        t0 = time.perf_counter()
+        with self._lock:
+            engine, fn = self._engine_for(frame_a.shape)
+            with jax.default_device(self._device):
+                arr = np.asarray(fn(jnp.asarray(frame_a),
+                                    jnp.asarray(frame_b)))
+        u, v, inval = arr[0], arr[1], arr[2] > 0.5
+        x, y = engine.final_coordinates
+        res = finalize_fields(
+            u, v, inval if self._settings.get("validate", True) else None,
+            x, y, self._scale, self._dt,
+            static_mask=engine.window_masked[-1])
+        ms = 1000 * (time.perf_counter() - t0)
+        self.latencies_ms.append(ms)
+        self.pairs_served += 1
+        if res is None:  # >50% invalid: the reference's skip quirk
+            return {"skipped": True,
+                    "reason": "more than half the vectors are invalid"}
+        rx, ry, ru, rv = res
+        return {"skipped": False, "x": rx, "y": ry, "u": ru, "v": rv,
+                "invalid": np.asarray(inval)}
+
+    # ---- views ------------------------------------------------------------
+    def health(self) -> dict:
+        return {
+            "ok": True,
+            "device": str(self._device),
+            "compiled_shapes": sorted(list(s) for s in self._engines),
+            "pairs_served": self.pairs_served,
+            "uptime_s": round(time.time() - self.started, 1),
+        }
+
+    def config(self) -> dict:
+        return {**self._settings, "dt": self._dt, "scale": self._scale,
+                "device": str(self._device)}
+
+    def metrics_text(self) -> str:
+        lat = list(self.latencies_ms)
+        lines = [
+            "# TYPE tpiv_pairs_served counter",
+            f"tpiv_pairs_served {self.pairs_served}",
+            "# TYPE tpiv_errors counter",
+            f"tpiv_errors {self.errors}",
+            "# TYPE tpiv_latency_ms summary",
+            f"tpiv_latency_ms_count {len(lat)}",
+        ]
+        if lat:
+            lines += [
+                f"tpiv_latency_ms_last {lat[-1]:.2f}",
+                f"tpiv_latency_ms_median {float(np.median(lat)):.2f}",
+                f"tpiv_latency_ms_p95 "
+                f"{float(np.percentile(lat, 95)):.2f}",
+            ]
+        return "\n".join(lines) + "\n"
+
+
+def _npz_bytes(**arrays) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: PIVService  # injected by make_server
+
+    # quiet the default per-request stderr lines; route to logging
+    def log_message(self, fmt, *args):
+        log.debug("serve: " + fmt, *args)
+
+    def _send(self, code: int, body: bytes, ctype: str) -> None:
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _send_json(self, code: int, obj) -> None:
+        self._send(code, json.dumps(obj).encode(), "application/json")
+
+    def do_GET(self):  # noqa: N802  (http.server API)
+        if self.path == "/healthz":
+            self._send_json(200, self.service.health())
+        elif self.path == "/config":
+            self._send_json(200, self.service.config())
+        elif self.path == "/metrics":
+            self._send(200, self.service.metrics_text().encode(),
+                       "text/plain; version=0.0.4")
+        else:
+            self._send_json(404, {"error": f"unknown path {self.path}"})
+
+    def _read_body(self) -> bytes:
+        n = int(self.headers.get("Content-Length", 0))
+        return self.rfile.read(n)
+
+    def do_POST(self):  # noqa: N802
+        try:
+            if self.path == "/piv":
+                with np.load(io.BytesIO(self._read_body())) as z:
+                    if "a" not in z.files or "b" not in z.files:
+                        raise ValueError("npz must contain arrays 'a', 'b'")
+                    fa, fb = z["a"], z["b"]
+            elif self.path == "/piv_files":
+                req = json.loads(self._read_body() or b"{}")
+                from .io.decode import imread_gray
+
+                fa = imread_gray(str(req.get("a", "")))
+                fb = imread_gray(str(req.get("b", "")))
+                if fa is None or fb is None:
+                    raise ValueError(
+                        f"unreadable file(s): {req.get('a')!r}, "
+                        f"{req.get('b')!r}")
+            else:
+                self._send_json(404, {"error": f"unknown path {self.path}"})
+                return
+            res = self.service.analyze(fa, fb)
+            if res["skipped"]:
+                self._send_json(422, {"error": res["reason"],
+                                      "skipped": True})
+                return
+            self._send(200, _npz_bytes(
+                x=res["x"], y=res["y"], u=res["u"], v=res["v"],
+                invalid=res["invalid"]), "application/octet-stream")
+        except ValueError as e:
+            self.service.errors += 1
+            self._send_json(400, {"error": str(e)})
+        except Exception as e:  # noqa: BLE001 - a server must not die
+            self.service.errors += 1
+            log.exception("serve: request failed")
+            self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+
+
+def make_server(service: PIVService, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+    """Build (but do not start) the HTTP server; ``server.server_address``
+    carries the bound port when ``port=0``."""
+    handler = type("BoundHandler", (_Handler,), {"service": service})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def run_server(service: PIVService, host: str, port: int) -> None:
+    srv = make_server(service, host, port)
+    log.info("serve: listening on %s:%d", *srv.server_address)
+    print(f"tpiv serve: listening on http://{srv.server_address[0]}:"
+          f"{srv.server_address[1]}  (endpoints: /healthz /config /metrics "
+          f"POST /piv POST /piv_files)", flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()
