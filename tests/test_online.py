@@ -213,3 +213,64 @@ def test_online_piv_catchup_batches_backlog(tmp_path):
     for i, (x, y, u, v) in enumerate(results):
         # u in m/s = px * scale/dt * 1000; scale=dt=1
         assert abs(np.nanmean(u) - (2.0 + 0.1 * i) * 1000) < 120, i
+
+
+def test_watcher_retains_early_b_file(tmp_path):
+    """A _b file visible one poll before its _a (out-of-order directory
+    listings) must be retained, not dropped — otherwise the pair never
+    forms and the _a leaks in the pending list forever."""
+    from torchpiv_tpu.io.watch import StreamingPairSource
+
+    src = StreamingPairSource(str(tmp_path), ".bmp", poll_interval=0.01,
+                              idle_timeout=1.0)
+    fa, fb = particle_pair((64, 64), displacement=(1.0, 0.0), seed=1)
+    imwrite_gray(str(tmp_path / "p1_b.bmp"), fb)
+    assert src.ready() == []          # _b alone: retained, nothing yields
+    imwrite_gray(str(tmp_path / "p1_a.bmp"), fa)
+    pairs = src.ready()
+    assert len(pairs) == 1
+    assert pairs[0][0].endswith("p1_a.bmp")
+    assert pairs[0][1].endswith("p1_b.bmp")
+
+
+def test_online_fused_infill_matches_offline(tmp_path):
+    """OnlinePIV must apply the same tail gate as OfflinePIV: with
+    infill='fused' the device already filled invalid vectors, so the host
+    must not re-NaN them (or re-apply the >50%-invalid skip)."""
+    from torchpiv_tpu.pipeline import OfflinePIV
+
+    folder = tmp_path / "f"
+    folder.mkdir()
+    fa, fb = particle_pair((128, 128), displacement=(2.0, 1.0), seed=31)
+    fa = fa.copy()
+    fb = fb.copy()
+    rng = np.random.default_rng(3)
+    # an uncorrelated-noise strip: several invalid windows, device-filled
+    fa[:, 96:] = rng.integers(0, 255, fa[:, 96:].shape, dtype=np.uint8)
+    fb[:, 96:] = rng.integers(0, 255, fb[:, 96:].shape, dtype=np.uint8)
+    imwrite_gray(str(folder / "c0_a.bmp"), fa)
+    imwrite_gray(str(folder / "c0_b.bmp"), fb)
+
+    kw = dict(device="cpu", file_fmt=".bmp", wind_size=32, overlap=16,
+              engine_options={"infill": "fused"})
+    off = list(OfflinePIV(str(folder), **kw)())
+    assert len(off) == 1
+
+    piv = OnlinePIV(str(folder), wind_size=32, overlap=16,
+                    device="cpu", file_fmt=".bmp", poll_interval=0.05,
+                    idle_timeout=5.0, engine_options={"infill": "fused"})
+
+    def copies():
+        time.sleep(0.3)
+        imwrite_gray(str(folder / "c1_a.bmp"), fa)
+        imwrite_gray(str(folder / "c1_b.bmp"), fb)
+        time.sleep(1.0)
+        piv.stop()
+
+    t = threading.Thread(target=copies)
+    t.start()
+    on = list(piv())
+    t.join()
+    assert len(on) == 1  # only c1 (c0 predates the stream)
+    np.testing.assert_allclose(on[0][2], off[0][2], atol=1e-5)
+    np.testing.assert_allclose(on[0][3], off[0][3], atol=1e-5)

@@ -561,3 +561,103 @@ def test_runner_per_pair_saves_async(pair_folder, tmp_path):
     saver.submit(boom)
     with pytest.raises(OSError, match="disk full"):
         saver.close()
+
+
+def test_truncated_bmp_is_skipped_not_crash(pair_folder, tmp_path):
+    """A half-written BMP (camera mid-write) must read as unreadable —
+    the skip-unreadable-pair contract — not raise out of the decoder and
+    kill the pipeline."""
+    from torchpiv_tpu.io.decode import imread_gray
+
+    folder, shifts = pair_folder
+    import glob
+    import shutil
+
+    work = tmp_path / "w"
+    work.mkdir()
+    for f in glob.glob(os.path.join(folder, "*.bmp")):
+        shutil.copy(f, work)
+    victims = sorted(glob.glob(str(work / "*.bmp")))[:2]  # pair 0
+    for v in victims:
+        with open(v, "rb") as f:
+            data = f.read()
+        with open(v, "wb") as f:
+            f.write(data[: len(data) // 2])  # truncate mid-pixel-data
+    assert imread_gray(victims[0]) is None
+    piv = OfflinePIV(str(work), device="cpu", file_fmt=".bmp",
+                     wind_size=64, overlap=32, batch_size=2)
+    out = list(piv())
+    assert len(out) == len(shifts) - 1  # pair 0 skipped, rest intact
+
+
+def test_infill_none_yields_raw_vectors(pair_folder):
+    """infill='none' must actually disable the host NaN+infill tail (it
+    silently behaved like 'host' before): raw vectors come back — NaNs
+    allowed nowhere because this synthetic data is fully valid — and the
+    >50%-invalid skip must NOT engage on a mostly-invalid pair."""
+    import glob
+    import shutil
+    import tempfile
+
+    folder, shifts = pair_folder
+    piv = OfflinePIV(folder, device="cpu", file_fmt=".bmp", wind_size=64,
+                     overlap=32, batch_size=2,
+                     engine_options={"infill": "none"})
+    out = list(piv())
+    assert len(out) == len(shifts)
+
+    # a pair that is mostly particle-free: 'host' skips it (>50% invalid),
+    # 'none' must yield it raw (NaN-free, unfiltered measurements)
+    work = tempfile.mkdtemp()
+    fa, fb = particle_pair((256, 256), displacement=(2.0, 1.0), seed=77)
+    fa = fa.copy()
+    fb = fb.copy()
+    # uncorrelated noise over 3/4 of the frame: those windows have no
+    # correlation peak and fail the peak-ratio validation
+    rng = np.random.default_rng(5)
+    fa[:, 64:] = rng.integers(0, 255, fa[:, 64:].shape, dtype=np.uint8)
+    fb[:, 64:] = rng.integers(0, 255, fb[:, 64:].shape, dtype=np.uint8)
+    imwrite_gray(os.path.join(work, "h_a.bmp"), fa)
+    imwrite_gray(os.path.join(work, "h_b.bmp"), fb)
+    kw = dict(device="cpu", file_fmt=".bmp", wind_size=64, overlap=32)
+    assert len(list(OfflinePIV(work, **kw)())) == 0  # host: skip quirk
+    raw = list(OfflinePIV(work, engine_options={"infill": "none"}, **kw)())
+    assert len(raw) == 1
+    assert np.isfinite(raw[0][2]).all()
+    shutil.rmtree(work, ignore_errors=True)
+
+
+def test_mesh_first_batch_matches_rounded_batch(pair_folder):
+    """Mesh mode rounds the batch up to a pair-axis multiple; the ramp-up
+    first batch must follow (it was captured before the rounding, making
+    the FIRST dispatch's pair axis indivisible by the mesh)."""
+    import jax
+
+    from torchpiv_tpu.parallel import make_mesh
+
+    folder, shifts = pair_folder
+    mesh = make_mesh({"pairs": 4}, jax.devices()[:4])
+    piv = OfflinePIV(folder, file_fmt=".bmp", wind_size=64, overlap=32,
+                     batch_size=3, mesh=mesh)  # 3 -> rounds to 4
+    assert piv._batch == 4
+    assert piv._first_batch == 4
+    out = list(piv())
+    assert len(out) == len(shifts)
+
+
+def test_prefetcher_targets_explicit_device(pair_folder):
+    """device_put runs in pool threads that do NOT inherit the feeder's
+    thread-local default_device — the prefetcher must target the
+    pipeline's device explicitly or batches land on the global default
+    (e.g. a TPU the user asked to avoid) and pay a transfer back."""
+    import jax
+
+    from torchpiv_tpu.io.dataset import PIVDataset
+    from torchpiv_tpu.io.prefetch import PairPrefetcher
+
+    folder, _ = pair_folder
+    target = jax.devices()[2]
+    ds = PIVDataset(folder, ".bmp", "pairs")
+    for a, b, ids in PairPrefetcher(ds, batch_size=2, device=target):
+        assert a.devices() == {target}, a.devices()
+        assert b.devices() == {target}

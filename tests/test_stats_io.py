@@ -181,8 +181,19 @@ def test_streaming_source_pairs_across_polls_out_of_order(tmp_path):
     assert [(os.path.basename(a), os.path.basename(b)) for a, b in pairs] == [
         ("img1_a.bmp", "img1_b.bmp")
     ]
-    # orphan _b frames are still dropped
+    # an early _b (its _a not yet visible) is retained, not dropped —
+    # directory listings can surface _b before _a
     (tmp_path / "img0_b.bmp").write_bytes(b"")
+    assert src._poll() == []
+    assert [os.path.basename(p) for p in src._pending] == ["img0_b.bmp"]
+    (tmp_path / "img0_a.bmp").write_bytes(b"")
+    pairs = src._poll()
+    assert [(os.path.basename(a), os.path.basename(b)) for a, b in pairs] == [
+        ("img0_a.bmp", "img0_b.bmp")
+    ]
+    assert src._pending == []
+    # genuinely unsuffixed files are still dropped
+    (tmp_path / "notes.bmp").write_bytes(b"")
     assert src._poll() == []
     assert src._pending == []
 

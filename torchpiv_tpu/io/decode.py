@@ -57,6 +57,10 @@ def decode_bmp_gray8(buf: np.ndarray) -> Optional[np.ndarray]:
     stride = (width + 3) & ~3  # rows padded to 4 bytes
     flip = height > 0  # positive height = bottom-up storage
     h = abs(height)
+    if data_offset + stride * h > buf.size:
+        # truncated pixel data (camera mid-write) — unreadable, not a crash:
+        # the skip-unreadable-pair contract (reference PIVbackend.py:138-139)
+        return None
     px = buf[data_offset : data_offset + stride * h].reshape(h, stride)[:, :width]
     img = ramp[px] if not (ramp == np.arange(256, dtype=np.uint8)).all() else px
     return img[::-1].copy() if flip else img.copy()

@@ -38,10 +38,18 @@ class PairPrefetcher:
         depth: int = 2,
         first_batch_size: int | None = None,
         transfer_log: list | None = None,
+        device=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.device_put = device_put
+        # Explicit placement target: pool threads do NOT inherit the
+        # caller's thread-local ``jax.default_device`` context, so an
+        # unqualified device_put here would land every batch on the global
+        # default device (e.g. the TPU on a host where the pipeline was
+        # asked for device="cpu") and pay a transfer back.  None = global
+        # default (single-device hosts).
+        self.device = device
         self.num_threads = num_threads
         self.depth = max(1, depth)
         # ramp-up: a smaller FIRST batch so its H2D transfer (which has
@@ -77,7 +85,11 @@ class PairPrefetcher:
 
             def load_batch(idxs):
                 if hasattr(self.dataset, "read_batch"):
-                    ids, a, b = self.dataset.read_batch(idxs)
+                    # honour the configured decode parallelism (the native
+                    # decoder's default of 8 C++ threads would otherwise
+                    # ignore OfflinePIV(decode_threads=...))
+                    ids, a, b = self.dataset.read_batch(
+                        idxs, threads=max(1, self.num_threads))
                     if not ids:
                         return None
                 else:
@@ -98,13 +110,15 @@ class PairPrefetcher:
 
                         nbytes = a.nbytes + b.nbytes
                         t0 = time.perf_counter()
-                        a, b = jax.device_put(a), jax.device_put(b)
+                        a = jax.device_put(a, self.device)
+                        b = jax.device_put(b, self.device)
                         a.block_until_ready()
                         b.block_until_ready()
                         self.transfer_log.append(
                             (t0, time.perf_counter(), nbytes))
                     else:
-                        a, b = jax.device_put(a), jax.device_put(b)
+                        a = jax.device_put(a, self.device)
+                        b = jax.device_put(b, self.device)
                 return a, b, ids
 
             it = iter(batches)

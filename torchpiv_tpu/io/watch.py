@@ -117,7 +117,11 @@ class StreamingPairSource:
         while i < len(self._pending):
             name = self._pending[i]
             if not name.endswith("_a" + fmt):
-                i += 1  # orphan _b (or unsuffixed file): drop
+                if name.endswith("_b" + fmt):
+                    # _b visible before its _a (out-of-order writes):
+                    # retain it so the pair forms when the _a lands
+                    keep.append(name)
+                i += 1  # unsuffixed file: drop
                 continue
             if i + 1 < len(self._pending):
                 mate = self._pending[i + 1]

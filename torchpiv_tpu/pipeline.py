@@ -268,12 +268,6 @@ class OfflinePIV:
         # appends ``(t_start, t_end, n_bytes)``.  bench.py uses this for a
         # drift-proof achieved-vs-bound check; None (default) disables.
         self.transfer_log: Optional[list] = None
-        # ramp-up: the FIRST dispatch uses a small batch so its H2D (which
-        # has nothing to overlap with) exposes less and the first field
-        # arrives sooner; jit specialises the same batched fn per shape.
-        # Mesh mode keeps uniform batches (they must divide the pair axis).
-        self._first_batch = (self._batch if mesh is not None
-                             else min(4, self._batch))
         # Build the engine from the first *readable* pair (the reference
         # crashes if pair 0 is unreadable, PIVbackend.py:853).
         for i in range(len(self._dataset)):
@@ -281,6 +275,14 @@ class OfflinePIV:
             if frame_a is not None:
                 self._build_engine(frame_a.shape)
                 break
+        # ramp-up: the FIRST dispatch uses a small batch so its H2D (which
+        # has nothing to overlap with) exposes less and the first field
+        # arrives sooner; jit specialises the same batched fn per shape.
+        # Mesh mode keeps uniform batches (they must divide the pair axis)
+        # — set AFTER _build_engine, which rounds _batch up to a pair-axis
+        # multiple, so the first dispatch matches the mesh too.
+        self._first_batch = (self._batch if mesh is not None
+                             else min(4, self._batch))
 
     def _build_engine(self, frame_shape) -> None:
         # persistent XLA compile cache: a fresh process deserializes the
@@ -349,12 +351,16 @@ class OfflinePIV:
             first_batch_size=self._first_batch,
             transfer_log=(self.transfer_log
                           if self._mesh is None else None),
+            # pool threads don't inherit the feeder's default_device
+            # context — target the pipeline's device explicitly
+            device=self._device if self._mesh is None else None,
         )
-        # With in-graph ("fused") infill the engine already filled the
-        # invalid vectors on device — no host infill tail.
+        # Host NaN+infill tail runs only for infill="host": "fused" was
+        # already filled on device, "none" asks for raw vectors (no NaN,
+        # no infill, no >50%-invalid skip).
         tail_validates = (
             self._engine.config.validate
-            and self._engine.config.infill != "fused"
+            and self._engine.config.infill == "host"
         )
 
         stop = threading.Event()
@@ -377,9 +383,12 @@ class OfflinePIV:
             return False
 
         def put_final(q, item):
-            """Deliver a sentinel even mid-teardown (makes room if the
-            consumer is gone)."""
-            for _ in range(600):
+            """Deliver a sentinel no matter how long the consumer stalls
+            (e.g. a multi-minute pause with the queue full): keep blocking
+            until it fits — dropping the DONE sentinel would leave the
+            consumer hung on ``result_q.get()`` forever.  Mid-teardown
+            (stop set: error or early close) evict to make room."""
+            while True:
                 try:
                     q.put(item, timeout=0.05)
                     return
@@ -606,6 +615,12 @@ class OnlinePIV:
 
     def _finalize(self, u, v, inval):
         x, y = self._engine.final_coordinates
+        cfg = self._engine.config
+        # same tail gate as OfflinePIV: host NaN+infill only for
+        # infill="host" ("fused" is already filled on device; "none"
+        # means raw vectors) — keeps online/offline results identical
+        if not (cfg.validate and cfg.infill == "host"):
+            inval = None
         return finalize_fields(
             np.asarray(u),
             np.asarray(v),
@@ -728,7 +743,7 @@ class VideoPIV:
         x, y = self._engine.final_coordinates
         tail_validates = (
             self._engine.config.validate
-            and self._engine.config.infill != "fused"
+            and self._engine.config.infill == "host"
         )
 
         def flush(batch):
@@ -907,7 +922,9 @@ class PIVRunner:
                  else None)
         for i, (x, y, u, v) in enumerate(piv_gen()):
             while self.is_paused and self.is_running:
-                time.sleep(0)
+                # 20 ms poll: same responsiveness as the reference's
+                # sleep(0) spin (workers.py:55-56) without pinning a core
+                time.sleep(0.02)
             if not self.is_running:
                 break
             if self.smooth:

@@ -130,8 +130,12 @@ class PIVService:
                                     jnp.asarray(frame_b)))
         u, v, inval = arr[0], arr[1], arr[2] > 0.5
         x, y = engine.final_coordinates
+        # same tail gate as OfflinePIV: host NaN+infill for infill="host"
+        # only ("fused" already filled on device, "none" = raw vectors)
+        tail_validates = (self._settings.get("validate", True)
+                          and self._settings.get("infill", "host") == "host")
         res = finalize_fields(
-            u, v, inval if self._settings.get("validate", True) else None,
+            u, v, inval if tail_validates else None,
             x, y, self._scale, self._dt,
             static_mask=engine.window_masked[-1])
         ms = 1000 * (time.perf_counter() - t0)
