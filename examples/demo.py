@@ -47,7 +47,8 @@ def main(out_dir="./demo_out"):
 
     params = PIVParams(
         wind_size=64, overlap=32, multipass=2, multipass_mode="CWS",
-        scale=0.05, dt=2.0, device="auto", file_fmt=".bmp", folder=frames,
+        scale=0.05, dt=2.0, device=os.environ.get("TPIV_DEVICE", "auto"),
+        file_fmt=".bmp", folder=frames,
         folder_mode="pairs", save_opt="Save statistics", save_dir=out_dir,
     )
 

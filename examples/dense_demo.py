@@ -12,6 +12,12 @@ import sys
 
 import numpy as np
 
+# TPIV_DEVICE=cpu forces the CPU backend (useful on hosts whose default
+# jax platform is a remote accelerator you don't want the demo to dial)
+if os.environ.get("TPIV_DEVICE", "").lower() == "cpu":
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 
 def main(out_dir="./demo_out"):
     import jax

@@ -49,9 +49,30 @@ def test_device_map():
     devs = DeviceMap.devices()
     assert "cpu" in devs
     assert DeviceMap.resolve("cpu").platform == "cpu"
+    assert DeviceMap.resolve("cpu:0").platform == "cpu"
     assert DeviceMap.resolve("auto") is not None
     with pytest.raises(ValueError, match="unknown device"):
         DeviceMap.resolve("gpu:7")
+    with pytest.raises(ValueError, match="unknown device"):
+        DeviceMap.resolve("cpu:99")  # out-of-range index
+
+
+def test_resolve_platform_touches_only_that_backend(monkeypatch):
+    """resolve('cpu') must never initialise OTHER platforms' runtimes —
+    on a host whose accelerator is remote and down, enumerating it blocks
+    for minutes even though the caller asked for the CPU."""
+    import jax as _jax
+
+    calls = []
+    real = _jax.devices
+
+    def spy(platform=None):
+        calls.append(platform)
+        return real(platform)
+
+    monkeypatch.setattr(_jax, "devices", spy)
+    assert DeviceMap.resolve("cpu").platform == "cpu"
+    assert calls == ["cpu"]
 
 
 def test_free_device_memory_runs():

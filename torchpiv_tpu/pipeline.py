@@ -70,12 +70,24 @@ class DeviceMap:
 
     @staticmethod
     def resolve(name: str) -> jax.Device:
-        table = DeviceMap.devices()
-        if name in table:
-            return table[name]
         # default: whatever jax considers the default backend
         if name in ("", "auto", "default", None):
             return jax.devices()[0]
+        # a platform name or platform:index touches ONLY that backend —
+        # resolving "cpu" must never initialise the TPU runtime (which
+        # can block for minutes when the accelerator is remote and down)
+        platform, _, idx = str(name).partition(":")
+        if platform in ("cpu", "tpu") and (idx == "" or idx.isdigit()):
+            try:
+                devs = jax.devices(platform)
+            except RuntimeError:
+                devs = []
+            i = int(idx) if idx else 0
+            if i < len(devs):
+                return devs[i]
+        table = DeviceMap.devices()
+        if name in table:
+            return table[name]
         raise ValueError(
             f"unknown device {name!r}; available: {sorted(table)}"
         )
