@@ -279,3 +279,54 @@ def test_native_pgm_8_and_16bit(tmp_path):
         return
     ref = cv2.imread(p8, cv2.IMREAD_GRAYSCALE)
     np.testing.assert_array_equal(frames[0], ref)
+
+
+def test_native_decoder_mutation_fuzz(tmp_path):
+    """Seeded mutation fuzz over all three container formats: random
+    byte flips / truncations / extensions of valid files must decode
+    (status 0, when the mutation missed anything load-bearing) or fail
+    with a status code — never crash the process or over-read."""
+    from PIL import Image
+
+    rng = np.random.default_rng(1234)
+    img = rng.integers(0, 255, (24, 40), dtype=np.uint8)
+
+    seeds = []
+    p = str(tmp_path / "s.bmp")
+    imwrite_gray(p, img)
+    seeds.append(open(p, "rb").read())
+    p = str(tmp_path / "s.tif")
+    Image.fromarray(img, mode="L").save(p)
+    seeds.append(open(p, "rb").read())
+    seeds.append(b"P5\n40 24\n255\n" + img.tobytes())
+
+    paths = []
+    for i in range(240):
+        data = bytearray(seeds[i % 3])
+        kind = i % 4
+        if kind == 0:  # flip 1-8 random bytes anywhere (headers included)
+            for j in rng.integers(0, len(data), rng.integers(1, 9)):
+                data[j] = rng.integers(0, 256)
+        elif kind == 1:  # truncate at a random point
+            data = data[: rng.integers(0, len(data))]
+        elif kind == 2:  # extend with junk
+            data += bytes(rng.integers(0, 256, rng.integers(1, 64), "u1"))
+        else:  # splice a random window with junk
+            a = int(rng.integers(0, len(data)))
+            b = min(len(data), a + int(rng.integers(1, 32)))
+            data[a:b] = bytes(rng.integers(0, 256, b - a, "u1"))
+        ext = [".bmp", ".tif", ".pgm"][i % 3]
+        p = str(tmp_path / f"m{i}{ext}")
+        open(p, "wb").write(bytes(data))
+        paths.append(p)
+
+    # batch decode in one call (exercises the threaded C++ path);
+    # surviving the call IS the assertion — plus frames stay in-bounds
+    frames, status = native.read_batch_gray(paths, (24, 40), threads=4)
+    assert len(status) == len(paths)
+    for j, rc in enumerate(status):
+        if rc == 0:
+            assert frames[j].shape == (24, 40)
+    # the probe path must also survive every mutant
+    for p in paths:
+        native.probe_gray(p)
