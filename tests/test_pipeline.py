@@ -661,3 +661,43 @@ def test_prefetcher_targets_explicit_device(pair_folder):
     for a, b, ids in PairPrefetcher(ds, batch_size=2, device=target):
         assert a.devices() == {target}, a.devices()
         assert b.devices() == {target}
+
+
+def test_corrupt_checkpoint_resumes_from_scratch(tmp_path, caplog):
+    """An externally-truncated checkpoint must degrade to a from-scratch
+    run with a warning — never crash the resume (merge, by contrast,
+    refuses loudly: see test_distributed)."""
+    import logging
+
+    from torchpiv_tpu.stats.ensemble import EnsembleAccumulator
+    from torchpiv_tpu.utils.checkpoint import (load_checkpoint,
+                                               save_checkpoint)
+
+    p = str(tmp_path / "ck.npz")
+    acc = EnsembleAccumulator()
+    acc.add(np.ones((4, 4)), np.ones((4, 4)))
+    save_checkpoint(p, acc, done=3, x=np.zeros((4, 4)), y=np.zeros((4, 4)))
+    assert load_checkpoint(p) is not None
+
+    data = open(p, "rb").read()
+    open(p, "wb").write(data[: len(data) // 2])
+    with caplog.at_level(logging.WARNING, logger="torchpiv_tpu"):
+        assert load_checkpoint(p) is None
+    assert any("unreadable" in r.message for r in caplog.records)
+
+
+def test_merge_refuses_corrupt_shard(tmp_path):
+    from torchpiv_tpu.parallel.distributed import merge_checkpoints
+    from torchpiv_tpu.stats.ensemble import EnsembleAccumulator
+    from torchpiv_tpu.utils.checkpoint import save_checkpoint
+
+    ok, bad = str(tmp_path / "a.npz"), str(tmp_path / "b.npz")
+    acc = EnsembleAccumulator()
+    acc.add(np.ones((4, 4)), np.ones((4, 4)))
+    for p in (ok, bad):
+        save_checkpoint(p, acc, done=1, x=np.zeros((4, 4)),
+                        y=np.zeros((4, 4)), complete=True)
+    data = open(bad, "rb").read()
+    open(bad, "wb").write(data[:40])
+    with pytest.raises(FileNotFoundError, match="unreadable"):
+        merge_checkpoints([ok, bad])

@@ -117,7 +117,10 @@ def merge_checkpoints(
     for p in paths:
         state = load_checkpoint(p)
         if state is None:
-            raise FileNotFoundError(p)
+            # missing OR unreadable (load_checkpoint warns + returns None):
+            # a merge must refuse loudly either way — silently dropping a
+            # shard would under-count the campaign
+            raise FileNotFoundError(f"{p}: shard state missing or unreadable")
         if not allow_partial and not checkpoint_is_complete(p):
             raise ValueError(
                 f"{p}: shard state is not marked complete (interrupted "

@@ -58,9 +58,26 @@ def save_checkpoint(
 def load_checkpoint(
     path: str,
 ) -> Optional[Tuple[EnsembleAccumulator, int, np.ndarray, np.ndarray]]:
-    """Restore ``(accumulator, pairs_done, x, y)``; None if no checkpoint."""
+    """Restore ``(accumulator, pairs_done, x, y)``; None if no checkpoint.
+
+    A file that exists but cannot be parsed (external truncation /
+    corruption — our own writes are atomic) reads as "no checkpoint"
+    with a warning rather than crashing the resume: losing the resume
+    point degrades to a from-scratch run, which is always safe."""
     if not os.path.exists(path):
         return None
+    try:
+        return _load(path)
+    except Exception as e:
+        import logging
+
+        logging.getLogger("torchpiv_tpu").warning(
+            "checkpoint %s unreadable (%s) — starting from scratch",
+            path, e)
+        return None
+
+
+def _load(path):
     with np.load(path) as z:
         acc = EnsembleAccumulator()
         acc.n = int(z["n"])
