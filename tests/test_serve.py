@@ -115,3 +115,46 @@ def test_serve_error_paths(server, tmp_path):
         urllib.request.urlopen(f"{base}/nope", timeout=30)
     assert ei.value.code == 404
     assert service.errors >= 3
+
+
+def test_serve_piv_burst(server):
+    """Stacked [B,H,W] submission: per-pair fields with the leading pair
+    axis; a >50%-invalid pair comes back as a NaN plane + skipped_pairs
+    mark instead of failing the burst."""
+    base, service = server
+    fa, fb = particle_pair((128, 128), displacement=(2.0, 1.0), seed=9)
+    # constant frames: every window degenerate -> all vectors invalid
+    # (white noise is NOT reliably >50% invalid at w=32: random peak
+    # ratios pass the threshold often enough)
+    junk_a = np.zeros(fa.shape, dtype=np.uint8)
+    junk_b = np.zeros(fb.shape, dtype=np.uint8)
+    a = np.stack([fa, junk_a, fa])
+    b = np.stack([fb, junk_b, fb])
+    status, body = _post(f"{base}/piv", _npz(a=a, b=b),
+                         "application/octet-stream")
+    assert status == 200
+    with np.load(io.BytesIO(body)) as z:
+        assert z["u"].shape[0] == 3
+        assert list(z["skipped_pairs"]) == [False, True, False]
+        good = z["u"][0][~z["invalid"][0]]
+        assert abs(np.nanmean(good) - 2000) < 120
+        assert np.isnan(z["u"][1]).all()
+        np.testing.assert_allclose(z["u"][0], z["u"][2], atol=1e-6)
+
+    # every pair skipped -> 422 like the single-pair contract
+    status_all, body_all = None, None
+    try:
+        _post(f"{base}/piv", _npz(a=np.stack([junk_a]),
+                                  b=np.stack([junk_b])),
+              "application/octet-stream")
+    except urllib.error.HTTPError as e:
+        status_all, body_all = e.code, e.read()
+    assert status_all == 422
+    assert json.loads(body_all)["skipped"] is True
+
+    # mismatched stacks -> 400
+    try:
+        _post(f"{base}/piv", _npz(a=a, b=b[:2]),
+              "application/octet-stream")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400

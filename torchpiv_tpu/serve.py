@@ -16,7 +16,11 @@ Endpoints (all responses JSON unless noted):
   rolling latency.
 * ``POST /piv`` — body: an ``.npz`` with uint8 arrays ``a`` and ``b``
   (same shape).  Response: an ``.npz`` with ``x, y, u, v`` (physical
-  units, same contract as ``OfflinePIV``) and ``invalid`` mask.
+  units, same contract as ``OfflinePIV``) and ``invalid`` mask.  A
+  camera burst may be submitted as stacked ``[B,H,W]`` arrays: the
+  response fields gain the leading pair axis plus a ``skipped_pairs``
+  mask (per-pair >50%-invalid skips come back as NaN planes rather
+  than failing the burst).
 * ``POST /piv_files`` — body: JSON ``{"a": path, "b": path}`` naming
   files the SERVER can read (shared filesystem); same ``.npz`` response.
 
@@ -148,6 +152,48 @@ class PIVService:
         return {"skipped": False, "x": rx, "y": ry, "u": ru, "v": rv,
                 "invalid": np.asarray(inval)}
 
+    def analyze_batch(self, frames_a: np.ndarray,
+                      frames_b: np.ndarray) -> dict:
+        """Run a stacked burst ``[B,H,W]`` through the engine — one hot
+        dispatch per pair on the single-pair compiled graph (a per-B
+        batched graph would compile per burst size and bloat the cache).
+        Per-pair skips (the >50%-invalid quirk) become NaN planes plus a
+        ``skipped`` mask instead of failing the whole burst."""
+        if (frames_a.shape != frames_b.shape or frames_a.ndim != 3
+                or frames_a.shape[0] == 0):
+            raise ValueError(
+                f"expected two matching non-empty [B,H,W] stacks, got "
+                f"{frames_a.shape} vs {frames_b.shape}")
+        us, vs, invs, skipped = [], [], [], []
+        x = y = None
+        for fa, fb in zip(frames_a, frames_b):
+            res = self.analyze(fa, fb)
+            if res["skipped"]:
+                skipped.append(True)
+                us.append(None)  # shape known only from a kept pair
+                vs.append(None)
+                invs.append(None)
+            else:
+                skipped.append(False)
+                x, y = res["x"], res["y"]
+                us.append(res["u"])
+                vs.append(res["v"])
+                invs.append(res["invalid"])
+        if x is None:  # every pair skipped
+            return {"skipped": True,
+                    "reason": "every pair in the burst was skipped "
+                              "(more than half the vectors invalid)"}
+        nan = np.full(x.shape, np.nan)
+        allbad = np.ones(x.shape, bool)
+        return {
+            "skipped": False, "x": x, "y": y,
+            "u": np.stack([u if u is not None else nan for u in us]),
+            "v": np.stack([v if v is not None else nan for v in vs]),
+            "invalid": np.stack(
+                [i if i is not None else allbad for i in invs]),
+            "skipped_pairs": np.asarray(skipped, bool),
+        }
+
     # ---- views ------------------------------------------------------------
     def health(self) -> dict:
         return {
@@ -240,14 +286,19 @@ class _Handler(BaseHTTPRequestHandler):
             else:
                 self._send_json(404, {"error": f"unknown path {self.path}"})
                 return
-            res = self.service.analyze(fa, fb)
+            if getattr(fa, "ndim", 2) == 3:  # stacked burst [B,H,W]
+                res = self.service.analyze_batch(fa, fb)
+            else:
+                res = self.service.analyze(fa, fb)
             if res["skipped"]:
                 self._send_json(422, {"error": res["reason"],
                                       "skipped": True})
                 return
+            extra = ({"skipped_pairs": res["skipped_pairs"]}
+                     if "skipped_pairs" in res else {})
             self._send(200, _npz_bytes(
                 x=res["x"], y=res["y"], u=res["u"], v=res["v"],
-                invalid=res["invalid"]), "application/octet-stream")
+                invalid=res["invalid"], **extra), "application/octet-stream")
         except ValueError as e:
             self.service.errors += 1
             self._send_json(400, {"error": str(e)})
