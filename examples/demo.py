@@ -13,6 +13,13 @@ import sys
 
 import numpy as np
 
+# TPIV_DEVICE=cpu forces the CPU backend (engine construction touches the
+# default backend, so the device= param alone would still dial a remote
+# accelerator on hosts where that is the jax default)
+if os.environ.get("TPIV_DEVICE", "").lower() == "cpu":
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 
 def vortex_flow(cx, cy, strength=4.0, radius=150.0):
     def disp(xs, ys):

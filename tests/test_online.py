@@ -274,3 +274,35 @@ def test_online_fused_infill_matches_offline(tmp_path):
     assert len(on) == 1  # only c1 (c0 predates the stream)
     np.testing.assert_allclose(on[0][2], off[0][2], atol=1e-5)
     np.testing.assert_allclose(on[0][3], off[0][3], atol=1e-5)
+
+
+def test_watcher_ages_out_unmatched_orphans(tmp_path):
+    """Unmatched _a/_b frames must not accumulate forever: after
+    orphan_timeout seconds without a mate they are evicted (bounding the
+    pending buffer over long acquisitions)."""
+    from torchpiv_tpu.io.watch import StreamingPairSource
+
+    src = StreamingPairSource(str(tmp_path), ".bmp", poll_interval=0.01,
+                              orphan_timeout=0.2)
+    (tmp_path / "x1_b.bmp").write_bytes(b"")
+    (tmp_path / "x2_a.bmp").write_bytes(b"")
+    assert src.ready() == []
+    assert len(src._pending) == 2
+    time.sleep(0.3)
+    assert src.ready() == []
+    assert src._pending == []
+    assert src._first_seen == {}
+    # an aged-out frame does NOT pair even if the mate arrives later
+    (tmp_path / "x1_a.bmp").write_bytes(b"")
+    assert src.ready() == []
+
+
+def test_config_rejects_unknown_infill():
+    """infill must be a closed enum: the pipelines gate the host tail on
+    infill == 'host', so a typo would otherwise silently disable
+    validation output."""
+    from torchpiv_tpu.models import PIVConfig
+
+    with pytest.raises(ValueError, match="unknown infill"):
+        PIVConfig(frame_shape=(128, 128), wind_size=32, overlap=16,
+                  infill="Fused")

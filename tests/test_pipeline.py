@@ -683,7 +683,7 @@ def test_corrupt_checkpoint_resumes_from_scratch(tmp_path, caplog):
     open(p, "wb").write(data[: len(data) // 2])
     with caplog.at_level(logging.WARNING, logger="torchpiv_tpu"):
         assert load_checkpoint(p) is None
-    assert any("unreadable" in r.message for r in caplog.records)
+    assert any("unreadable" in r.getMessage() for r in caplog.records)
 
 
 def test_merge_refuses_corrupt_shard(tmp_path):

@@ -152,9 +152,11 @@ def test_serve_piv_burst(server):
     assert status_all == 422
     assert json.loads(body_all)["skipped"] is True
 
-    # mismatched stacks -> 400
+    # mismatched stacks -> 400 (non-vacuous: a 200 must fail the test)
+    status_mm = None
     try:
-        _post(f"{base}/piv", _npz(a=a, b=b[:2]),
-              "application/octet-stream")
+        status_mm, _ = _post(f"{base}/piv", _npz(a=a, b=b[:2]),
+                             "application/octet-stream")
     except urllib.error.HTTPError as e:
-        assert e.code == 400
+        status_mm = e.code
+    assert status_mm == 400

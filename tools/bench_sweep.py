@@ -22,13 +22,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-
 from torchpiv_tpu.models import MultipassPIV, PIVConfig  # noqa: E402
+from torchpiv_tpu.pipeline import build_packed_scan  # noqa: E402
+from torchpiv_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
 from torchpiv_tpu.utils.synthetic import particle_pair  # noqa: E402
+
+enable_compile_cache()
 
 FRAME = (2048, 2048)
 BATCH = int(os.environ.get("BENCH_SWEEP_BATCH", 8))
@@ -55,19 +54,11 @@ CONFIGS = [
 
 
 def build(overrides: dict):
+    # THE production executable (shared builder -> same trace -> same
+    # persistent-cache entry as OfflinePIV/warmup/bench.py; a tuple-output
+    # scan would time a slower non-production graph, see build_packed_scan)
     cfg = PIVConfig(frame_shape=FRAME, **overrides)
-    engine = MultipassPIV(cfg)
-
-    def batched(fa, fb):
-        def step(carry, ab):
-            u, v, inval = engine(ab[0], ab[1])
-            if inval is None:
-                inval = jnp.zeros(u.shape, bool)
-            return carry, (u, v, inval)
-        _, out = jax.lax.scan(step, 0, (fa, fb))
-        return out
-
-    return jax.jit(batched)
+    return build_packed_scan(MultipassPIV(cfg))
 
 
 def main():
@@ -83,20 +74,20 @@ def main():
         try:
             fn = build(overrides)
             t0 = time.perf_counter()
-            out = fn(fa, fb)
+            out = fn(fa, fb)  # packed [B, 3, R, C]
             jax.block_until_ready(out)
             t_compile = time.perf_counter() - t0
             # force the first result before timing (see CLAUDE.md: the
             # first post-compile call must be materialised or repeated
             # identical dispatches can read falsely as ~0 ms)
-            float(np.asarray(out[0]).ravel()[0])
+            float(np.asarray(out).ravel()[0])
             times = []
             for _ in range(REPS):
                 t0 = time.perf_counter()
                 jax.block_until_ready(fn(fa, fb))
                 times.append(time.perf_counter() - t0)
             med = sorted(times)[len(times) // 2]
-            grid = np.asarray(out[0]).shape[-2:]
+            grid = out.shape[-2:]
             rows.append((label, 1000 * med / BATCH, BATCH / med,
                          f"{grid[0]}x{grid[1]}", t_compile))
             print(f"{label:16s} {1000 * med / BATCH:7.2f} ms/pair "

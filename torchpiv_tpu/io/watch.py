@@ -9,12 +9,15 @@ iterator that blocks until new pairs arrive or a stop event fires.
 """
 from __future__ import annotations
 
+import logging
 import os
 import threading
 import time
 from typing import Iterator, List, Optional, Tuple
 
 from ..utils.persistence import natural_keys
+
+log = logging.getLogger("torchpiv_tpu")
 
 
 class WatchMan:
@@ -84,13 +87,21 @@ class StreamingPairSource:
         file_fmt: str,
         poll_interval: float = 0.2,
         idle_timeout: Optional[float] = None,
+        orphan_timeout: Optional[float] = 300.0,
     ):
         self.folder = folder
         self.file_fmt = file_fmt
         self.poll_interval = poll_interval
         self.idle_timeout = idle_timeout
+        # unmatched _a/_b frames are retained across polls so out-of-order
+        # writes can pair up — but not forever: a frame whose mate never
+        # arrives (camera dropped it, file deleted) is evicted after this
+        # many seconds, bounding the pending buffer over long acquisitions.
+        # None = retain forever.
+        self.orphan_timeout = orphan_timeout
         self._seen = self._listing()
         self._pending: List[str] = []
+        self._first_seen: dict = {}
         self._stop = threading.Event()
 
     def _listing(self) -> set:
@@ -107,6 +118,9 @@ class StreamingPairSource:
         listing = self._listing()
         new = sorted(listing - self._seen, key=natural_keys)
         self._seen = listing
+        now = time.monotonic()
+        for name in new:
+            self._first_seen[name] = now
         self._pending.extend(new)
         self._pending.sort(key=natural_keys)
         pairs = []
@@ -133,7 +147,21 @@ class StreamingPairSource:
             # (writes may arrive out of order — img2_a/_b before img1_b)
             keep.append(name)
             i += 1
+        if self.orphan_timeout is not None:
+            aged = [n for n in keep
+                    if now - self._first_seen.get(n, now)
+                    > self.orphan_timeout]
+            if aged:
+                log.warning(
+                    "online: dropping %d unmatched frame(s) older than "
+                    "%.0f s (mate never arrived): %s%s", len(aged),
+                    self.orphan_timeout, os.path.basename(aged[0]),
+                    "" if len(aged) == 1 else ", ...")
+                keep = [n for n in keep if n not in set(aged)]
         self._pending = keep
+        done = set(self._first_seen) - set(keep)
+        for n in done:
+            del self._first_seen[n]
         return pairs
 
     def ready(self) -> List[Tuple[str, str]]:

@@ -187,6 +187,11 @@ class PIVConfig:
             raise ValueError("window size cannot be larger than the image")
         if self.multipass_mode not in ("CWS", "DWS", "DEF"):
             raise ValueError(f"unknown multipass_mode {self.multipass_mode!r}")
+        if self.infill not in ("host", "fused", "none"):
+            # must be closed: the pipelines gate the host NaN+infill tail
+            # on infill == "host", so an unrecognized value would silently
+            # disable validation output instead of erroring
+            raise ValueError(f"unknown infill {self.infill!r}")
         if self.use_pallas not in ("auto", "on", "off"):
             raise ValueError(f"unknown use_pallas {self.use_pallas!r}")
         if self.fused not in ("auto", "split", "on", "off"):

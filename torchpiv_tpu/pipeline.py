@@ -80,11 +80,19 @@ class DeviceMap:
         if platform in ("cpu", "tpu") and (idx == "" or idx.isdigit()):
             try:
                 devs = jax.devices(platform)
-            except RuntimeError:
-                devs = []
+            except RuntimeError as e:
+                raise ValueError(
+                    f"unknown device {name!r}: no {platform} backend "
+                    f"({e})") from None
             i = int(idx) if idx else 0
             if i < len(devs):
                 return devs[i]
+            # error without falling through to the full table — that
+            # would enumerate OTHER platforms' backends, defeating the
+            # touch-only-this-backend guarantee on its own error path
+            raise ValueError(
+                f"unknown device {name!r}: platform {platform} has "
+                f"{len(devs)} device(s)")
         table = DeviceMap.devices()
         if name in table:
             return table[name]

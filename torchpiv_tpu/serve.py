@@ -35,6 +35,7 @@ from __future__ import annotations
 import io
 import json
 import logging
+import os
 import threading
 import time
 from collections import deque
@@ -81,6 +82,10 @@ class PIVService:
         if self._device.platform != "tpu":
             self._settings.setdefault("use_pallas", "off")
         self._engines: Dict[Tuple[int, int], tuple] = {}
+        self._batch_fns: Dict[Tuple[int, int], object] = {}
+        # burst dispatch chunk size: one compiled batch graph per frame
+        # shape (shorter chunks pad up to it)
+        self._scan_b = int(os.environ.get("TPIV_SERVE_SCAN_B", 8))
         self._lock = threading.Lock()  # engine build + dispatch
         self.pairs_served = 0
         self.errors = 0
@@ -112,13 +117,47 @@ class PIVService:
             log.info("serve: compiled engine for frame shape %s", shape)
         return eng_fn
 
+    def _batch_fn_for(self, shape: Tuple[int, int]):
+        """The production packed-scan graph for ``[B,3,R,C]`` dispatch
+        (shared builder -> same trace -> same persistent-cache entry as
+        OfflinePIV/warmup), built lazily per frame shape at the fixed
+        ``self._scan_b`` batch; shorter chunks are padded to it."""
+        fn = self._batch_fns.get(shape)
+        if fn is None:
+            from .pipeline import build_packed_scan
+
+            engine, _ = self._engine_for(shape)
+            fn = build_packed_scan(engine)
+            self._batch_fns[shape] = fn
+        return fn
+
+    def _finalize_pair(self, engine, u, v, inval, t0) -> dict:
+        """Host tail + metrics for one pair's raw device results."""
+        from .pipeline import finalize_fields
+
+        x, y = engine.final_coordinates
+        # same tail gate as OfflinePIV: host NaN+infill for infill="host"
+        # only ("fused" already filled on device, "none" = raw vectors)
+        tail_validates = (self._settings.get("validate", True)
+                          and self._settings.get("infill", "host") == "host")
+        res = finalize_fields(
+            u, v, inval if tail_validates else None,
+            x, y, self._scale, self._dt,
+            static_mask=engine.window_masked[-1])
+        self.latencies_ms.append(1000 * (time.perf_counter() - t0))
+        self.pairs_served += 1
+        if res is None:  # >50% invalid: the reference's skip quirk
+            return {"skipped": True,
+                    "reason": "more than half the vectors are invalid"}
+        rx, ry, ru, rv = res
+        return {"skipped": False, "x": rx, "y": ry, "u": ru, "v": rv,
+                "invalid": np.asarray(inval)}
+
     def analyze(self, frame_a: np.ndarray, frame_b: np.ndarray) -> dict:
         """Run one pair through the (lazily compiled) engine; returns the
         OfflinePIV-contract fields in physical units."""
         import jax
         import jax.numpy as jnp
-
-        from .pipeline import finalize_fields
 
         if frame_a.shape != frame_b.shape or frame_a.ndim != 2:
             raise ValueError(
@@ -132,53 +171,59 @@ class PIVService:
             with jax.default_device(self._device):
                 arr = np.asarray(fn(jnp.asarray(frame_a),
                                     jnp.asarray(frame_b)))
-        u, v, inval = arr[0], arr[1], arr[2] > 0.5
-        x, y = engine.final_coordinates
-        # same tail gate as OfflinePIV: host NaN+infill for infill="host"
-        # only ("fused" already filled on device, "none" = raw vectors)
-        tail_validates = (self._settings.get("validate", True)
-                          and self._settings.get("infill", "host") == "host")
-        res = finalize_fields(
-            u, v, inval if tail_validates else None,
-            x, y, self._scale, self._dt,
-            static_mask=engine.window_masked[-1])
-        ms = 1000 * (time.perf_counter() - t0)
-        self.latencies_ms.append(ms)
-        self.pairs_served += 1
-        if res is None:  # >50% invalid: the reference's skip quirk
-            return {"skipped": True,
-                    "reason": "more than half the vectors are invalid"}
-        rx, ry, ru, rv = res
-        return {"skipped": False, "x": rx, "y": ry, "u": ru, "v": rv,
-                "invalid": np.asarray(inval)}
+        return self._finalize_pair(engine, arr[0], arr[1], arr[2] > 0.5, t0)
 
     def analyze_batch(self, frames_a: np.ndarray,
                       frames_b: np.ndarray) -> dict:
-        """Run a stacked burst ``[B,H,W]`` through the engine — one hot
-        dispatch per pair on the single-pair compiled graph (a per-B
-        batched graph would compile per burst size and bloat the cache).
-        Per-pair skips (the >50%-invalid quirk) become NaN planes plus a
-        ``skipped`` mask instead of failing the whole burst."""
+        """Run a stacked burst ``[B,H,W]`` through the production packed
+        scan in fixed-size chunks (the last chunk padded by repeating its
+        final pair — one compiled batch graph per frame shape, not per
+        burst size, and one output buffer per dispatch instead of per
+        pair).  Per-pair skips (the >50%-invalid quirk) become NaN planes
+        plus a ``skipped_pairs`` mask instead of failing the whole burst."""
+        import jax
+        import jax.numpy as jnp
+
         if (frames_a.shape != frames_b.shape or frames_a.ndim != 3
                 or frames_a.shape[0] == 0):
             raise ValueError(
                 f"expected two matching non-empty [B,H,W] stacks, got "
                 f"{frames_a.shape} vs {frames_b.shape}")
+        frames_a = np.asarray(frames_a, dtype=np.uint8)
+        frames_b = np.asarray(frames_b, dtype=np.uint8)
         us, vs, invs, skipped = [], [], [], []
         x = y = None
-        for fa, fb in zip(frames_a, frames_b):
-            res = self.analyze(fa, fb)
-            if res["skipped"]:
-                skipped.append(True)
-                us.append(None)  # shape known only from a kept pair
-                vs.append(None)
-                invs.append(None)
-            else:
-                skipped.append(False)
-                x, y = res["x"], res["y"]
-                us.append(res["u"])
-                vs.append(res["v"])
-                invs.append(res["invalid"])
+        B = self._scan_b
+        for start in range(0, frames_a.shape[0], B):
+            chunk_a = frames_a[start:start + B]
+            chunk_b = frames_b[start:start + B]
+            n = chunk_a.shape[0]
+            if n < B:  # pad to the fixed jit shape; padded outputs dropped
+                pad = np.repeat(chunk_a[-1:], B - n, axis=0)
+                chunk_a = np.concatenate([chunk_a, pad])
+                chunk_b = np.concatenate(
+                    [chunk_b, np.repeat(chunk_b[-1:], B - n, axis=0)])
+            t0 = time.perf_counter()
+            with self._lock:
+                engine, _ = self._engine_for(chunk_a.shape[1:])
+                fn = self._batch_fn_for(chunk_a.shape[1:])
+                with jax.default_device(self._device):
+                    arr = np.asarray(fn(jnp.asarray(chunk_a),
+                                        jnp.asarray(chunk_b)))
+            for i in range(n):
+                res = self._finalize_pair(
+                    engine, arr[i, 0], arr[i, 1], arr[i, 2] > 0.5, t0)
+                if res["skipped"]:
+                    skipped.append(True)
+                    us.append(None)  # shape known only from a kept pair
+                    vs.append(None)
+                    invs.append(None)
+                else:
+                    skipped.append(False)
+                    x, y = res["x"], res["y"]
+                    us.append(res["u"])
+                    vs.append(res["v"])
+                    invs.append(res["invalid"])
         if x is None:  # every pair skipped
             return {"skipped": True,
                     "reason": "every pair in the burst was skipped "

@@ -71,9 +71,11 @@ def load_checkpoint(
     except Exception as e:
         import logging
 
+        # what happens next is the caller's call (PIVRunner reruns from
+        # scratch; merge_checkpoints refuses the merge) — don't promise
+        # either here
         logging.getLogger("torchpiv_tpu").warning(
-            "checkpoint %s unreadable (%s) — starting from scratch",
-            path, e)
+            "checkpoint %s unreadable (%s) — treating as absent", path, e)
         return None
 
 
