@@ -160,3 +160,45 @@ def test_serve_piv_burst(server):
     except urllib.error.HTTPError as e:
         status_mm = e.code
     assert status_mm == 400
+
+
+def test_client_roundtrip(server, tmp_path):
+    """PIVClient: the acquisition-machine wrapper — single pair, burst,
+    file pair, skip -> None, error -> PIVServerError, ops endpoints."""
+    from torchpiv_tpu.client import PIVClient, PIVServerError
+    from torchpiv_tpu.io.decode import imwrite_gray
+
+    base, service = server
+    c = PIVClient(base)
+    fa, fb = particle_pair((128, 128), displacement=(2.0, 1.0), seed=12)
+
+    res = c.analyze(fa, fb)
+    assert res is not None
+    x, y, u, v, invalid = res
+    assert abs(np.nanmean(u[~invalid]) - 2000) < 120
+
+    burst = c.analyze_burst(np.stack([fa, fa]), np.stack([fb, fb]))
+    assert burst["u"].shape[0] == 2
+    assert list(burst["skipped_pairs"]) == [False, False]
+    # scan vs single-pair graph: different fusions, last-ulp f32 drift
+    np.testing.assert_allclose(burst["u"][0], u, atol=0.01)
+
+    pa, pb = str(tmp_path / "a.bmp"), str(tmp_path / "b.bmp")
+    imwrite_gray(pa, fa)
+    imwrite_gray(pb, fb)
+    xf, yf, uf, vf, invf = c.analyze_files(pa, pb)
+    np.testing.assert_allclose(uf, u, atol=1e-6)
+
+    # the skip quirk -> None, like OfflinePIV not yielding the pair
+    z = np.zeros_like(fa)
+    assert c.analyze(z, z) is None
+
+    with pytest.raises(PIVServerError) as ei:
+        c.analyze(fa, fb[:64])  # mismatched shapes
+    assert ei.value.status == 400
+    with pytest.raises(ValueError):
+        c.analyze_burst(fa, fb)  # not stacked
+
+    assert c.health()["ok"] is True
+    assert c.config()["wind_size"] == 32
+    assert "piv_pairs_served" in c.metrics() or "pairs" in c.metrics()

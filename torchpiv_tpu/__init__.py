@@ -13,7 +13,7 @@ __version__ = "0.2.0"
 from .models import MultipassPIV, PIVConfig, PTV  # noqa: F401
 
 __all__ = ["MultipassPIV", "PIVConfig", "PTV", "OfflinePIV", "OnlinePIV",
-           "runGUI"]
+           "PIVClient", "runGUI"]
 
 
 def __getattr__(name):
@@ -23,6 +23,10 @@ def __getattr__(name):
         from . import pipeline
 
         return getattr(pipeline, name)
+    if name == "PIVClient":
+        from .client import PIVClient
+
+        return PIVClient
     if name == "runGUI":
         from .gui import runGUI
 
