@@ -101,6 +101,30 @@ def main():
     for label, ms, pps, grid, _ in rows:
         print(f"| {label} | {ms:.2f} | {pps:.1f} | {grid} |")
 
+    # batch sweep on the headline config: how much per-dispatch overhead
+    # remains at each scan batch (same engine, same process)
+    if os.environ.get("BENCH_SWEEP_BATCHES", "1") != "0":
+        fn = build(dict(wind_size=64, overlap=32, multipass=2,
+                        multipass_mode="CWS"))
+        print("\n| scan batch | ms/pair | pairs/s |")
+        print("|---|---|---|")
+        for b in (4, 8, 16, 32):
+            ba = jnp.asarray(np.stack(
+                [pairs[i % 4][0] for i in range(b)]))
+            bb = jnp.asarray(np.stack(
+                [pairs[i % 4][1] for i in range(b)]))
+            out = fn(ba, bb)
+            jax.block_until_ready(out)
+            float(np.asarray(out).ravel()[0])  # force first result
+            times = []
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn(ba, bb))
+                times.append(time.perf_counter() - t0)
+            med = sorted(times)[len(times) // 2]
+            print(f"| {b} | {1000 * med / b:.2f} | {b / med:.1f} |",
+                  flush=True)
+
 
 if __name__ == "__main__":
     main()
