@@ -254,3 +254,51 @@ def test_reference_drops_fully_valid_pairs_we_dont(ref, tmp_path):
     assert len(list(ref.OfflinePIV(str(tmp_path), device="cpu", **kw)())) == 0
     out = list(OfflinePIV(str(tmp_path), device="cpu", **kw)())
     assert len(out) == 1 and np.isfinite(out[0][2]).all()
+
+
+def test_offline_pipeline_dws_sequential_matches_reference(ref, tmp_path):
+    """END-TO-END anchor #2: DWS multipass mode + sequential folder mode
+    ((0,1),(1,2),... pairing) — the other half of the reference's
+    OfflinePIV configuration space (PIVbackend.py:824-837), previously
+    covered only at the per-iteration unit level."""
+    import torch  # noqa: F401  (fixture guarantees availability)
+
+    from torchpiv_tpu.io.decode import imwrite_gray
+    from torchpiv_tpu.pipeline import OfflinePIV
+
+    # three frames of one ADVECTING particle field -> two genuine
+    # sequential pairs; a dead strip so validation/infill runs in both
+    from torchpiv_tpu.utils.synthetic import render_particles
+
+    H = W = 256
+    rng = np.random.default_rng(41)
+    n = int(0.02 * H * W)
+    xs = rng.uniform(-16, W + 16, n)
+    ys = rng.uniform(-16, H + 16, n)
+    inten = rng.uniform(100, 220, n)
+    for i in range(3):
+        f = render_particles((H, W), xs + 3.3 * i, ys - 2.1 * i, inten, 2.5)
+        f = np.clip(f + 8 + rng.normal(0, 2.0, f.shape), 0, 255
+                    ).astype(np.uint8)
+        f[:72, :72] = 8
+        imwrite_gray(str(tmp_path / f"s{i}.bmp"), f)
+
+    kw = dict(file_fmt=".bmp", wind_size=64, overlap=32, multipass=2,
+              multipass_mode="DWS", dt=1.0, scale=1.0,
+              folder_mode="sequential")
+    ref_out = list(ref.OfflinePIV(str(tmp_path), device="cpu", **kw)())
+    our_out = list(OfflinePIV(str(tmp_path), device="cpu", **kw)())
+    assert len(ref_out) == len(our_out) == 2
+    for (rx, ry, ru, rv), (ox, oy, ou, ov) in zip(ref_out, our_out):
+        np.testing.assert_allclose(ox, np.asarray(rx), atol=1e-6)
+        np.testing.assert_allclose(oy, np.asarray(ry), atol=1e-6)
+        for got, want in ((ou, ru), (ov, rv)):
+            got = np.asarray(got, dtype=np.float64)
+            want = np.asarray(want, dtype=np.float64)
+            assert np.isnan(got).sum() == np.isnan(want).sum() == 0
+            # same tolerance structure as the CWS end-to-end anchor: the
+            # dead-strip windows sit on the validation threshold and are
+            # infilled (legitimately different); measured vectors tight
+            d = np.abs(got - want)
+            assert np.quantile(d, 0.9) < 0.01, "measured-vector parity"
+            assert (d > 0.01).mean() < 0.08, f"{(d > 0.01).mean():.1%}"
