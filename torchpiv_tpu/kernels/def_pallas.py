@@ -71,7 +71,13 @@ def def_pallas_supported(wind_size: int, margin: int = 2,
 
 
 def _def_kernel(
-    # scalar prefetch (SMEM):
+    # row0: scalar prefetch (SMEM).  The eight per-window maps (shift
+    # int/frac parts + four gradients) are row-blocked SMEM operands when
+    # maps_rows (default): one (1, n_cols) row of each arrives per grid
+    # step, so SMEM holds 8*n_cols scalars.  Whole-array scalar prefetch
+    # (maps_rows=False, legacy) needs 8 * n_rows * n_cols * 4 B resident —
+    # 2.08 MB at a 255x255 grid, over the 1 MB SMEM budget (w32/o16 DEF
+    # on a 4 MP frame failed to compile).
     row0_ref, dy_ref, dx_ref, fy_ref, fx_ref,
     gyi_ref, gyj_ref, gxi_ref, gxj_ref,
     # inputs:
@@ -82,7 +88,7 @@ def _def_kernel(
     band, band_sem,
     *,
     H: int, W: int, Wp: int, w: int, step: int, S: int, n_cols: int,
-    OFF: int, M: int, cubic: bool = False,
+    OFF: int, M: int, cubic: bool = False, maps_rows: bool = True,
 ):
     r = pl.program_id(0)
     n_rows = pl.num_programs(0)
@@ -141,9 +147,15 @@ def _def_kernel(
         w_out = a_c * ad ** 3 - 5 * a_c * ad ** 2 + 8 * a_c * ad - 4 * a_c
         return jnp.where(ad <= 1.0, w_in, jnp.where(ad < 2.0, w_out, 0.0))
 
+    def mget(ref, c):
+        # Row-blocked maps are [n_rows, 1, n_cols] blocked (1, 1, n_cols)
+        # (3-D because Mosaic requires the LAST TWO block dims to divide
+        # (8, 128) or equal the array dims); the block carries only row r.
+        return ref[0, 0, c] if maps_rows else ref[r, c]
+
     def body(c):
-        dy = dy_ref[r, c]
-        dx = dx_ref[r, c]
+        dy = mget(dy_ref, c)
+        dx = mget(dx_ref, c)
         ty = jnp.clip((rg0 + r) * step + OFF + dy - BASE, 0, H - T) - by0
         tx = jnp.clip(c * step + OFF + dx - BASE, 0, W - T)
         t8 = pl.multiple_of((ty // 8) * 8, 8)
@@ -157,8 +169,10 @@ def _def_kernel(
 
         # per-pixel residual sample positions, in [0, 2M+1) relative to the
         # bilinear tile origin (the cubic tile starts one pixel earlier)
-        ry = (M + fy_ref[r, c]) + gyi_ref[r, c] * ioff + gyj_ref[r, c] * joff
-        rx = (M + fx_ref[r, c]) + gxi_ref[r, c] * ioff + gxj_ref[r, c] * joff
+        ry = (M + mget(fy_ref, c)) + mget(gyi_ref, c) * ioff \
+            + mget(gyj_ref, c) * joff
+        rx = (M + mget(fx_ref, c)) + mget(gxi_ref, c) * ioff \
+            + mget(gxj_ref, c) * joff
         ry = jnp.clip(ry, 0.0, hi)
         rx = jnp.clip(rx, 0.0, hi)
         if not cubic:
@@ -195,6 +209,7 @@ def _def_kernel(
     static_argnames=(
         "wind_size", "overlap", "frame_shape", "max_shift", "margin",
         "interpret", "flat_wrap", "n_rows_local", "interp", "out_dtype",
+        "maps",
     ),
 )
 def def_windows_pallas(
@@ -217,6 +232,7 @@ def def_windows_pallas(
     n_rows_local: int | None = None,
     interp: str = "bilinear",
     out_dtype=jnp.float32,
+    maps: str = "rows",
 ) -> jnp.ndarray:
     """Deforming-window resampling of all interrogation windows.
 
@@ -229,6 +245,11 @@ def def_windows_pallas(
         in-window pixel offsets from the window center — exactly the
         dense field the XLA DEF branch builds (models/multipass.py).
       margin: M — per-pixel residual saturation (see module docstring).
+      maps: "rows" (default) streams the eight per-window maps into SMEM
+        one (1, n_cols) row block per grid step, so any vector-grid size
+        compiles; "prefetch" is the legacy whole-array scalar prefetch
+        (8 maps resident in SMEM — overflows the 1 MB budget at
+        >=181x181 grids; kept for A/B timing).
 
     ``out_dtype``: store element type (see shift_windows_pallas — bf16
     is bit-identical when the consumer is the single-pass bf16 DFT and
@@ -286,27 +307,45 @@ def def_windows_pallas(
     if (Hp, Wp) != (H, W):
         frame = jnp.pad(frame, ((0, Hp - H), (0, Wp - W)))
 
+    maps_rows = maps == "rows"
     kernel = functools.partial(
         _def_kernel,
         H=H, W=W, Wp=Wp, w=w, step=step, S=S, n_cols=n_cols, OFF=OFF, M=M,
-        cubic=cubic,
+        cubic=cubic, maps_rows=maps_rows,
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=9,
-        grid=(n_rows,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(
-            (1, n_cols, w, w),
-            lambda r, *_: (r, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            # +16 rows: aligned row-block loads may read past the band tail
-            pltpu.VMEM((2, BH + 16, Wp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+    out_spec = pl.BlockSpec(
+        (1, n_cols, w, w),
+        lambda r, *_: (r, 0, 0, 0),
+        memory_space=pltpu.VMEM,
     )
-    out = pl.pallas_call(
+    scratch = [
+        # +16 rows: aligned row-block loads may read past the band tail
+        pltpu.VMEM((2, BH + 16, Wp), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if maps_rows:
+        # eight row-blocked SMEM map operands (~8 KB/step at a 255-wide
+        # grid) + the frame in ANY; only row0 stays scalar-prefetched.
+        # 3-D maps: Mosaic requires the last TWO block dims to divide
+        # (8, 128) or equal the array dims — see shift_pallas.
+        map_spec = pl.BlockSpec((1, 1, n_cols), lambda r, *_: (r, 0, 0),
+                                memory_space=pltpu.SMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_rows,),
+            in_specs=[map_spec] * 8 + [pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=out_spec,
+            scratch_shapes=scratch,
+        )
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=9,
+            grid=(n_rows,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=out_spec,
+            scratch_shapes=scratch,
+        )
+    call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_rows, n_cols, w, w), out_dtype),
         grid_spec=grid_spec,
@@ -318,16 +357,18 @@ def def_windows_pallas(
                                + n_rows * n_cols * w * w * 4),
             transcendentals=0,
         ),
-    )(
+    )
+    mshape = (n_rows, 1, n_cols) if maps_rows else (n_rows, n_cols)
+    out = call(
         jnp.asarray(row_start, jnp.int32).reshape(1),
-        dy.astype(jnp.int32),
-        dx.astype(jnp.int32),
-        vy - dy,
-        vx - dx,
-        grid2(dvdy),
-        grid2(dvdx),
-        grid2(dudy),
-        grid2(dudx),
+        dy.astype(jnp.int32).reshape(mshape),
+        dx.astype(jnp.int32).reshape(mshape),
+        (vy - dy).reshape(mshape),
+        (vx - dx).reshape(mshape),
+        grid2(dvdy).reshape(mshape),
+        grid2(dvdx).reshape(mshape),
+        grid2(dudy).reshape(mshape),
+        grid2(dudx).reshape(mshape),
         frame,
     )
     return out.reshape(n_rows * n_cols, w, w)

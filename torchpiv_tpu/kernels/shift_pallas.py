@@ -42,7 +42,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _shift_kernel(
-    # scalar prefetch (SMEM):
+    # row0: scalar prefetch (SMEM).  dy/dx/fy/fx: per-window shift maps —
+    # row-blocked SMEM operands (maps_rows=True, the default: block
+    # (1, n_cols) of row r arrives per grid step, so SMEM holds 4*n_cols
+    # scalars instead of the whole [n_rows, n_cols] maps; whole-array
+    # scalar prefetch overflows the 1 MB SMEM at >=255x255 vector grids —
+    # 4 x 260 KB — which is exactly the production w32/o16 grid on a 4 MP
+    # frame) or legacy whole-array scalar prefetch (maps_rows=False).
     row0_ref, dy_ref, dx_ref, fy_ref, fx_ref,
     # inputs:
     frame_hbm,
@@ -53,6 +59,7 @@ def _shift_kernel(
     *,
     H: int, W: int, Wp: int, w: int, step: int, S: int, n_cols: int,
     OFF: int, packed: bool = False, n_cols_pad: int = 0,
+    maps_rows: bool = True,
 ):
     # H/W are the *kernel-view* frame dims (includes any flat-wrap padding);
     # OFF is the window-origin offset into that view.  packed=True stores
@@ -95,12 +102,18 @@ def _shift_kernel(
     slot = r % 2
     by0 = band_origin(r)
 
+    def mget(ref, c):
+        # Row-blocked maps are [n_rows, 1, n_cols] blocked (1, 1, n_cols)
+        # (3-D because Mosaic requires the LAST TWO block dims to divide
+        # (8, 128) or equal the array dims); the block carries only row r.
+        return ref[0, 0, c] if maps_rows else ref[r, c]
+
     def body(c):
         cc = min(c, n_cols - 1)  # packed pad columns duplicate the last
-        dy = dy_ref[r, cc]
-        dx = dx_ref[r, cc]
-        fy = fy_ref[r, cc]
-        fx = fx_ref[r, cc]
+        dy = mget(dy_ref, cc)
+        dx = mget(dx_ref, cc)
+        fy = mget(fy_ref, cc)
+        fx = mget(fx_ref, cc)
         ty = jnp.clip((rg0 + r) * step + OFF + dy, 0, H - (w + 1)) - by0
         tx = jnp.clip(cc * step + OFF + dx, 0, W - (w + 1))
 
@@ -150,7 +163,9 @@ def _shift_kernel(
 
 
 def _shift_kernel_bicubic(
-    # scalar prefetch (SMEM):
+    # row0: scalar prefetch; dy/dx/fy/fx: row-blocked SMEM maps when
+    # maps_rows (default — see _shift_kernel's note on the 1 MB SMEM
+    # budget), legacy whole-array scalar prefetch otherwise.
     row0_ref, dy_ref, dx_ref, fy_ref, fx_ref,
     # inputs:
     frame_hbm,
@@ -160,7 +175,7 @@ def _shift_kernel_bicubic(
     band, band_sem,
     *,
     H: int, W: int, Wp: int, w: int, step: int, S: int, n_cols: int,
-    OFF: int,
+    OFF: int, maps_rows: bool = True,
 ):
     """Bicubic (cubic-convolution, a = -0.5) per-window shift.
 
@@ -218,11 +233,15 @@ def _shift_kernel_bicubic(
         w3 = a * d3 ** 3 - 5 * a * d3 ** 2 + 8 * a * d3 - 4 * a
         return (w0, w1, w2, w3)
 
+    def mget(ref, c):
+        # see _shift_kernel.mget: row-blocked maps are [n_rows, 1, n_cols]
+        return ref[0, 0, c] if maps_rows else ref[r, c]
+
     def body(c):
-        dy = dy_ref[r, c]
-        dx = dx_ref[r, c]
-        fy = fy_ref[r, c]
-        fx = fx_ref[r, c]
+        dy = mget(dy_ref, c)
+        dx = mget(dx_ref, c)
+        fy = mget(fy_ref, c)
+        fx = mget(fx_ref, c)
         # tile origin = window origin + floor(shift) - 1 (stencil margin)
         ty = jnp.clip((rg0 + r) * step + OFF + dy - 1, 0, H - T) - by0
         tx = jnp.clip(c * step + OFF + dx - 1, 0, W - T)
@@ -295,7 +314,7 @@ def shift_pallas_supported(wind_size: int, interp: str = "bilinear") -> bool:
     static_argnames=(
         "wind_size", "overlap", "frame_shape", "max_shift", "interpret",
         "flat_wrap", "variant", "n_rows_local", "packed", "interp",
-        "out_dtype",
+        "out_dtype", "maps",
     ),
 )
 def shift_windows_pallas(
@@ -315,6 +334,7 @@ def shift_windows_pallas(
     packed: bool = False,
     interp: str = "bilinear",
     out_dtype=jnp.float32,
+    maps: str = "rows",
 ) -> jnp.ndarray:
     """Bilinear (CWS) per-window shift of all interrogation windows.
 
@@ -339,6 +359,15 @@ def shift_windows_pallas(
         ``[c*w, (c+1)*w)``, tail lanes duplicating the last window) instead
         of ``[N, w, w]`` — avoids every XLA layout copy between the shift
         and the correlator.  "rolls" variant only.
+      maps: how the per-window shift maps reach SMEM.  "rows" (default)
+        streams one ``(1, n_cols)`` row block per grid step — SMEM holds
+        ``4 * n_cols`` scalars, so any vector-grid size compiles.
+        "prefetch" is the legacy whole-array scalar prefetch: all four
+        ``[n_rows, n_cols]`` maps resident in SMEM, which EXCEEDS the
+        1 MB SMEM budget at >=255x255 grids (w32/o16 on a 4 MP frame
+        fails to compile: 4 x 260 KB + spill).  Kept for A/B timing;
+        the experimental variants (phases/bf16/mxu/lanephases) always
+        use it (their bodies predate the row-blocked layout).
 
     ``out_dtype``: element type of the KERNEL's stores (f32 default).
     bfloat16 halves the kernel's HBM store traffic; pass it when the
@@ -435,10 +464,15 @@ def shift_windows_pallas(
                             else _sv._shift_kernel_mxu)))
     else:
         body = _shift_kernel_bicubic if cubic else _shift_kernel
+    # Experimental variant bodies predate the row-blocked map layout and
+    # index the maps by grid row — force the legacy layout for them.
+    maps_rows = maps == "rows" and not (phases or bf16 or mxu or lanephases)
     kernel = functools.partial(
         body,
         H=H, W=W, Wp=Wp, w=w, step=step, S=S, n_cols=n_cols, OFF=OFF,
         **({"packed": True, "n_cols_pad": n_groups * G} if packed else {}),
+        **({} if (phases or bf16 or mxu or lanephases)
+           else {"maps_rows": maps_rows}),
     )
     if mxu:
         scratch = [
@@ -476,14 +510,33 @@ def shift_windows_pallas(
         out_spec = pl.BlockSpec((1, n_cols, w, w), lambda r, *_: (r, 0, 0, 0),
                                 memory_space=pltpu.VMEM)
         out_sds = jax.ShapeDtypeStruct((n_rows, n_cols, w, w), out_dtype)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
-        grid=(n_rows,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=out_spec,
-        scratch_shapes=scratch,
-    )
-    out = pl.pallas_call(
+    if maps_rows:
+        # dy/dx/fy/fx as row-blocked SMEM operands: the pipeline stages one
+        # (1, 1, n_cols) row of each map into SMEM per grid step (~4 KB at
+        # a 255-wide grid), so the kernel compiles for ANY vector-grid
+        # size; only row0 (the sharded row-block offset) stays
+        # scalar-prefetched.  3-D maps because Mosaic requires the last
+        # TWO block dims to divide (8, 128) or equal the array dims — the
+        # (1, n_cols) block of a 2-D [n_rows, n_cols] map violates that
+        # on the row dim; (1, n_cols) of [1, n_cols] is exact.
+        map_spec = pl.BlockSpec((1, 1, n_cols), lambda r, *_: (r, 0, 0),
+                                memory_space=pltpu.SMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_rows,),
+            in_specs=[map_spec] * 4 + [pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=out_spec,
+            scratch_shapes=scratch,
+        )
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(n_rows,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=out_spec,
+            scratch_shapes=scratch,
+        )
+    call = pl.pallas_call(
         kernel,
         out_shape=out_sds,
         grid_spec=grid_spec,
@@ -493,12 +546,14 @@ def shift_windows_pallas(
             bytes_accessed=n_rows * BH * W * 4 + n_rows * n_cols * w * w * 4,
             transcendentals=0,
         ),
-    )(
+    )
+    mshape = (n_rows, 1, n_cols) if maps_rows else (n_rows, n_cols)
+    out = call(
         jnp.asarray(row_start, jnp.int32).reshape(1),
-        dy.astype(jnp.int32),
-        dx.astype(jnp.int32),
-        fy,
-        fx,
+        dy.astype(jnp.int32).reshape(mshape),
+        dx.astype(jnp.int32).reshape(mshape),
+        fy.reshape(mshape),
+        fx.reshape(mshape),
         frame,
     )
     if packed:

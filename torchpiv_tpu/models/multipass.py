@@ -72,6 +72,12 @@ class PIVConfig:
     # shift-kernel variant: "rolls" (f32 band) | "bf16" (half-width band,
     # two row phases, i32-bitcast rotates) | "phases" (16-phase bf16 table)
     shift_variant: str = "rolls"
+    # How the kernels' per-window shift maps reach SMEM: "rows" streams a
+    # (1, n_cols) block per grid step (any vector-grid size compiles);
+    # "prefetch" is the legacy whole-array scalar prefetch, which overflows
+    # the 1 MB SMEM at >=255x255 grids (kept for A/B timing; rolls/bicubic/
+    # DEF kernels only — experimental shift variants always use prefetch).
+    shift_maps: str = "rows"  # "rows" | "prefetch"
     # "matmul" computes the window DFTs as dense MXU matmuls (fastest on
     # TPU, ~1e-6 relative difference vs FFT); "fft" uses jnp.fft; "auto"
     # picks matmul on TPU backends.
@@ -237,6 +243,8 @@ class PIVConfig:
         if self.extract_variant not in ("stack", "tilemajor"):
             raise ValueError(
                 f"unknown extract_variant {self.extract_variant!r}")
+        if self.shift_maps not in ("rows", "prefetch"):
+            raise ValueError(f"unknown shift_maps {self.shift_maps!r}")
         if not 1 <= self.def_margin <= 8:
             raise ValueError("def_margin must be in [1, 8]")
         for name, lim in (("u_limits", self.u_limits),
@@ -484,6 +492,7 @@ class MultipassPIV:
                 interpret=cfg.pallas_interpret,
                 flat_wrap=cfg.edge_exact,
                 packed=True,
+                maps=cfg.shift_maps,
             )
         if mode == "DWS":
             vel_x = vel_x.astype(jnp.int32)
@@ -568,6 +577,7 @@ class MultipassPIV:
             interp="bicubic" if bicubic else "bilinear",
             out_dtype=(self._window_store_dtype()
                        if cfg.shift_variant == "rolls" else jnp.float32),
+            maps=cfg.shift_maps,
         )
 
     # -- public static info ------------------------------------------------
@@ -735,6 +745,7 @@ class MultipassPIV:
                     interpret=cfg.pallas_interpret, flat_wrap=cfg.edge_exact,
                     interp=cfg.cws_interp,
                     out_dtype=self._window_store_dtype(),
+                    maps=cfg.shift_maps,
                 )
 
                 def flatg(x):
