@@ -15,14 +15,27 @@ cache-key components (jax._src.cache_key.get):
   topology | compression | custom_hook
 
 This probe compiles a SMALL production graph (256x256 frame — seconds,
-not minutes) while logging each component's digest, in two styles:
+not minutes) while logging each component's digest, in four styles:
 
   A. plain dispatch (bench.py headline style: uncommitted device args)
-  B. feeder style (OfflinePIV: inside ``jax.default_device(dev)`` with
-     ``device_put``-committed args)
+  B. feeder style (pre-fix OfflinePIV: inside ``jax.default_device``
+     with ``device_put``-committed args)
+  C. plain again, fresh jit object (in-process key stability)
+  D. AOT: ``.lower(ShapeDtypeStruct).compile()`` (post-fix OfflinePIV)
+     + a dispatch of committed arrays through the compiled object
 
 Run it twice in fresh processes and diff the outputs: a component whose
-digest changes across runs (or between A and B) is the culprit.
+digest changes across runs (or between styles) is a culprit.
+
+FINDINGS (Aug 19): (1) committed args annotate the module with
+``sdy.sharding``/``sdy.mesh`` attrs -> B's computation AND
+compile_options digests differ from A's, so warmup (plain) never warmed
+production (feeder).  (2) the Mosaic custom-call payload embeds source
+FILE PATHS, so the same kernel imported via a different sys.path string
+(e.g. an unnormalized ``tools/..``) serializes differently -> fresh
+processes missed each other's entries.  Fixes: AOT style D in
+``OfflinePIV._build_engine`` (same key as A/warmup/bench), and
+abspath-normalized tool bootstraps.
 
 Output: one JSON line with the component digests per compile + the
 platform_version string; human detail on stderr.
@@ -37,7 +50,7 @@ import re
 import sys
 
 # Run fine from a fresh checkout with no editable install.
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/torchpiv_jaxcache")
 
@@ -125,6 +138,28 @@ def main() -> None:
     fn_c = build_packed_scan(engine)
     np.asarray(fn_c(fa, fa))
     record("C_plain_again")
+
+    # D: AOT style (what OfflinePIV._build_engine does since the fix):
+    # lower from abstract shapes — no committed args, so no sdy.sharding
+    # annotations — and compile explicitly.  Expected: same key as A.
+    fn_d = build_packed_scan(engine)
+    sds = jax.ShapeDtypeStruct((BATCH, *FRAME), jnp.uint8)
+    compiled = fn_d.lower(sds, sds).compile()
+    record("D_aot")
+    # the compiled object must accept feeder-style committed arrays
+    with jax.default_device(dev):
+        fb2 = jax.device_put(a, dev)
+        np.asarray(compiled(fb2, fb2))
+    record("D_aot_dispatch_committed")
+
+    # E: AOT inside a default_device context naming the SAME device —
+    # does the context alone change the key?  (OfflinePIV must honor a
+    # non-default target device; if E's key == D's we can wrap
+    # unconditionally.)
+    fn_e = build_packed_scan(engine)
+    with jax.default_device(dev):
+        fn_e.lower(sds, sds).compile()
+    record("E_aot_in_device_ctx")
 
     print(json.dumps({
         "metric": "cachekey_probe",

@@ -10,7 +10,7 @@ import sys
 
 # Run fine from a fresh checkout with no editable install (tools/ is not
 # on sys.path when invoked as `python tools/<name>.py`).
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/torchpiv_jaxcache")
 
