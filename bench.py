@@ -35,9 +35,10 @@ import numpy as np  # noqa: E402
 
 BASELINE_PAIRS_PER_SEC = 6.7  # reference README: 4000 pairs / <10 min
 FRAME = (2048, 2048)  # 4 MP
-# batch 16 amortises the per-dispatch tunnel/launch overhead (~2 ms/pair at
-# batch 8, ~1 ms/pair at 16; production hosts see far less of it).
-BATCH = int(os.environ.get("BENCH_BATCH", 16))
+# batch 32 amortises the per-dispatch tunnel/launch overhead (one-process
+# scan-batch sweep, Aug 19: 14.63/11.21/9.68/8.88 ms/pair at 4/8/16/32 —
+# tools/bench_sweep.py; r2 ran at 16).  Input residency: 32 pairs = 512 MB.
+BATCH = int(os.environ.get("BENCH_BATCH", 32))
 UNIQUE_PAIRS = int(os.environ.get("BENCH_UNIQUE", 4))
 BENCH_PAIRS = int(os.environ.get("BENCH_PAIRS", 96))
 # median-of-N steady state; 5 reps because the shared axon chip/tunnel
@@ -209,6 +210,7 @@ def main():
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 2),
+        "scan_batch": BATCH,
     }
     if os.environ.get("BENCH_PIPELINE", "1") != "0":
         try:
