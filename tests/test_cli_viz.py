@@ -402,6 +402,20 @@ def test_doctor_reports_all_checks(capsys, monkeypatch, tmp_path):
     assert "= truth (3.3, -2.1)" in out
 
 
+def test_doctor_cache_roundtrip(capsys, monkeypatch, tmp_path):
+    """--cache proves cross-process deserialization: two fresh
+    subprocesses compile the same probe graph; the first writes the
+    persistent-cache entry, the second must HIT it (the round-4 failure
+    mode was every process writing a new key — tools/cachekey_probe.py)."""
+    monkeypatch.setenv("TORCHPIV_CACHE_DIR", str(tmp_path / "cache"))
+    rc = cli_main(["doctor", "--device", "cpu", "--no-engine",
+                   "--bandwidth-mb", "1", "--cache"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "cache round-trip" in out
+    assert "first: wrote, second: cache hit" in out
+
+
 def test_doctor_no_engine_and_failure_exit(capsys, monkeypatch, tmp_path):
     """--no-engine skips the smoke test; a failing check flips the exit
     code and is named in the summary."""

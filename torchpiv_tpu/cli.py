@@ -373,7 +373,8 @@ def cmd_doctor(args) -> int:
 
     results = run_doctor(device=args.device,
                          engine_check=not args.no_engine,
-                         bandwidth_mb=args.bandwidth_mb)
+                         bandwidth_mb=args.bandwidth_mb,
+                         cache_roundtrip=args.cache)
     print(format_report(results))
     return 0 if all(r["ok"] for r in results) else 1
 
@@ -1859,6 +1860,10 @@ def build_parser() -> argparse.ArgumentParser:
                        help="skip the engine smoke test (fast, no compile)")
     p_doc.add_argument("--bandwidth-mb", type=int, default=64,
                        help="host->device probe size in MB")
+    p_doc.add_argument("--cache", action="store_true",
+                       help="also prove cross-process compile-cache "
+                            "round-trip (two fresh subprocesses; the "
+                            "second must deserialize)")
     p_doc.set_defaults(fn=cmd_doctor)
 
     p_warm = sub.add_parser(

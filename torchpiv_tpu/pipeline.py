@@ -362,8 +362,17 @@ class OfflinePIV:
         if ex is None:
             sds = jax.ShapeDtypeStruct(
                 (batch, *self._engine.config.frame_shape), jnp.uint8)
-            with jax.default_device(self._device):
+            # A default_device context changes the lowered module (device
+            # placement attrs) and therefore the persistent-cache key even
+            # for the process-default device (measured on the TPU backend:
+            # cachekey_probe stages A vs E) — lower plainly for the
+            # default device so the key matches `tpiv warmup`/bench, and
+            # only enter the context for an explicit non-default target.
+            if self._device == jax.devices()[0]:
                 ex = self._batched_fn.lower(sds, sds).compile()
+            else:
+                with jax.default_device(self._device):
+                    ex = self._batched_fn.lower(sds, sds).compile()
             self._aot_compiled[batch] = ex
         return ex
 

@@ -30,7 +30,8 @@ def _check(results: List[dict], name: str, fn: Callable[[], str]):
 
 
 def run_doctor(device: str = "auto", engine_check: bool = True,
-               bandwidth_mb: int = 64) -> List[dict]:
+               bandwidth_mb: int = 64,
+               cache_roundtrip: bool = False) -> List[dict]:
     """Run all checks; returns a list of
     ``{name, ok, detail, seconds}`` dicts (order = execution order).
 
@@ -42,6 +43,8 @@ def run_doctor(device: str = "auto", engine_check: bool = True,
     (cache, native decoder) still run.  The probing thread is left to
     finish naturally (interrupting a mid-setup device connection can
     wedge the remote compile service)."""
+    import subprocess
+    import sys
     import threading
 
     results: List[dict] = []
@@ -175,6 +178,63 @@ def run_doctor(device: str = "auto", engine_check: bool = True,
         return f"{ms:.1f} ms/dispatch+readback round trip{note}"
 
     _check(results, "dispatch latency", dispatch if backend_ok else skipped)
+
+    if cache_roundtrip:
+        def cache_hits():
+            # Compile the same tiny graph in TWO fresh subprocesses: the
+            # second must deserialize from the persistent cache, proving
+            # cross-process key stability end-to-end (round 4 found two
+            # silent breakers: committed-arg sdy annotations and
+            # import-path-dependent Mosaic payloads — see
+            # tools/cachekey_probe.py).  Each subprocess pays backend
+            # init, so this check is opt-in (tpiv doctor --cache).
+            snippet = r"""
+import logging, os, sys
+rec = []
+h = logging.Handler(); h.emit = lambda r: rec.append(r.getMessage())
+for n in ("jax._src.compilation_cache", "jax._src.compiler"):
+    lg = logging.getLogger(n); lg.setLevel(logging.DEBUG); lg.addHandler(h)
+from torchpiv_tpu.utils.compile_cache import enable_compile_cache
+enable_compile_cache()
+import jax
+# the env var alone does not switch platforms under pinned profiles
+# (see CLAUDE.md); only the config call does
+plat = os.environ.get("TPIV_DOCTOR_PLATFORM")
+if plat:
+    jax.config.update("jax_platforms", plat)
+import jax.numpy as jnp, numpy as np
+def doctor_cache_probe(a, b):
+    return (a @ b + 3.0).sum()
+f = jax.jit(doctor_cache_probe)
+x = jnp.ones((64, 64), jnp.float32)
+np.asarray(f(x, x))
+# classify THIS graph's fate only (tiny helper jits also log events)
+mine = [m for m in rec if "doctor_cache_probe" in m]
+wrote = any("Writing" in m for m in mine)
+hit = any("cache hit" in m.lower() for m in mine)
+print("HIT" if hit else ("WROTE" if wrote else "NEITHER"))
+"""
+            env = os.environ.copy()
+            if device != "auto":
+                env["TPIV_DOCTOR_PLATFORM"] = device.split(":")[0]
+            outs = []
+            for _ in range(2):
+                r = subprocess.run(
+                    [sys.executable, "-c", snippet], capture_output=True,
+                    text=True, env=env)
+                if r.returncode != 0:
+                    raise RuntimeError(
+                        f"cache probe subprocess failed: {r.stderr[-300:]}")
+                outs.append(r.stdout.strip().splitlines()[-1])
+            if outs[1] != "HIT":
+                raise RuntimeError(
+                    f"second process did not deserialize (got {outs}) — "
+                    "cross-process cache keys unstable; every fresh run "
+                    "will pay the full compile")
+            return f"first: {outs[0].lower()}, second: cache hit"
+
+        _check(results, "cache round-trip",
+               cache_hits if backend_ok else skipped)
 
     if engine_check:
         def engine():
