@@ -736,6 +736,12 @@ def fused_piv_pass(
         vw=validation_window, dc_normalize=dc_normalize, stub=stub,
         extract_mode=extract_mode,
     )
+    # NOTE: whole-array scalar prefetch keeps all 7 per-window maps
+    # resident in SMEM — at >=190x190 vector grids that exceeds the 1 MB
+    # SMEM budget and the compile fails (the production shift/DEF kernels
+    # stream row-blocked maps instead, kernels/shift_pallas.py).  This
+    # kernel is a measured dead end kept for the ledger; not worth the
+    # same surgery unless it is ever revived.
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
         grid=(n_rows,),

@@ -368,11 +368,16 @@ class OfflinePIV:
             # cachekey_probe stages A vs E) — lower plainly for the
             # default device so the key matches `tpiv warmup`/bench, and
             # only enter the context for an explicit non-default target.
+            t0 = time.perf_counter()
             if self._device == jax.devices()[0]:
                 ex = self._batched_fn.lower(sds, sds).compile()
             else:
                 with jax.default_device(self._device):
                     ex = self._batched_fn.lower(sds, sds).compile()
+            log.info("engine executable (batch %d) ready in %.1f s "
+                     "(seconds = persistent-cache deserialization, "
+                     "minutes = fresh compile)",
+                     batch, time.perf_counter() - t0)
             self._aot_compiled[batch] = ex
         return ex
 
