@@ -37,7 +37,8 @@ BASELINE_PAIRS_PER_SEC = 6.7  # reference README: 4000 pairs / <10 min
 FRAME = (2048, 2048)  # 4 MP
 # batch 32 amortises the per-dispatch tunnel/launch overhead (one-process
 # scan-batch sweep, Aug 19: 14.63/11.21/9.68/8.88 ms/pair at 4/8/16/32 —
-# tools/bench_sweep.py; r2 ran at 16).  Input residency: 32 pairs = 512 MB.
+# tools/bench_sweep.py; r2 ran at 16).  Input residency: 32 pairs x 2
+# frames x 4 MB u8 = 256 MB per dispatch.
 BATCH = int(os.environ.get("BENCH_BATCH", 32))
 UNIQUE_PAIRS = int(os.environ.get("BENCH_UNIQUE", 4))
 BENCH_PAIRS = int(os.environ.get("BENCH_PAIRS", 96))

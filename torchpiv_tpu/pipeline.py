@@ -177,6 +177,32 @@ def build_packed_scan(engine: MultipassPIV, background=None):
     return jax.jit(batched)
 
 
+def aot_compile_packed(fn, batch: int, frame_shape, device=None):
+    """Compile the packed scan for one batch size with the CANONICAL
+    persistent-cache key.
+
+    Lowers from abstract shapes with the ``default_device`` config RESET
+    (``jax.default_device(None)``), because both measured key-changers
+    must be absent for the entry points to share cache entries
+    (tools/cachekey_probe.py):
+
+    * committed example args annotate the module with sdy.sharding attrs
+      (stage B) — hence abstract ``ShapeDtypeStruct`` inputs;
+    * a SET ``default_device`` — even one naming the process-default
+      device — changes the lowered module (stage E), and dispatch threads
+      (OfflinePIV's feeder, OnlinePIV's stream loop, serve's handlers)
+      run inside such a context — hence the explicit reset.
+
+    Pass ``device`` to target an explicit NON-default device instead
+    (correct executable; the key is then intentionally device-specific
+    and self-consistent across processes, but distinct from
+    ``tpiv warmup``'s default-device key).
+    """
+    sds = jax.ShapeDtypeStruct((batch, *frame_shape), jnp.uint8)
+    with jax.default_device(device):
+        return fn.lower(sds, sds).compile()
+
+
 def resolve_frame_mask(mask):
     """Normalise a region-of-interest mask argument: ``None``, a [H, W]
     bool-like array (True = excluded), or the path of a mask image whose
@@ -234,6 +260,7 @@ class OfflinePIV:
         self._dt = dt
         self._scale = scale
         self._batch = max(1, batch_size)
+        self._device_request = device
         self._device = DeviceMap.resolve(device)
         self._decode_threads = decode_threads
         self._dataset = PIVDataset(folder, file_fmt, folder_mode)
@@ -360,20 +387,17 @@ class OfflinePIV:
             return self._batched_fn  # injected plain callable (tests/hooks)
         ex = self._aot_compiled.get(batch)
         if ex is None:
-            sds = jax.ShapeDtypeStruct(
-                (batch, *self._engine.config.frame_shape), jnp.uint8)
-            # A default_device context changes the lowered module (device
-            # placement attrs) and therefore the persistent-cache key even
-            # for the process-default device (measured on the TPU backend:
-            # cachekey_probe stages A vs E) — lower plainly for the
-            # default device so the key matches `tpiv warmup`/bench, and
-            # only enter the context for an explicit non-default target.
+            # device="auto" resolved to the process-default device, so the
+            # canonical (warmup-matching) compile is both correct and
+            # cache-shared; an explicit device request compiles for that
+            # device (key device-specific but process-stable).  Deciding
+            # from the REQUEST string avoids touching jax.devices() here,
+            # which would initialise the default (possibly TPU) backend
+            # on a pipeline explicitly pinned to CPU.
             t0 = time.perf_counter()
-            if self._device == jax.devices()[0]:
-                ex = self._batched_fn.lower(sds, sds).compile()
-            else:
-                with jax.default_device(self._device):
-                    ex = self._batched_fn.lower(sds, sds).compile()
+            ex = aot_compile_packed(
+                self._batched_fn, batch, self._engine.config.frame_shape,
+                None if self._device_request == "auto" else self._device)
             log.info("engine executable (batch %d) ready in %.1f s "
                      "(seconds = persistent-cache deserialization, "
                      "minutes = fresh compile)",
@@ -618,6 +642,7 @@ class OnlinePIV:
         self._dt = dt
         self._scale = scale
         self._preprocess = resolve_preprocess(preprocess)
+        self._device_request = device
         self._device = DeviceMap.resolve(device)
         self._source = StreamingPairSource(
             folder, file_fmt, poll_interval, idle_timeout
@@ -716,9 +741,16 @@ class OnlinePIV:
                 while len(backlog) >= B > 1:
                     chunk, backlog = backlog[:B], backlog[B:]
                     if self._fn_batch is None:
-                        # the production packed-scan graph (shared builder:
-                        # same trace -> same compile-cache entry)
-                        self._fn_batch = build_packed_scan(self._engine)
+                        # the production packed-scan graph, AOT-compiled
+                        # with the canonical cache key (tracing it here —
+                        # inside this loop's default_device context —
+                        # would produce a different key than tpiv warmup;
+                        # see aot_compile_packed)
+                        self._fn_batch = aot_compile_packed(
+                            build_packed_scan(self._engine), B,
+                            self._engine.config.frame_shape,
+                            None if self._device_request == "auto"
+                            else self._device)
                     fa = jnp.asarray(np.stack([p[0] for p in chunk]))
                     fb = jnp.asarray(np.stack([p[1] for p in chunk]))
                     arr = np.asarray(self._fn_batch(fa, fb))
@@ -767,6 +799,7 @@ class VideoPIV:
         self._dt = dt
         self._scale = scale
         self._batch = max(1, batch_size)
+        self._device_request = device
         self._device = DeviceMap.resolve(device)
         self._source = VideoPairSource(path, folder_mode, max_pairs)
         self._preprocess = resolve_preprocess(preprocess)

@@ -67,6 +67,7 @@ class PIVService:
     ):
         from .pipeline import DeviceMap
 
+        self._device_request = device
         self._device = DeviceMap.resolve(device)
         self._dt = dt
         self._scale = scale
@@ -124,10 +125,15 @@ class PIVService:
         ``self._scan_b`` batch; shorter chunks are padded to it."""
         fn = self._batch_fns.get(shape)
         if fn is None:
-            from .pipeline import build_packed_scan
+            from .pipeline import aot_compile_packed, build_packed_scan
 
             engine, _ = self._engine_for(shape)
-            fn = build_packed_scan(engine)
+            # AOT with the canonical cache key: tracing lazily inside the
+            # handler's default_device context would produce a different
+            # persistent-cache key than `tpiv warmup` (aot_compile_packed)
+            fn = aot_compile_packed(
+                build_packed_scan(engine), self._scan_b, shape,
+                None if self._device_request == "auto" else self._device)
             self._batch_fns[shape] = fn
         return fn
 

@@ -195,7 +195,8 @@ h = logging.Handler(); h.emit = lambda r: rec.append(r.getMessage())
 for n in ("jax._src.compilation_cache", "jax._src.compiler"):
     lg = logging.getLogger(n); lg.setLevel(logging.DEBUG); lg.addHandler(h)
 from torchpiv_tpu.utils.compile_cache import enable_compile_cache
-enable_compile_cache()
+if enable_compile_cache() is None:
+    print("DISABLED"); sys.exit(0)
 import jax
 # the env var alone does not switch platforms under pinned profiles
 # (see CLAUDE.md); only the config call does
@@ -226,6 +227,11 @@ print("HIT" if hit else ("WROTE" if wrote else "NEITHER"))
                     raise RuntimeError(
                         f"cache probe subprocess failed: {r.stderr[-300:]}")
                 outs.append(r.stdout.strip().splitlines()[-1])
+            if "DISABLED" in outs:
+                raise RuntimeError(
+                    "compile cache disabled (TORCHPIV_NO_COMPILE_CACHE "
+                    "set, or the cache directory is not creatable) — "
+                    "nothing to round-trip")
             if outs[1] != "HIT":
                 raise RuntimeError(
                     f"second process did not deserialize (got {outs}) — "
