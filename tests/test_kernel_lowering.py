@@ -3,10 +3,11 @@
 Round-4 production bug (found by the on-chip sweep, invisible to the
 interpret-mode suite): the kernels' per-window shift maps were
 whole-array scalar-prefetch operands, ALL resident in SMEM — 4 maps x
-260 KB at the 255x255 vector grid of a w32/o16 pass on a 4 MP frame
-(8 maps for DEF), over the TPU's 1 MB SMEM budget, so those production
-configs failed to XLA-compile on hardware.  The fix streams the maps as
-row-blocked SMEM operands (``maps="rows"``, the default).
+260 KB at the 255x255 vector grid of a w16/o8 pass on a 4 MP frame
+(the second pass of the `w32 o16 2xCWS` sweep config; 8 maps for DEF),
+over the TPU's 1 MB SMEM budget, so those production configs failed to
+XLA-compile on hardware.  The fix streams the maps as row-blocked SMEM
+operands (``maps="rows"``, the default).
 
 Two classes of regression this file pins:
 
@@ -21,6 +22,7 @@ Two classes of regression this file pins:
   shipped.
 """
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -70,11 +72,13 @@ def _cross_lower_tpu(fn, *avals):
     return jax.jit(fn).trace(*avals).lower(lowering_platforms=("tpu",))
 
 
-def test_shift_rows_lowering_at_4mp_w32_grid():
-    # the exact geometry that failed on hardware: 4 MP frame, w32/o16
-    # -> 255x255 vector grid (maps were 4 x 260 KB in SMEM)
+def test_shift_rows_lowering_at_4mp_255_grid():
+    # the exact geometry that failed on hardware: 4 MP frame, w16/o8 —
+    # the SECOND pass of the `w32 o16 2xCWS` sweep config — gives a
+    # 255x255 vector grid, where the legacy whole-array prefetch layout
+    # needed 4 x 260 KB of SMEM (the first pass's 127x127 grid fits)
     H = W = 2048
-    w, ov = 32, 16
+    w, ov = 16, 8
     n = ((H - w) // (w - ov) + 1) ** 2
     fn = functools.partial(shift_windows_pallas, frame_shape=(H, W),
                            wind_size=w, overlap=ov, maps="rows")
@@ -113,6 +117,82 @@ def test_shift_maps_config_validates():
     with pytest.raises(ValueError, match="shift_maps"):
         PIVConfig(frame_shape=(128, 128), wind_size=32, overlap=16,
                   shift_maps="bogus")
+
+
+def _lowered_hash_subprocess(pkg_dir, limit: int) -> str:
+    """Hash the TPU-lowered production packed scan in a fresh process
+    importing torchpiv_tpu from ``pkg_dir`` with the given
+    ``jax_traceback_in_locations_limit``."""
+    import subprocess
+    import sys
+
+    snippet = (
+        "import sys, hashlib, jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        f"jax.config.update('jax_traceback_in_locations_limit', {limit})\n"
+        f"sys.path.insert(0, {str(pkg_dir)!r})\n"
+        "import jax.numpy as jnp\n"
+        "from torchpiv_tpu.models.multipass import MultipassPIV, PIVConfig\n"
+        "from torchpiv_tpu.pipeline import build_packed_scan\n"
+        "cfg = PIVConfig(frame_shape=(96, 96), wind_size=32, overlap=16,\n"
+        "                multipass=2, multipass_mode='CWS',\n"
+        "                use_pallas='on')\n"
+        "fn = build_packed_scan(MultipassPIV(cfg))\n"
+        "s = jax.ShapeDtypeStruct((2, 96, 96), jnp.uint8)\n"
+        "txt = fn.trace(s, s).lower(lowering_platforms=('tpu',)).as_text()\n"
+        "print(hashlib.sha256(txt.encode()).hexdigest())\n")
+    r = subprocess.run([sys.executable, "-c", snippet],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    return r.stdout.strip().splitlines()[-1]
+
+
+@pytest.mark.slow
+def test_cache_key_line_shift_invariance(tmp_path):
+    """The Mosaic payload embeds source locations from the scan call
+    site in pipeline.py, so a one-line edit ANYWHERE above it (even a
+    comment at the top of the file) changed the persistent-cache key
+    and forced a full remote recompile of unchanged graphs (measured
+    Aug 19: ~3-5 min per deploy-touched file over the axon tunnel).
+    enable_compile_cache sets jax_traceback_in_locations_limit=0, which
+    must make lowering byte-identical under source line shifts — and
+    the test first proves it is SENSITIVE with locations on (hashes
+    differ at the default limit), so a jax behavior change cannot make
+    it pass vacuously.  Faithful reproduction: two package COPIES, one
+    with a comment inserted at pipeline.py line 30, each lowered in a
+    fresh subprocess (in-process module reload cannot represent an
+    edited installed package)."""
+    import shutil
+
+    import torchpiv_tpu
+
+    src_pkg = os.path.dirname(os.path.abspath(torchpiv_tpu.__file__))
+    plain, padded = tmp_path / "plain", tmp_path / "padded"
+    for dst in (plain, padded):
+        shutil.copytree(src_pkg, dst / "torchpiv_tpu",
+                        ignore=shutil.ignore_patterns("__pycache__"))
+    pp = padded / "torchpiv_tpu" / "pipeline.py"
+    lines = pp.read_text().splitlines(keepends=True)
+    lines.insert(29, "# line-shift probe: simulates a deploy edit\n")
+    pp.write_text("".join(lines))
+
+    with_locs = (_lowered_hash_subprocess(plain, 10),
+                 _lowered_hash_subprocess(padded, 10))
+    assert with_locs[0] != with_locs[1], (
+        "lowering no longer embeds line-sensitive locations — the "
+        "enable_compile_cache workaround may be removable")
+    without = (_lowered_hash_subprocess(plain, 0),
+               _lowered_hash_subprocess(padded, 0))
+    assert without[0] == without[1]
+
+
+def test_enable_compile_cache_drops_traceback_locations(tmp_path,
+                                                        monkeypatch):
+    monkeypatch.setenv("TORCHPIV_CACHE_DIR", str(tmp_path))
+    from torchpiv_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    assert jax.config.jax_traceback_in_locations_limit == 0
 
 
 def test_def_rows_lowering_at_odd_grid():

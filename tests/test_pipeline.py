@@ -497,6 +497,21 @@ def test_offline_piv_preprocess(pair_folder):
         OfflinePIV(folder, device="cpu", preprocess="bogus")
 
 
+def test_offline_piv_preprocess_callable_nonuint8(pair_folder):
+    """A user preprocess callable may emit any dtype (resolve_preprocess
+    accepts any frame->frame callable); the AOT executables must be
+    compiled for that dtype — an executable compiled for uint8
+    hard-rejects float32 args (unlike jit, which would retrace)."""
+    folder, shifts = pair_folder
+    out = list(OfflinePIV(folder, device="cpu", file_fmt=".bmp",
+                          wind_size=64, overlap=32, multipass=2,
+                          preprocess=lambda f: f.astype(np.float32) / 2.0)())
+    assert len(out) == 3
+    _, _, u, v = out[0]
+    # normalization makes the engine scale-invariant: same flow recovered
+    assert abs(np.mean(u) / 1000 - shifts[0][0]) < 0.1
+
+
 def test_warmup_compiles_the_production_graph(pair_folder):
     """`tpiv warmup` must trace the EXACT graph OfflinePIV dispatches —
     the persistent compile cache keys on the traced HLO, so a

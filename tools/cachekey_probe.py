@@ -161,6 +161,36 @@ def main() -> None:
         fn_e.lower(sds, sds).compile()
     record("E_aot_in_device_ctx")
 
+    # F1: AOT from a bare WORKER THREAD (no ambient config context),
+    # same batch as D — the OfflinePIV prewarm arrangement.  D already
+    # wrote this key's entry, so a PERSISTENT-CACHE HIT in the events
+    # proves thread identity does not leak into the key; a miss (a new
+    # entry written) is the bug.
+    import threading
+
+    def aot_worker(fn, b):
+        s = jax.ShapeDtypeStruct((b, *FRAME), jnp.uint8)
+        with jax.default_device(None):
+            fn.lower(s, s).compile()
+
+    fn_f1 = build_packed_scan(engine)
+    t = threading.Thread(target=aot_worker, args=(fn_f1, BATCH))
+    t.start()
+    t.join()
+    record("F1_aot_bare_thread")
+
+    # F2: two batch sizes CONCURRENTLY on one fresh jit object (what the
+    # prewarm does for ramp + full batch).  The BATCH compile must again
+    # HIT; a miss means concurrent tracing perturbs the lowered module.
+    fn_f2 = build_packed_scan(engine)
+    ts = [threading.Thread(target=aot_worker, args=(fn_f2, b))
+          for b in (BATCH, 2 * BATCH)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    record("F2_aot_threads_concurrent")
+
     print(json.dumps({
         "metric": "cachekey_probe",
         "platform_version": pv,

@@ -65,6 +65,12 @@ def ensure_dataset() -> float:
 
 
 def main():
+    import logging
+
+    # Surface the pipeline's INFO lines (AOT executable readiness etc.) so
+    # the first-batch time decomposes into deserialize vs compile vs H2D.
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr,
+                        format="%(asctime)s %(name)s: %(message)s")
     dt_ds = ensure_dataset()
     if dt_ds:
         log(f"dataset created in {dt_ds:.1f} s (excluded from timing)")

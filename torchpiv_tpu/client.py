@@ -61,10 +61,14 @@ class PIVClient:
         except urllib.error.HTTPError as e:
             return e.code, e.read()
 
-    def _post_pairs(self, body: bytes):
-        status, data = self._request("/piv", body)
+    @staticmethod
+    def _decode_response(status: int, data: bytes) -> Optional[dict]:
+        """Shared /piv-endpoint response handling: 422 -> None (the
+        >50 %-invalid skip quirk: pair not yielded), other errors ->
+        PIVServerError with the server's JSON error message, 200 -> the
+        npz payload as a dict."""
         if status == 422:
-            return None  # the >50%-invalid skip quirk: pair not yielded
+            return None
         if status != 200:
             try:
                 msg = json.loads(data).get("error", data.decode())
@@ -73,6 +77,9 @@ class PIVClient:
             raise PIVServerError(status, msg)
         with np.load(io.BytesIO(data)) as z:
             return {k: z[k] for k in z.files}
+
+    def _post_pairs(self, body: bytes):
+        return self._decode_response(*self._request("/piv", body))
 
     # ---- analysis ----------------------------------------------------------
     def analyze(self, frame_a: np.ndarray, frame_b: np.ndarray
@@ -97,17 +104,11 @@ class PIVClient:
                       ) -> Optional[Tuple[np.ndarray, ...]]:
         """A pair of SERVER-readable files (shared filesystem)."""
         body = json.dumps({"a": path_a, "b": path_b}).encode()
-        status, data = self._request("/piv_files", body, "application/json")
-        if status == 422:
+        res = self._decode_response(
+            *self._request("/piv_files", body, "application/json"))
+        if res is None:
             return None
-        if status != 200:
-            try:
-                msg = json.loads(data).get("error", data.decode())
-            except Exception:
-                msg = data.decode(errors="replace")
-            raise PIVServerError(status, msg)
-        with np.load(io.BytesIO(data)) as z:
-            return z["x"], z["y"], z["u"], z["v"], z["invalid"]
+        return res["x"], res["y"], res["u"], res["v"], res["invalid"]
 
     # ---- operations --------------------------------------------------------
     def health(self) -> dict:

@@ -76,8 +76,9 @@ def _def_kernel(
     # maps_rows (default): one (1, n_cols) row of each arrives per grid
     # step, so SMEM holds 8*n_cols scalars.  Whole-array scalar prefetch
     # (maps_rows=False, legacy) needs 8 * n_rows * n_cols * 4 B resident —
-    # 2.08 MB at a 255x255 grid, over the 1 MB SMEM budget (w32/o16 DEF
-    # on a 4 MP frame failed to compile).
+    # 2.08 MB at a 255x255 grid, over the 1 MB SMEM budget (a w16/o8 DEF
+    # pass — the second pass of a w32/o16 DEF config — on a 4 MP frame
+    # failed to compile).
     row0_ref, dy_ref, dx_ref, fy_ref, fx_ref,
     gyi_ref, gyj_ref, gxi_ref, gxj_ref,
     # inputs:

@@ -47,8 +47,9 @@ def _shift_kernel(
     # (1, n_cols) of row r arrives per grid step, so SMEM holds 4*n_cols
     # scalars instead of the whole [n_rows, n_cols] maps; whole-array
     # scalar prefetch overflows the 1 MB SMEM at >=255x255 vector grids —
-    # 4 x 260 KB — which is exactly the production w32/o16 grid on a 4 MP
-    # frame) or legacy whole-array scalar prefetch (maps_rows=False).
+    # 4 x 260 KB — which is exactly a w16/o8 pass on a 4 MP frame, i.e.
+    # the second pass of the production w32/o16 2xCWS config) or legacy
+    # whole-array scalar prefetch (maps_rows=False).
     row0_ref, dy_ref, dx_ref, fy_ref, fx_ref,
     # inputs:
     frame_hbm,
@@ -364,8 +365,9 @@ def shift_windows_pallas(
         ``4 * n_cols`` scalars, so any vector-grid size compiles.
         "prefetch" is the legacy whole-array scalar prefetch: all four
         ``[n_rows, n_cols]`` maps resident in SMEM, which EXCEEDS the
-        1 MB SMEM budget at >=255x255 grids (w32/o16 on a 4 MP frame
-        fails to compile: 4 x 260 KB + spill).  Kept for A/B timing;
+        1 MB SMEM budget at >=255x255 grids (a w16/o8 pass on a 4 MP
+        frame — the second pass of the w32/o16 2xCWS config — fails to
+        compile: 4 x 260 KB + spill).  Kept for A/B timing;
         the experimental variants (phases/bf16/mxu/lanephases) always
         use it (their bodies predate the row-blocked layout).
 

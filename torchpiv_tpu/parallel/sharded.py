@@ -341,6 +341,7 @@ class ShardedPIV:
                     interpret=cfg.pallas_interpret,
                     flat_wrap=cfg.edge_exact,
                     variant=cfg.shift_variant,
+                    maps=cfg.shift_maps,
                     row_start=org, n_rows_local=rloc,
                     interp="bicubic" if bicubic else "bilinear",
                     out_dtype=(eng._window_store_dtype()
@@ -398,6 +399,7 @@ class ShardedPIV:
                     max_shift=cfg.max_shift, margin=cfg.def_margin,
                     interpret=cfg.pallas_interpret,
                     flat_wrap=cfg.edge_exact, interp=cfg.cws_interp,
+                    maps=cfg.shift_maps,
                     row_start=org, n_rows_local=rloc,
                     out_dtype=eng._window_store_dtype(),
                 )

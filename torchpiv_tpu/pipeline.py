@@ -177,7 +177,11 @@ def build_packed_scan(engine: MultipassPIV, background=None):
     return jax.jit(batched)
 
 
-def aot_compile_packed(fn, batch: int, frame_shape, device=None):
+_AOT_COMPILE_LOCK = threading.Lock()
+
+
+def aot_compile_packed(fn, batch: int, frame_shape, device_request="auto",
+                       device=None, dtype=jnp.uint8):
     """Compile the packed scan for one batch size with the CANONICAL
     persistent-cache key.
 
@@ -193,14 +197,34 @@ def aot_compile_packed(fn, batch: int, frame_shape, device=None):
       (OfflinePIV's feeder, OnlinePIV's stream loop, serve's handlers)
       run inside such a context — hence the explicit reset.
 
-    Pass ``device`` to target an explicit NON-default device instead
-    (correct executable; the key is then intentionally device-specific
-    and self-consistent across processes, but distinct from
-    ``tpiv warmup``'s default-device key).
+    The auto->None rule lives HERE so every entry point shares it: a
+    ``device_request`` of ``"auto"`` resolved to the process-default
+    device, so the canonical (warmup-matching) default-device compile is
+    both correct and cache-shared, and the resolved ``device`` is
+    deliberately ignored; an explicit non-"auto" request compiles under
+    that ``device``'s context instead (correct executable; the key is
+    then intentionally device-specific and self-consistent across
+    processes, but distinct from ``tpiv warmup``'s default-device key).
+    Deciding from the REQUEST string avoids touching ``jax.devices()``
+    here, which would initialise the default (possibly TPU) backend on a
+    pipeline explicitly pinned to CPU.
+
+    ``dtype`` follows the frames the caller will dispatch: the decode
+    contract is uint8, but a user ``preprocess`` callable may emit any
+    dtype, and an AOT executable (unlike jit) hard-rejects argument
+    types it was not compiled for.
     """
-    sds = jax.ShapeDtypeStruct((batch, *frame_shape), jnp.uint8)
-    with jax.default_device(device):
-        return fn.lower(sds, sds).compile()
+    sds = jax.ShapeDtypeStruct((batch, *frame_shape), dtype)
+    # One compile at a time, process-wide: OfflinePIV prewarms two batch
+    # sizes on background threads and serve's handler threads can race
+    # _batch_fn_for — an on-chip A/B (docs/ROADMAP.md, Aug 19) showed two
+    # CONCURRENT compiles of this graph missing the persistent cache that
+    # the same compiles hit when serialized, turning a 28-40 s warm start
+    # into a 290 s recompile.  The remote compile service processes
+    # requests serially anyway, so this costs no wall-clock.
+    with _AOT_COMPILE_LOCK:
+        with jax.default_device(None if device_request == "auto" else device):
+            return fn.lower(sds, sds).compile()
 
 
 def resolve_frame_mask(mask):
@@ -316,10 +340,15 @@ class OfflinePIV:
         # drift-proof achieved-vs-bound check; None (default) disables.
         self.transfer_log: Optional[list] = None
         # Build the engine from the first *readable* pair (the reference
-        # crashes if pair 0 is unreadable, PIVbackend.py:853).
+        # crashes if pair 0 is unreadable, PIVbackend.py:853).  The pair
+        # has been through any user preprocess already (PreprocessedPairs
+        # wraps the dataset above), so its dtype is what the feeder will
+        # dispatch — the AOT executables must be compiled for it.
+        self._frame_dtype = np.dtype(np.uint8)
         for i in range(len(self._dataset)):
             frame_a, _ = self._dataset[i]
             if frame_a is not None:
+                self._frame_dtype = np.dtype(frame_a.dtype)
                 self._build_engine(frame_a.shape)
                 break
         # ramp-up: the FIRST dispatch uses a small batch so its H2D (which
@@ -371,7 +400,49 @@ class OfflinePIV:
         # .lower(ShapeDtypeStruct).compile() produces the same key as the
         # plain-style compile (verified, tools/cachekey_probe.py) and the
         # compiled executable accepts committed arrays at dispatch.
-        self._aot_compiled: dict = {}
+        self._aot_futures: dict = {}
+        self._aot_lock = threading.Lock()
+
+    def _aot_future(self, batch: int):
+        """Start (or join) executable preparation for one batch size on a
+        background thread; returns a ``concurrent.futures.Future``.
+
+        Executable readiness is expensive even on a persistent-cache HIT
+        over the axon tunnel (measured: 34.7 s for the first executable in
+        a process, 5.7 s for the second — the first pays the remote
+        service contact).  Preparing both dispatch sizes concurrently, and
+        starting at generator start rather than first dispatch, overlaps
+        that latency with dataset listing, decode and the first H2D.
+        """
+        from concurrent.futures import Future
+
+        with self._aot_lock:
+            fut = self._aot_futures.get(batch)
+            if fut is None:
+                fut = Future()
+                self._aot_futures[batch] = fut
+
+                def work():
+                    t0 = time.perf_counter()
+                    try:
+                        ex = aot_compile_packed(
+                            self._batched_fn, batch,
+                            self._engine.config.frame_shape,
+                            self._device_request, self._device,
+                            dtype=self._frame_dtype)
+                    except BaseException as e:  # noqa: BLE001 - to waiter
+                        fut.set_exception(e)
+                    else:
+                        log.info(
+                            "engine executable (batch %d) ready in %.1f s "
+                            "(seconds = persistent-cache deserialization, "
+                            "minutes = fresh compile)",
+                            batch, time.perf_counter() - t0)
+                        fut.set_result(ex)
+
+                threading.Thread(target=work, name=f"piv-aot-{batch}",
+                                 daemon=True).start()
+            return fut
 
     def _dispatch_fn(self, batch: int):
         """The executable for one padded batch size.
@@ -385,25 +456,7 @@ class OfflinePIV:
             return self._batched_fn
         if not hasattr(self._batched_fn, "lower"):
             return self._batched_fn  # injected plain callable (tests/hooks)
-        ex = self._aot_compiled.get(batch)
-        if ex is None:
-            # device="auto" resolved to the process-default device, so the
-            # canonical (warmup-matching) compile is both correct and
-            # cache-shared; an explicit device request compiles for that
-            # device (key device-specific but process-stable).  Deciding
-            # from the REQUEST string avoids touching jax.devices() here,
-            # which would initialise the default (possibly TPU) backend
-            # on a pipeline explicitly pinned to CPU.
-            t0 = time.perf_counter()
-            ex = aot_compile_packed(
-                self._batched_fn, batch, self._engine.config.frame_shape,
-                None if self._device_request == "auto" else self._device)
-            log.info("engine executable (batch %d) ready in %.1f s "
-                     "(seconds = persistent-cache deserialization, "
-                     "minutes = fresh compile)",
-                     batch, time.perf_counter() - t0)
-            self._aot_compiled[batch] = ex
-        return ex
+        return self._aot_future(batch).result()
 
     @property
     def engine(self) -> Optional[MultipassPIV]:
@@ -428,6 +481,25 @@ class OfflinePIV:
         """
         if self._engine is None:
             return
+        # Prepare BOTH dispatch executables (ramp + full batch) now, on
+        # background threads, so cache deserialization / remote-service
+        # contact overlaps the prefetcher's decode and first H2D instead
+        # of stalling the first dispatch (see _aot_future).  The full
+        # batch is prepared only when some dispatch will actually use it
+        # (a short dataset only ever pads to the ramp size) — an unused
+        # prewarm wastes a full compile and leaves a daemon thread that a
+        # fast-exiting process would kill MID-REMOTE-COMPILE, wedging the
+        # tunnel's compile service for the next 20-40 min.
+        if self._mesh is None and hasattr(self._batched_fn, "lower"):
+            ramp_fut = self._aot_future(self._first_batch)
+            if (self._batch != self._first_batch
+                    and len(self._dataset) > self._first_batch):
+                # chain, don't race: compiles serialize on
+                # _AOT_COMPILE_LOCK, and the ramp executable must win
+                # that lock — the first field waits on it
+                ramp_fut.add_done_callback(
+                    lambda f: f.exception() is None
+                    and self._aot_future(self._batch))
         x, y = self._engine.final_coordinates
         prefetch = PairPrefetcher(
             self._dataset,
@@ -749,8 +821,8 @@ class OnlinePIV:
                         self._fn_batch = aot_compile_packed(
                             build_packed_scan(self._engine), B,
                             self._engine.config.frame_shape,
-                            None if self._device_request == "auto"
-                            else self._device)
+                            self._device_request, self._device,
+                            dtype=chunk[0][0].dtype)
                     fa = jnp.asarray(np.stack([p[0] for p in chunk]))
                     fb = jnp.asarray(np.stack([p[1] for p in chunk]))
                     arr = np.asarray(self._fn_batch(fa, fb))

@@ -133,7 +133,7 @@ class PIVService:
             # persistent-cache key than `tpiv warmup` (aot_compile_packed)
             fn = aot_compile_packed(
                 build_packed_scan(engine), self._scan_b, shape,
-                None if self._device_request == "auto" else self._device)
+                self._device_request, self._device)
             self._batch_fns[shape] = fn
         return fn
 

@@ -59,5 +59,17 @@ def enable_compile_cache(cache_dir: str | None = None) -> str | None:
     # tunnel round-trips on a cold process
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    # Source-edit-proof cache keys: the Mosaic (Pallas TPU) custom-call
+    # payload embeds Python traceback frames as MLIR locations, so ANY
+    # line shift in a file on the trace path (even a comment added above
+    # an unrelated function in pipeline.py) changed the serialized
+    # module and thus the persistent-cache key — measured Aug 19: a
+    # one-line insert flipped the lowered text hash, and every source
+    # edit forced a full ~3-5 min remote recompile of unchanged graphs.
+    # Dropping traceback frames from locations makes lowering
+    # line-shift-invariant (verified: byte-identical text across the
+    # same insert).  Error messages keep their Python tracebacks — this
+    # only trims location METADATA inside the compiled module.
+    jax.config.update("jax_traceback_in_locations_limit", 0)
     _enabled_dir = cache_dir
     return cache_dir

@@ -217,7 +217,16 @@ print("HIT" if hit else ("WROTE" if wrote else "NEITHER"))
 """
             env = os.environ.copy()
             if device != "auto":
-                env["TPIV_DOCTOR_PLATFORM"] = device.split(":")[0]
+                # the request may be a platform ("cpu", "cpu:0") or a
+                # device display string ("TPU_0(...)"); resolve and use
+                # the device's platform — string-splitting the display
+                # form would feed jax_platforms garbage.  The backend was
+                # already contacted by the 'jax devices' check, so
+                # resolving here adds no new init risk.
+                from ..pipeline import DeviceMap
+
+                env["TPIV_DOCTOR_PLATFORM"] = DeviceMap.resolve(
+                    device).platform
             outs = []
             for _ in range(2):
                 r = subprocess.run(
