@@ -209,10 +209,78 @@ def test_online_piv_catchup_batches_backlog(tmp_path):
     results = list(piv())
     t.join()
     assert len(results) == 7
-    assert piv._fn_batch is not None, "catchup batch graph never engaged"
+    assert piv._batch_exec, "catchup batch graph never engaged"
     for i, (x, y, u, v) in enumerate(results):
         # u in m/s = px * scale/dt * 1000; scale=dt=1
         assert abs(np.nanmean(u) - (2.0 + 0.1 * i) * 1000) < 120, i
+
+
+def test_online_piv_frame_shape_hint_prewarms(tmp_path):
+    """With the camera-geometry hint, the engine builds and the
+    executables compile BEFORE the first frame exists (the stream's
+    first pair otherwise pays the full compile latency inline)."""
+    piv = OnlinePIV(
+        str(tmp_path), device="cpu", file_fmt=".bmp", wind_size=32,
+        overlap=16, poll_interval=0.05, idle_timeout=10.0,
+        catchup_batch=2, frame_shape=(128, 128),
+    )
+
+    def camera():
+        time.sleep(0.5)  # prewarm window: no frames on disk yet
+        for i in range(3):
+            fa, fb = particle_pair((128, 128), displacement=(2.0, 1.0),
+                                   seed=40 + i)
+            imwrite_gray(str(tmp_path / f"cam{i}_a.bmp"), fa)
+            imwrite_gray(str(tmp_path / f"cam{i}_b.bmp"), fb)
+        time.sleep(1.0)
+        piv.stop()
+
+    t = threading.Thread(target=camera)
+    t.start()
+    gen = piv()
+    first = next(gen)
+    # the hint built the engine up front (before any frame existed)
+    assert piv._engine is not None
+    assert piv._engine.config.frame_shape == (128, 128)
+    results = [first] + list(gen)
+    t.join()
+    assert len(results) == 3
+    for x, y, u, v in results:
+        assert abs(np.nanmean(u) - 2000.0) < 120
+    # the prewarm thread populated the single-pair executable cache
+    assert np.dtype(np.uint8) in piv._single_exec
+
+
+def test_online_piv_catchup_nonuint8_preprocess(tmp_path):
+    """A user preprocess emitting float32 must work through the AOT
+    catch-up path: executables are cached per dtype (an AOT executable
+    hard-rejects argument dtypes it was not compiled for)."""
+    piv = OnlinePIV(
+        str(tmp_path), device="cpu", file_fmt=".bmp", wind_size=32,
+        overlap=16, poll_interval=0.05, idle_timeout=10.0,
+        catchup_batch=2,
+        preprocess=lambda f: f.astype(np.float32) / 2.0,
+    )
+
+    def camera():
+        time.sleep(0.3)
+        for i in range(4):
+            fa, fb = particle_pair((128, 128), displacement=(2.0, 1.0),
+                                   seed=60 + i)
+            imwrite_gray(str(tmp_path / f"f{i}_a.bmp"), fa)
+            imwrite_gray(str(tmp_path / f"f{i}_b.bmp"), fb)
+        time.sleep(1.0)
+        piv.stop()
+
+    t = threading.Thread(target=camera)
+    t.start()
+    results = list(piv())
+    t.join()
+    assert len(results) == 4
+    assert np.dtype(np.float32) in (piv._batch_exec.keys()
+                                    | piv._single_exec.keys())
+    for x, y, u, v in results:
+        assert abs(np.nanmean(u) - 2000.0) < 120
 
 
 def test_watcher_retains_early_b_file(tmp_path):

@@ -202,3 +202,14 @@ def test_client_roundtrip(server, tmp_path):
     assert c.health()["ok"] is True
     assert c.config()["wind_size"] == 32
     assert "piv_pairs_served" in c.metrics() or "pairs" in c.metrics()
+
+
+def test_serve_warmup_compiles_both_graphs():
+    """PIVService.warmup must prepare BOTH the single-pair graph and the
+    burst packed-scan executable — the old CLI warmup only exercised the
+    single path, so the first real burst still paid the full compile."""
+    service = PIVService(device="cpu", wind_size=32, overlap=16,
+                         multipass=2)
+    service.warmup((96, 96))
+    assert (96, 96) in service._engines
+    assert (96, 96) in service._batch_fns

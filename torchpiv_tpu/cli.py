@@ -197,11 +197,9 @@ def cmd_serve(args) -> int:
         except ValueError:
             raise SystemExit(f"tpiv: bad --warmup {args.warmup!r}: "
                              "expected HxW")
-        import numpy as np
-
-        print(f"warming engine for {h}x{w}...", file=sys.stderr)
-        service.analyze(np.zeros((h, w), np.uint8),
-                        np.zeros((h, w), np.uint8))
+        print(f"warming engine for {h}x{w} (single + burst graphs)...",
+              file=sys.stderr)
+        service.warmup((h, w))
         service.pairs_served = 0  # the warmup pair is not traffic
     run_server(service, args.host, args.port)
     return 0
@@ -300,6 +298,9 @@ def cmd_online(args) -> int:
         validate=not args.no_validate,
         idle_timeout=args.idle_timeout,
         preprocess=args.preprocess,
+        frame_shape=(tuple(int(d) for d in args.frame_shape.lower()
+                           .split("x"))
+                     if args.frame_shape else None),
         engine_options=engine_options or None,
     )
     import numpy as np
@@ -1800,6 +1801,11 @@ def build_parser() -> argparse.ArgumentParser:
     p_on = sub.add_parser("online", help="streaming analysis of a growing folder")
     _add_common(p_on)
     p_on.add_argument("--idle-timeout", type=float, default=None)
+    p_on.add_argument(
+        "--frame-shape", default=None, metavar="HxW",
+        help="camera geometry hint, e.g. 2048x2048: build the engine and "
+             "compile the dispatch executables while waiting for the "
+             "first frame instead of inline when it lands")
     p_on.set_defaults(fn=cmd_online)
 
     p_watch = sub.add_parser("watch", help="print new frame pairs as they appear")

@@ -215,16 +215,23 @@ def aot_compile_packed(fn, batch: int, frame_shape, device_request="auto",
     types it was not compiled for.
     """
     sds = jax.ShapeDtypeStruct((batch, *frame_shape), dtype)
-    # One compile at a time, process-wide: OfflinePIV prewarms two batch
-    # sizes on background threads and serve's handler threads can race
-    # _batch_fn_for — an on-chip A/B (docs/ROADMAP.md, Aug 19) showed two
-    # CONCURRENT compiles of this graph missing the persistent cache that
-    # the same compiles hit when serialized, turning a 28-40 s warm start
-    # into a 290 s recompile.  The remote compile service processes
-    # requests serially anyway, so this costs no wall-clock.
+    return _aot_compile(fn, (sds, sds), device_request, device)
+
+
+def _aot_compile(fn, arg_specs, device_request, device):
+    """Lock-serialized canonical-key compile (see aot_compile_packed).
+
+    One compile at a time, process-wide: OfflinePIV prewarms two batch
+    sizes on background threads and serve's handler threads can race
+    _batch_fn_for — an on-chip A/B (docs/ROADMAP.md, Aug 19) showed two
+    CONCURRENT compiles of this graph missing the persistent cache that
+    the same compiles hit when serialized, turning a 28-40 s warm start
+    into a 290 s recompile.  The remote compile service processes
+    requests serially anyway, so this costs no wall-clock.
+    """
     with _AOT_COMPILE_LOCK:
         with jax.default_device(None if device_request == "auto" else device):
-            return fn.lower(sds, sds).compile()
+            return fn.lower(*arg_specs).compile()
 
 
 def resolve_frame_mask(mask):
@@ -689,6 +696,13 @@ class OnlinePIV:
     fixed round-trip overhead), pairs are drained in ``catchup_batch``-size
     scan dispatches that amortise that overhead.  ``catchup_batch=1``
     disables batching.
+
+    Pass ``frame_shape`` (the camera geometry, e.g. ``(2048, 2048)``) to
+    build the engine and compile both dispatch executables while the
+    stream WAITS for its first frame — otherwise the first pair pays the
+    engine build + compile/cache-load latency inline.  Frames whose shape
+    differs from the hint are skipped with a warning (same rule as a
+    mid-stream shape change).
     """
 
     def __init__(
@@ -709,6 +723,7 @@ class OnlinePIV:
         idle_timeout: Optional[float] = None,
         catchup_batch: int = 4,
         preprocess="none",
+        frame_shape: Optional[Tuple[int, int]] = None,
         engine_options: Optional[dict] = None,
     ) -> None:
         self._dt = dt
@@ -736,7 +751,17 @@ class OnlinePIV:
             self._engine_kwargs.setdefault("use_pallas", "off")
         self._engine: Optional[MultipassPIV] = None
         self._fn = None
-        self._fn_batch = None  # compiled lazily on the first real backlog
+        # compiled executables keyed by frame dtype (a user preprocess may
+        # emit non-uint8; an AOT executable hard-rejects other dtypes)
+        self._single_exec: dict = {}
+        self._batch_exec: dict = {}
+        self._exec_lock = threading.Lock()
+        # optional camera-geometry hint: when given, the engine builds and
+        # both executables compile while the stream WAITS for the first
+        # frame (a camera stream's first pair otherwise pays the full
+        # compile/cache-load latency inline)
+        self._frame_shape = (tuple(frame_shape)
+                             if frame_shape is not None else None)
 
     def stop(self) -> None:
         self._source.stop()
@@ -774,6 +799,53 @@ class OnlinePIV:
 
         self._fn = jax.jit(single)
 
+    def _single_for(self, dtype):
+        """AOT executable for one pair at ``dtype`` (canonical cache key:
+        dispatch happens inside the stream loop's default_device context,
+        which would otherwise change the lowered module — see
+        aot_compile_packed)."""
+        dtype = np.dtype(dtype)
+        with self._exec_lock:
+            ex = self._single_exec.get(dtype)
+            if ex is None:
+                s = jax.ShapeDtypeStruct(
+                    self._engine.config.frame_shape, dtype)
+                ex = _aot_compile(self._fn, (s, s),
+                                  self._device_request, self._device)
+                self._single_exec[dtype] = ex
+            return ex
+
+    def _batch_for(self, dtype):
+        """AOT executable for one catch-up chunk at ``dtype`` (the
+        production packed-scan graph, shared cache entry with
+        OfflinePIV/warmup at the same geometry)."""
+        dtype = np.dtype(dtype)
+        with self._exec_lock:
+            ex = self._batch_exec.get(dtype)
+            if ex is None:
+                ex = aot_compile_packed(
+                    build_packed_scan(self._engine), self._catchup,
+                    self._engine.config.frame_shape,
+                    self._device_request, self._device, dtype=dtype)
+                self._batch_exec[dtype] = ex
+            return ex
+
+    def _prewarm(self):
+        """Background executable preparation while the stream waits for
+        its first frame (requires the ``frame_shape`` hint): single-pair
+        first (the live-latency path), then the catch-up batch."""
+        def work():
+            try:
+                self._single_for(np.uint8)
+                if self._catchup > 1:
+                    self._batch_for(np.uint8)
+            except Exception:  # noqa: BLE001 - advisory only
+                log.exception("online prewarm failed; the stream will "
+                              "compile lazily instead")
+
+        threading.Thread(target=work, name="piv-online-prewarm",
+                         daemon=True).start()
+
     def _finalize(self, u, v, inval):
         x, y = self._engine.final_coordinates
         cfg = self._engine.config
@@ -792,6 +864,9 @@ class OnlinePIV:
 
     def __call__(self) -> Generator:
         B = self._catchup
+        if self._frame_shape is not None and self._engine is None:
+            self._ensure_engine(self._frame_shape)
+            self._prewarm()
         with jax.default_device(self._device):
             backlog: list = []
             for burst in self._source.bursts():
@@ -812,20 +887,10 @@ class OnlinePIV:
                     continue
                 while len(backlog) >= B > 1:
                     chunk, backlog = backlog[:B], backlog[B:]
-                    if self._fn_batch is None:
-                        # the production packed-scan graph, AOT-compiled
-                        # with the canonical cache key (tracing it here —
-                        # inside this loop's default_device context —
-                        # would produce a different key than tpiv warmup;
-                        # see aot_compile_packed)
-                        self._fn_batch = aot_compile_packed(
-                            build_packed_scan(self._engine), B,
-                            self._engine.config.frame_shape,
-                            self._device_request, self._device,
-                            dtype=chunk[0][0].dtype)
+                    fn_batch = self._batch_for(chunk[0][0].dtype)
                     fa = jnp.asarray(np.stack([p[0] for p in chunk]))
                     fb = jnp.asarray(np.stack([p[1] for p in chunk]))
-                    arr = np.asarray(self._fn_batch(fa, fb))
+                    arr = np.asarray(fn_batch(fa, fb))
                     for i in range(len(chunk)):
                         res = self._finalize(
                             arr[i, 0], arr[i, 1], arr[i, 2] > 0.5)
@@ -833,7 +898,7 @@ class OnlinePIV:
                             yield res
                 while backlog:
                     frame_a, frame_b = backlog.pop(0)
-                    arr = np.asarray(self._fn(
+                    arr = np.asarray(self._single_for(frame_a.dtype)(
                         jnp.asarray(frame_a), jnp.asarray(frame_b)))
                     res = self._finalize(arr[0], arr[1], arr[2] > 0.5)
                     if res is not None:
@@ -898,8 +963,26 @@ class VideoPIV:
             cfg, frame_mask=resolve_frame_mask(frame_mask),
             mask_threshold=mask_threshold)
 
-        # packed [B, 3, R, C] output via the shared production builder
+        # packed [B, 3, R, C] output via the shared production builder;
+        # dispatched through canonical-key AOT executables (the flush
+        # loop runs inside a default_device context, which would change
+        # a plain jit dispatch's persistent-cache key — see
+        # aot_compile_packed), cached per frame dtype
         self._fn = build_packed_scan(self._engine)
+        self._exec: dict = {}
+        self._exec_lock = threading.Lock()
+
+    def _exec_for(self, dtype):
+        dtype = np.dtype(dtype)
+        with self._exec_lock:
+            ex = self._exec.get(dtype)
+            if ex is None:
+                ex = aot_compile_packed(
+                    self._fn, self._batch,
+                    self._engine.config.frame_shape,
+                    self._device_request, self._device, dtype=dtype)
+                self._exec[dtype] = ex
+            return ex
 
     @property
     def engine(self) -> MultipassPIV:
@@ -925,7 +1008,8 @@ class VideoPIV:
                 pad = self._batch - B
                 fa = np.concatenate([fa, np.tile(fa[-1:], (pad, 1, 1))])
                 fb = np.concatenate([fb, np.tile(fb[-1:], (pad, 1, 1))])
-            arr = np.asarray(self._fn(jnp.asarray(fa), jnp.asarray(fb)))
+            arr = np.asarray(self._exec_for(fa.dtype)(
+                jnp.asarray(fa), jnp.asarray(fb)))
             u_b, v_b, inval_b = arr[:, 0], arr[:, 1], arr[:, 2] > 0.5
             for i in range(B):
                 inval = inval_b[i] if tail_validates else None
@@ -935,6 +1019,17 @@ class VideoPIV:
                 if res is not None:
                     yield res
 
+        # executable preparation overlaps the first batch's video decode
+        # (frame shape is known from the container header up front)
+        def prewarm():
+            try:
+                self._exec_for(np.uint8)
+            except Exception:  # noqa: BLE001 - advisory; flush retries
+                log.exception("video prewarm failed; the first flush "
+                              "will compile inline instead")
+
+        threading.Thread(target=prewarm, name="piv-video-prewarm",
+                         daemon=True).start()
         with jax.default_device(self._device):
             batch = []
             for pair in self._source:

@@ -118,6 +118,20 @@ class PIVService:
             log.info("serve: compiled engine for frame shape %s", shape)
         return eng_fn
 
+    def warmup(self, shape: Tuple[int, int]) -> None:
+        """Compile BOTH dispatch graphs for ``shape`` before traffic
+        arrives: the single-pair graph (/piv with one pair, /piv_files)
+        and the burst packed-scan executable (/piv with stacked pairs) —
+        a warmup that only exercised the single path left the first real
+        burst paying the full compile."""
+        import numpy as np
+
+        z = np.zeros(shape, np.uint8)
+        # blank frames may come back as a >50%-invalid "skip" (None) —
+        # irrelevant here, the compile is what we came for
+        self.analyze(z, z)
+        self._batch_fn_for(tuple(shape))
+
     def _batch_fn_for(self, shape: Tuple[int, int]):
         """The production packed-scan graph for ``[B,3,R,C]`` dispatch
         (shared builder -> same trace -> same persistent-cache entry as
