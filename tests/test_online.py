@@ -225,6 +225,8 @@ def test_online_piv_frame_shape_hint_prewarms(tmp_path):
         catchup_batch=2, frame_shape=(128, 128),
     )
 
+    all_seen = threading.Event()
+
     def camera():
         time.sleep(0.5)  # prewarm window: no frames on disk yet
         for i in range(3):
@@ -232,7 +234,9 @@ def test_online_piv_frame_shape_hint_prewarms(tmp_path):
                                    seed=40 + i)
             imwrite_gray(str(tmp_path / f"cam{i}_a.bmp"), fa)
             imwrite_gray(str(tmp_path / f"cam{i}_b.bmp"), fb)
-        time.sleep(1.0)
+        # stop only once the consumer confirms all pairs came through —
+        # a fixed sleep races the stream on a loaded single-core host
+        all_seen.wait(timeout=60)
         piv.stop()
 
     t = threading.Thread(target=camera)
@@ -242,7 +246,11 @@ def test_online_piv_frame_shape_hint_prewarms(tmp_path):
     # the hint built the engine up front (before any frame existed)
     assert piv._engine is not None
     assert piv._engine.config.frame_shape == (128, 128)
-    results = [first] + list(gen)
+    results = [first]
+    for r in gen:
+        results.append(r)
+        if len(results) == 3:
+            all_seen.set()
     t.join()
     assert len(results) == 3
     for x, y, u, v in results:

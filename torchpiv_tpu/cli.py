@@ -1659,7 +1659,14 @@ def cmd_view(args) -> int:
             and "grid" not in os.path.basename(args.table):
         import numpy as np
 
-        header = open(args.table).readline().strip().split(", ")
+        with open(args.table) as fh:
+            header = fh.readline().strip().split(", ")
+            # bail before loadtxt: an empty table would make it warn
+            # ("input contained no data") on its way to an empty array
+            has_rows = any(line.strip() for line in fh)
+        if not has_rows:
+            print(f"{args.table}: no rows to render", file=sys.stderr)
+            return 1
         data = np.loadtxt(args.table, skiprows=1, delimiter=",", ndmin=2)
         if data.size == 0 or data.shape[1] < len(header):
             print(f"{args.table}: no rows to render", file=sys.stderr)

@@ -221,7 +221,10 @@ if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
             self.ovl.setRange(0, 511)
             self.ovl.setValue(params.overlap)
             self.mode = QtWidgets.QComboBox()
-            self.mode.addItems(["CWS", "DWS"])
+            # all three engine pass modes (the reference form offers only
+            # CWS/DWS, ControlsWidgets.py:106-114; DEF is this engine's
+            # deforming-window mode, models/multipass.py)
+            self.mode.addItems(["CWS", "DWS", "DEF"])
             self.mode.setCurrentText(params.multipass_mode)
             self.dev = QtWidgets.QComboBox()
             self.dev.addItems(sorted(DeviceMap.devices()))
@@ -241,16 +244,23 @@ if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
             self.folder_mode = QtWidgets.QComboBox()
             self.folder_mode.addItems(["pairs", "sequential"])
             self.folder_mode.setCurrentText(params.folder_mode or "pairs")
-            # extras beyond the reference form (runner options, not part
-            # of the reference-parity 14-key settings.json)
-            self.mask_path = QtWidgets.QLineEdit("")
+            # extras beyond the reference form, persisted in the
+            # settings.json "extras" key (utils/config.PIVParams.extras)
+            ex = params.extras or {}
+            self.mask_path = QtWidgets.QLineEdit(str(ex.get("frame_mask",
+                                                            "")))
             self.mask_path.setPlaceholderText("none")
             self.preprocess = QtWidgets.QComboBox()
             self.preprocess.addItems(["none", "clahe", "stretch"])
+            self.preprocess.setCurrentText(str(ex.get("preprocess", "none")))
             self.correlation = QtWidgets.QComboBox()
             self.correlation.addItems(["scc", "rpc"])
+            self.correlation.setCurrentText(str(ex.get("correlation", "scc")))
             self.smooth_cb = QtWidgets.QCheckBox("smoothn (GCV)")
+            self.smooth_cb.setChecked(bool(ex.get("smooth", False)))
             self.rescue_cb = QtWidgets.QCheckBox("second-peak rescue")
+            self.rescue_cb.setChecked(bool(ex.get("second_peak_fallback",
+                                                  False)))
             for label, widget in [
                 ("File format", self.fmt), ("Window size [px]", self.wind),
                 ("Overlap [px]", self.ovl), ("Multipass mode", self.mode),
@@ -285,6 +295,15 @@ if HAVE_QT:  # pragma: no cover - GUI code paths need a display + PyQt5
             p.save_dir = self.save_dir.text()
             p.regime = self.regime.currentText()
             p.folder_mode = self.folder_mode.currentText()
+            # beyond-reference form extras persist too (round-5 fix: they
+            # were per-run only; reference-style loaders ignore the key)
+            p.extras = {
+                "frame_mask": self.mask_path.text().strip(),
+                "preprocess": self.preprocess.currentText(),
+                "correlation": self.correlation.currentText(),
+                "smooth": self.smooth_cb.isChecked(),
+                "second_peak_fallback": self.rescue_cb.isChecked(),
+            }
             p.to_json()
 
     class MainWindow(QtWidgets.QMainWindow):

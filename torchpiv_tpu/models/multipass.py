@@ -91,13 +91,22 @@ class PIVConfig:
     # elliptical/tilted peaks; beyond the reference, XLA peak fit only).
     subpixel: str = "gauss3"  # "gauss3" | "gauss2d"
     # MXU pass count for the DFT matmuls (ops.correlate.correlate_matmul).
-    # "default" = single bf16 pass: window grey levels are bf16-exact, only
-    # the DFT operator rounds, and the log-Gaussian fit cancels common
-    # per-window scale factors exactly — measured 6.5e-4 px RMS (1.2e-2 px
-    # worst vector) vs the 3-pass chain at the headline config with ZERO
-    # validation-mask flips, for -1.2 ms/pair.  "high" (bf16_3x,
-    # ~f32-accurate) is the parity-reference setting; "highest" = bf16_6x.
-    dft_precision: str = "default"  # "default" | "high" | "highest"
+    # "high" (default) = bf16_3x (~f32-accurate): measured worst single
+    # vector 3.0e-4 px / RMS 8.7e-6 px vs the bf16_6x chain over 16 seeds
+    # (uniform + shear) at the headline 4 MP config, zero validation-mask
+    # flips — the shipped default IS the parity configuration (VERDICT r4
+    # item 3).  "default" = single bf16 pass: grey levels are bf16-exact
+    # and only the DFT operator rounds, worth ~-1.8 ms/pair — but the
+    # worst single vector reaches 3.1e-2 px (same 16-seed sweep), outside
+    # the 0.01 px per-vector budget: opt in only when throughput matters
+    # more than single-vector accuracy.  "highest" = bf16_6x.  A per-pass
+    # "mixed" scheme (final pass high, earlier bf16) is a measured dead
+    # end: pass-1 bf16 predictor error flips discrete decisions (the
+    # anti-divergence guard's du > u0 comparison, CWS integer-crossing),
+    # so its worst vector (3.3e-2 px) is no better than "default" while
+    # costing nearly as much as "high" (tools/precision_ab.py, Aug 19;
+    # docs/ROADMAP.md ledger).
+    dft_precision: str = "high"  # "default" | "high" | "highest"
     # Pass-fusion strategy (experimental/fused_pass.py).  Both fusion modes are
     # measured reference points that LOSE to the XLA chain on v5e ("auto"
     # resolves to off; see docs/ROADMAP.md "pass fusion attempts"):

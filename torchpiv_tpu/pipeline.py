@@ -399,20 +399,25 @@ class OfflinePIV:
         # One dispatch per batch: scan the fused per-pair graph, results
         # packed into one [B, 3, R, C] buffer (see build_packed_scan).
         self._batched_fn = build_packed_scan(self._engine, self._background)
-        # AOT executables per batch size (ramp + full), compiled from
-        # ABSTRACT shapes: calling the jit fn with the prefetcher's
-        # device-committed arrays annotates the module with sdy.sharding
-        # attrs -> a DIFFERENT persistent-cache key than `tpiv warmup` /
-        # bench.py compile (measured: warmup never warmed production).
-        # .lower(ShapeDtypeStruct).compile() produces the same key as the
-        # plain-style compile (verified, tools/cachekey_probe.py) and the
-        # compiled executable accepts committed arrays at dispatch.
+        # AOT executables per (batch size, dtype) — ramp + full sizes,
+        # compiled from ABSTRACT shapes: calling the jit fn with the
+        # prefetcher's device-committed arrays annotates the module with
+        # sdy.sharding attrs -> a DIFFERENT persistent-cache key than
+        # `tpiv warmup` / bench.py compile (measured: warmup never warmed
+        # production).  .lower(ShapeDtypeStruct).compile() produces the
+        # same key as the plain-style compile (verified,
+        # tools/cachekey_probe.py) and the compiled executable accepts
+        # committed arrays at dispatch.  Keying on dtype too: an AOT
+        # executable (unlike jit) hard-rejects argument dtypes it was not
+        # compiled for, and a user ``preprocess`` callable may emit a
+        # different dtype per frame.
         self._aot_futures: dict = {}
         self._aot_lock = threading.Lock()
 
-    def _aot_future(self, batch: int):
-        """Start (or join) executable preparation for one batch size on a
-        background thread; returns a ``concurrent.futures.Future``.
+    def _aot_future(self, batch: int, dtype=None):
+        """Start (or join) executable preparation for one (batch size,
+        dtype) on a background thread; returns a
+        ``concurrent.futures.Future``.
 
         Executable readiness is expensive even on a persistent-cache HIT
         over the axon tunnel (measured: 34.7 s for the first executable in
@@ -420,14 +425,20 @@ class OfflinePIV:
         service contact).  Preparing both dispatch sizes concurrently, and
         starting at generator start rather than first dispatch, overlaps
         that latency with dataset listing, decode and the first H2D.
+
+        A FAILED compile is dropped from the table before its waiters are
+        woken, so the next dispatch retries instead of re-raising a stale
+        error forever (transient UNAVAILABLE from the tunnel is common).
         """
         from concurrent.futures import Future
 
+        dtype = np.dtype(self._frame_dtype if dtype is None else dtype)
+        key = (batch, dtype)
         with self._aot_lock:
-            fut = self._aot_futures.get(batch)
+            fut = self._aot_futures.get(key)
             if fut is None:
                 fut = Future()
-                self._aot_futures[batch] = fut
+                self._aot_futures[key] = fut
 
                 def work():
                     t0 = time.perf_counter()
@@ -436,23 +447,25 @@ class OfflinePIV:
                             self._batched_fn, batch,
                             self._engine.config.frame_shape,
                             self._device_request, self._device,
-                            dtype=self._frame_dtype)
+                            dtype=dtype)
                     except BaseException as e:  # noqa: BLE001 - to waiter
+                        with self._aot_lock:  # retry on next dispatch
+                            self._aot_futures.pop(key, None)
                         fut.set_exception(e)
                     else:
                         log.info(
-                            "engine executable (batch %d) ready in %.1f s "
-                            "(seconds = persistent-cache deserialization, "
-                            "minutes = fresh compile)",
-                            batch, time.perf_counter() - t0)
+                            "engine executable (batch %d, %s) ready in "
+                            "%.1f s (seconds = persistent-cache "
+                            "deserialization, minutes = fresh compile)",
+                            batch, dtype, time.perf_counter() - t0)
                         fut.set_result(ex)
 
                 threading.Thread(target=work, name=f"piv-aot-{batch}",
                                  daemon=True).start()
             return fut
 
-    def _dispatch_fn(self, batch: int):
-        """The executable for one padded batch size.
+    def _dispatch_fn(self, batch: int, dtype=None):
+        """The executable for one padded batch size + frame dtype.
 
         Single-device mode compiles ahead-of-time from abstract shapes so
         the persistent-cache key matches ``tpiv warmup``'s (see
@@ -463,7 +476,7 @@ class OfflinePIV:
             return self._batched_fn
         if not hasattr(self._batched_fn, "lower"):
             return self._batched_fn  # injected plain callable (tests/hooks)
-        return self._aot_future(batch).result()
+        return self._aot_future(batch, dtype).result()
 
     @property
     def engine(self) -> Optional[MultipassPIV]:
@@ -515,6 +528,11 @@ class OfflinePIV:
             # in mesh mode jit distributes host batches per its in_shardings;
             # pre-committing them to one device would conflict
             device_put=self._mesh is None,
+            # three batches in flight keep the H2D link continuously fed
+            # across the decode/scheduling seams (the link, not device
+            # memory, is the scarce resource on network-attached hosts;
+            # 3 x batch x 2 frames is well inside HBM at any sane batch)
+            depth=3,
             first_batch_size=self._first_batch,
             transfer_log=(self.transfer_log
                           if self._mesh is None else None),
@@ -603,7 +621,8 @@ class OfflinePIV:
                                 [jnp.asarray(batch_b),
                                  jnp.tile(jnp.asarray(batch_b[-1:]),
                                           (pad, 1, 1))])
-                        out = self._dispatch_fn(target)(batch_a, batch_b)
+                        out = self._dispatch_fn(
+                            target, batch_a.dtype)(batch_a, batch_b)
                         if not put_interruptible(pending_q, (ids, out)):
                             break
                         load_t = time.perf_counter()
@@ -751,11 +770,21 @@ class OnlinePIV:
             self._engine_kwargs.setdefault("use_pallas", "off")
         self._engine: Optional[MultipassPIV] = None
         self._fn = None
-        # compiled executables keyed by frame dtype (a user preprocess may
-        # emit non-uint8; an AOT executable hard-rejects other dtypes)
+        # compile futures keyed by frame dtype (a user preprocess may emit
+        # non-uint8; an AOT executable hard-rejects other dtypes).  Futures
+        # rather than executables so the table lock is NEVER held across a
+        # compile: a first frame landing while the prewarm thread is still
+        # compiling the catch-up batch executable must not block the
+        # single-pair dispatch on a minutes-long batch compile when the
+        # single-pair executable is already ready (compiles themselves
+        # still serialize on _AOT_COMPILE_LOCK — see _aot_compile).
         self._single_exec: dict = {}
         self._batch_exec: dict = {}
         self._exec_lock = threading.Lock()
+        # threads that may be mid-REMOTE-compile; joined before the
+        # generator exits (killing one wedges the tunnel's compile
+        # service for 20-40 min — CLAUDE.md)
+        self._compile_threads: list = []
         # optional camera-geometry hint: when given, the engine builds and
         # both executables compile while the stream WAITS for the first
         # frame (a camera stream's first pair otherwise pays the full
@@ -799,52 +828,87 @@ class OnlinePIV:
 
         self._fn = jax.jit(single)
 
+    def _exec_future(self, table: dict, dtype, compile_fn):
+        """Per-dtype compile future with double-checked locking: the table
+        lock guards only the dict, the compile runs on a worker thread
+        (serialized process-wide by _AOT_COMPILE_LOCK).  A failed compile
+        is dropped from the table so the next request retries."""
+        from concurrent.futures import Future
+
+        dtype = np.dtype(dtype)
+        with self._exec_lock:
+            fut = table.get(dtype)
+            if fut is None:
+                fut = Future()
+                table[dtype] = fut
+
+                def work():
+                    try:
+                        ex = compile_fn(dtype)
+                    except BaseException as e:  # noqa: BLE001 - to waiter
+                        with self._exec_lock:
+                            table.pop(dtype, None)
+                        fut.set_exception(e)
+                    else:
+                        fut.set_result(ex)
+
+                t = threading.Thread(target=work, name="piv-online-compile",
+                                     daemon=True)
+                self._compile_threads.append(t)
+                t.start()
+            return fut
+
+    def _compile_single(self, dtype):
+        s = jax.ShapeDtypeStruct(self._engine.config.frame_shape, dtype)
+        return _aot_compile(self._fn, (s, s),
+                            self._device_request, self._device)
+
+    def _compile_batch(self, dtype):
+        return aot_compile_packed(
+            build_packed_scan(self._engine), self._catchup,
+            self._engine.config.frame_shape,
+            self._device_request, self._device, dtype=dtype)
+
     def _single_for(self, dtype):
         """AOT executable for one pair at ``dtype`` (canonical cache key:
         dispatch happens inside the stream loop's default_device context,
         which would otherwise change the lowered module — see
         aot_compile_packed)."""
-        dtype = np.dtype(dtype)
-        with self._exec_lock:
-            ex = self._single_exec.get(dtype)
-            if ex is None:
-                s = jax.ShapeDtypeStruct(
-                    self._engine.config.frame_shape, dtype)
-                ex = _aot_compile(self._fn, (s, s),
-                                  self._device_request, self._device)
-                self._single_exec[dtype] = ex
-            return ex
+        return self._exec_future(
+            self._single_exec, dtype, self._compile_single).result()
 
     def _batch_for(self, dtype):
         """AOT executable for one catch-up chunk at ``dtype`` (the
         production packed-scan graph, shared cache entry with
         OfflinePIV/warmup at the same geometry)."""
-        dtype = np.dtype(dtype)
-        with self._exec_lock:
-            ex = self._batch_exec.get(dtype)
-            if ex is None:
-                ex = aot_compile_packed(
-                    build_packed_scan(self._engine), self._catchup,
-                    self._engine.config.frame_shape,
-                    self._device_request, self._device, dtype=dtype)
-                self._batch_exec[dtype] = ex
-            return ex
+        return self._exec_future(
+            self._batch_exec, dtype, self._compile_batch).result()
 
     def _prewarm(self):
         """Background executable preparation while the stream waits for
         its first frame (requires the ``frame_shape`` hint): single-pair
-        first (the live-latency path), then the catch-up batch."""
-        def work():
-            try:
-                self._single_for(np.uint8)
-                if self._catchup > 1:
-                    self._batch_for(np.uint8)
-            except Exception:  # noqa: BLE001 - advisory only
-                log.exception("online prewarm failed; the stream will "
-                              "compile lazily instead")
+        first (the live-latency path), then the catch-up batch once the
+        single is ready (compiles serialize on _AOT_COMPILE_LOCK anyway,
+        and the single-pair executable must win that lock — the first
+        frame waits on it)."""
+        fut = self._exec_future(self._single_exec, np.uint8,
+                                self._compile_single)
+        if self._catchup > 1:
+            fut.add_done_callback(
+                lambda f: f.exception() is None and self._exec_future(
+                    self._batch_exec, np.uint8, self._compile_batch))
 
-        threading.Thread(target=work, name="piv-online-prewarm",
-                         daemon=True).start()
+    def _join_compiles(self):
+        """Wait out any in-flight compile threads before the generator
+        returns: a process exiting while a daemon thread is mid-remote-
+        compile wedges the tunnel's compile service for 20-40 min
+        (OfflinePIV gates its prewarm the same way)."""
+        for t in self._compile_threads:
+            if t.is_alive():
+                log.info("waiting for an in-flight engine compile to "
+                         "finish before closing the stream...")
+                t.join()
+        self._compile_threads.clear()
 
     def _finalize(self, u, v, inval):
         x, y = self._engine.final_coordinates
@@ -867,42 +931,48 @@ class OnlinePIV:
         if self._frame_shape is not None and self._engine is None:
             self._ensure_engine(self._frame_shape)
             self._prewarm()
-        with jax.default_device(self._device):
-            backlog: list = []
-            for burst in self._source.bursts():
-                for name_a, name_b in burst:
-                    pair = self._decode(name_a, name_b)
-                    if pair is None:
+        try:
+            with jax.default_device(self._device):
+                backlog: list = []
+                for burst in self._source.bursts():
+                    for name_a, name_b in burst:
+                        pair = self._decode(name_a, name_b)
+                        if pair is None:
+                            continue
+                        if self._engine is None:
+                            self._ensure_engine(pair[0].shape)
+                        if pair[0].shape == self._engine.config.frame_shape:
+                            backlog.append(pair)
+                        else:
+                            log.warning(
+                                "online: skipping %s — frame shape %s != "
+                                "engine %s", name_a, pair[0].shape,
+                                self._engine.config.frame_shape)
+                    if not backlog:
                         continue
-                    if self._engine is None:
-                        self._ensure_engine(pair[0].shape)
-                    if pair[0].shape == self._engine.config.frame_shape:
-                        backlog.append(pair)
-                    else:
-                        log.warning(
-                            "online: skipping %s — frame shape %s != "
-                            "engine %s", name_a, pair[0].shape,
-                            self._engine.config.frame_shape)
-                if not backlog:
-                    continue
-                while len(backlog) >= B > 1:
-                    chunk, backlog = backlog[:B], backlog[B:]
-                    fn_batch = self._batch_for(chunk[0][0].dtype)
-                    fa = jnp.asarray(np.stack([p[0] for p in chunk]))
-                    fb = jnp.asarray(np.stack([p[1] for p in chunk]))
-                    arr = np.asarray(fn_batch(fa, fb))
-                    for i in range(len(chunk)):
-                        res = self._finalize(
-                            arr[i, 0], arr[i, 1], arr[i, 2] > 0.5)
+                    while len(backlog) >= B > 1:
+                        chunk, backlog = backlog[:B], backlog[B:]
+                        fn_batch = self._batch_for(chunk[0][0].dtype)
+                        fa = jnp.asarray(np.stack([p[0] for p in chunk]))
+                        fb = jnp.asarray(np.stack([p[1] for p in chunk]))
+                        arr = np.asarray(fn_batch(fa, fb))
+                        for i in range(len(chunk)):
+                            res = self._finalize(
+                                arr[i, 0], arr[i, 1], arr[i, 2] > 0.5)
+                            if res is not None:
+                                yield res
+                    while backlog:
+                        frame_a, frame_b = backlog.pop(0)
+                        arr = np.asarray(self._single_for(frame_a.dtype)(
+                            jnp.asarray(frame_a), jnp.asarray(frame_b)))
+                        res = self._finalize(arr[0], arr[1], arr[2] > 0.5)
                         if res is not None:
                             yield res
-                while backlog:
-                    frame_a, frame_b = backlog.pop(0)
-                    arr = np.asarray(self._single_for(frame_a.dtype)(
-                        jnp.asarray(frame_a), jnp.asarray(frame_b)))
-                    res = self._finalize(arr[0], arr[1], arr[2] > 0.5)
-                    if res is not None:
-                        yield res
+        finally:
+            # never leave a daemon thread mid-remote-compile behind a
+            # stream that ended early (stop()/idle_timeout before any
+            # backlog formed)
+            self._join_compiles()
 
 
 class VideoPIV:
@@ -971,18 +1041,45 @@ class VideoPIV:
         self._fn = build_packed_scan(self._engine)
         self._exec: dict = {}
         self._exec_lock = threading.Lock()
+        self._compile_threads: list = []
 
-    def _exec_for(self, dtype):
+    def _exec_future_for(self, dtype):
+        """Per-dtype compile future (double-checked locking, as in
+        OnlinePIV._exec_future): the lock guards only the dict, a failed
+        compile is dropped so the next flush retries, and the worker
+        thread is tracked so the generator can join it before exiting
+        (killing a mid-remote-compile thread wedges the tunnel's compile
+        service — CLAUDE.md)."""
+        from concurrent.futures import Future
+
         dtype = np.dtype(dtype)
         with self._exec_lock:
-            ex = self._exec.get(dtype)
-            if ex is None:
-                ex = aot_compile_packed(
-                    self._fn, self._batch,
-                    self._engine.config.frame_shape,
-                    self._device_request, self._device, dtype=dtype)
-                self._exec[dtype] = ex
-            return ex
+            fut = self._exec.get(dtype)
+            if fut is None:
+                fut = Future()
+                self._exec[dtype] = fut
+
+                def work():
+                    try:
+                        ex = aot_compile_packed(
+                            self._fn, self._batch,
+                            self._engine.config.frame_shape,
+                            self._device_request, self._device, dtype=dtype)
+                    except BaseException as e:  # noqa: BLE001 - to waiter
+                        with self._exec_lock:
+                            self._exec.pop(dtype, None)
+                        fut.set_exception(e)
+                    else:
+                        fut.set_result(ex)
+
+                t = threading.Thread(target=work, name="piv-video-compile",
+                                     daemon=True)
+                self._compile_threads.append(t)
+                t.start()
+        return fut
+
+    def _exec_for(self, dtype):
+        return self._exec_future_for(dtype).result()
 
     @property
     def engine(self) -> MultipassPIV:
@@ -1020,27 +1117,31 @@ class VideoPIV:
                     yield res
 
         # executable preparation overlaps the first batch's video decode
-        # (frame shape is known from the container header up front)
-        def prewarm():
-            try:
-                self._exec_for(np.uint8)
-            except Exception:  # noqa: BLE001 - advisory; flush retries
-                log.exception("video prewarm failed; the first flush "
-                              "will compile inline instead")
-
-        threading.Thread(target=prewarm, name="piv-video-prewarm",
-                         daemon=True).start()
-        with jax.default_device(self._device):
-            batch = []
-            for pair in self._source:
-                if self._preprocess is not None:
-                    pair = (self._preprocess(pair[0]),
-                            self._preprocess(pair[1]))
-                batch.append(pair)
-                if len(batch) == self._batch:
-                    yield from flush(batch)
-                    batch = []
-            yield from flush(batch)
+        # (frame shape is known from the container header up front) —
+        # only when the source has any pairs at all: an unused prewarm
+        # wastes a compile and would leave a thread mid-remote-compile
+        # behind an immediately-exiting generator
+        if len(self._source) > 0:
+            self._exec_future_for(np.uint8)  # non-blocking
+        try:
+            with jax.default_device(self._device):
+                batch = []
+                for pair in self._source:
+                    if self._preprocess is not None:
+                        pair = (self._preprocess(pair[0]),
+                                self._preprocess(pair[1]))
+                    batch.append(pair)
+                    if len(batch) == self._batch:
+                        yield from flush(batch)
+                        batch = []
+                yield from flush(batch)
+        finally:
+            for t in self._compile_threads:
+                if t.is_alive():
+                    log.info("waiting for an in-flight engine compile to "
+                             "finish before closing the video stream...")
+                    t.join()
+            self._compile_threads.clear()
 
 
 class _AsyncSaver:

@@ -70,13 +70,14 @@ def compute_pod(
     bad = ~np.isfinite(u) | ~np.isfinite(v)
     if mask is not None:
         bad |= np.broadcast_to(np.asarray(mask, dtype=bool), u.shape)
-    uw = np.where(bad, np.nan, u)
-    vw = np.where(bad, np.nan, v)
-    with np.errstate(invalid="ignore"):
-        mean_u = np.nanmean(uw, axis=0)
-        mean_v = np.nanmean(vw, axis=0)
-    mean_u = np.nan_to_num(mean_u)  # points invalid in EVERY snapshot
-    mean_v = np.nan_to_num(mean_v)
+    # mean over the VALID snapshots at each point, computed as sum/count
+    # (no nanmean: a point invalid in EVERY snapshot would emit a
+    # mean-of-empty-slice RuntimeWarning; here its count is 0 and its
+    # mean is defined as 0, i.e. zero fluctuation)
+    cnt = (~bad).sum(axis=0)
+    denom = np.maximum(cnt, 1)
+    mean_u = np.where(bad, 0.0, u).sum(axis=0) / denom
+    mean_v = np.where(bad, 0.0, v).sum(axis=0) / denom
     fu = np.where(bad, 0.0, u - mean_u[None]).reshape(n, -1)
     fv = np.where(bad, 0.0, v - mean_v[None]).reshape(n, -1)
     x = np.concatenate([fu, fv], axis=1)  # [N, 2RC]

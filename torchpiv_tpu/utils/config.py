@@ -5,6 +5,12 @@ Same 14-key schema as the reference's ``PIVparams`` singleton
 settings.json files load unchanged — but stored in the user config dir
 (~/.torchpiv_tpu/settings.json) instead of inside the installed package, and
 implemented as a mutable dataclass rather than class-attribute mutation.
+
+One key beyond the reference schema: ``extras``, a free-form dict where
+the GUI persists its beyond-reference run options (ROI mask path,
+preprocess, correlation estimator, smoothing, vector rescue).  Both this
+loader and the reference's ignore unknown keys (:143-157 semantics), so
+settings files remain interchangeable in either direction.
 """
 from __future__ import annotations
 
@@ -38,6 +44,8 @@ class PIVParams:
     regime: str = "offline"  # "offline" | "online"
     multipass_mode: str = "CWS"
     folder_mode: str = "pairs"  # "pairs" | "sequential"
+    # beyond-reference GUI/runner options (see module docstring)
+    extras: dict = dataclasses.field(default_factory=dict)
 
     @classmethod
     def from_json(cls, path: Optional[str] = None) -> "PIVParams":

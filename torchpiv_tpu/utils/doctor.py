@@ -188,15 +188,19 @@ def run_doctor(device: str = "auto", engine_check: bool = True,
             # import-path-dependent Mosaic payloads — see
             # tools/cachekey_probe.py).  Each subprocess pays backend
             # init, so this check is opt-in (tpiv doctor --cache).
+            #
+            # Classification is STRUCTURAL, not log-text matching (jax is
+            # free to reword its debug messages): each probe counts the
+            # cache-dir entries its own compile created.  The probe graph
+            # embeds a per-doctor-run salt constant, so process 1 always
+            # compiles fresh (>=1 new entry) and process 2 — same salt —
+            # must deserialize (0 new entries).
             snippet = r"""
-import logging, os, sys
-rec = []
-h = logging.Handler(); h.emit = lambda r: rec.append(r.getMessage())
-for n in ("jax._src.compilation_cache", "jax._src.compiler"):
-    lg = logging.getLogger(n); lg.setLevel(logging.DEBUG); lg.addHandler(h)
+import os, sys
 from torchpiv_tpu.utils.compile_cache import enable_compile_cache
-if enable_compile_cache() is None:
-    print("DISABLED"); sys.exit(0)
+cache_dir = enable_compile_cache()
+if cache_dir is None:
+    print("TPIV_PROBE:DISABLED:0"); sys.exit(0)
 import jax
 # the env var alone does not switch platforms under pinned profiles
 # (see CLAUDE.md); only the config call does
@@ -204,18 +208,19 @@ plat = os.environ.get("TPIV_DOCTOR_PLATFORM")
 if plat:
     jax.config.update("jax_platforms", plat)
 import jax.numpy as jnp, numpy as np
+salt = float(os.environ["TPIV_DOCTOR_SALT"])
 def doctor_cache_probe(a, b):
-    return (a @ b + 3.0).sum()
+    return (a @ b + salt).sum()
 f = jax.jit(doctor_cache_probe)
 x = jnp.ones((64, 64), jnp.float32)
+before = set(os.listdir(cache_dir))
 np.asarray(f(x, x))
-# classify THIS graph's fate only (tiny helper jits also log events)
-mine = [m for m in rec if "doctor_cache_probe" in m]
-wrote = any("Writing" in m for m in mine)
-hit = any("cache hit" in m.lower() for m in mine)
-print("HIT" if hit else ("WROTE" if wrote else "NEITHER"))
+wrote = len(set(os.listdir(cache_dir)) - before)
+print(f"TPIV_PROBE:OK:{wrote}")
 """
             env = os.environ.copy()
+            # unique constant per doctor run -> unique graph -> unique key
+            env["TPIV_DOCTOR_SALT"] = repr(time.time())
             if device != "auto":
                 # the request may be a platform ("cpu", "cpu:0") or a
                 # device display string ("TPU_0(...)"); resolve and use
@@ -235,18 +240,33 @@ print("HIT" if hit else ("WROTE" if wrote else "NEITHER"))
                 if r.returncode != 0:
                     raise RuntimeError(
                         f"cache probe subprocess failed: {r.stderr[-300:]}")
-                outs.append(r.stdout.strip().splitlines()[-1])
-            if "DISABLED" in outs:
+                toks = [ln for ln in r.stdout.splitlines()
+                        if ln.startswith("TPIV_PROBE:")]
+                if not toks:
+                    raise RuntimeError(
+                        "probe subprocess emitted no TPIV_PROBE sentinel "
+                        f"(stdout: {r.stdout[-200:]!r})")
+                outs.append(toks[-1].split(":"))
+            if outs[0][1] == "DISABLED":
                 raise RuntimeError(
                     "compile cache disabled (TORCHPIV_NO_COMPILE_CACHE "
                     "set, or the cache directory is not creatable) — "
                     "nothing to round-trip")
-            if outs[1] != "HIT":
+            w1, w2 = int(outs[0][2]), int(outs[1][2])
+            if w1 < 1:
                 raise RuntimeError(
-                    f"second process did not deserialize (got {outs}) — "
-                    "cross-process cache keys unstable; every fresh run "
-                    "will pay the full compile")
-            return f"first: {outs[0].lower()}, second: cache hit"
+                    "first process wrote no cache entry — the persistent "
+                    "cache is not persisting (directory not writable, or "
+                    "jax stopped honoring the min-entry overrides)")
+            if w2 != 0:
+                raise RuntimeError(
+                    f"second process recompiled ({w2} new cache entries "
+                    "written) — cross-process cache keys unstable; every "
+                    "fresh run will pay the full compile (if another "
+                    "process writes this cache dir concurrently, re-run)")
+            return (f"first: compiled + wrote {w1} entr"
+                    f"{'y' if w1 == 1 else 'ies'}, second: deserialized "
+                    "(wrote 0)")
 
         _check(results, "cache round-trip",
                cache_hits if backend_ok else skipped)

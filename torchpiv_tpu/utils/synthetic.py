@@ -141,6 +141,7 @@ def camera_degraded_pair(
     read_noise: float = 4.0,
     shot_noise: bool = True,
     hot_pixel_rate: float = 3e-5,
+    seeding_gradient: float = 0.0,
     seed: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """A frame pair degraded like a real PIV camera recording — the
@@ -165,6 +166,10 @@ def camera_degraded_pair(
       Gaussian read noise, i.i.d. per frame.
     * **hot pixels** — saturated stuck pixels at fixed sensor sites
       (identical in both frames, like a real defect map).
+    * **inhomogeneous seeding** — ``seeding_gradient`` in [0, 1) thins the
+      particle density linearly across x down to ``1 - seeding_gradient``
+      of nominal at the right edge (uneven tracer feed / sheet cut-off),
+      applied identically to both frames' particle sets.
     """
     H, W = shape
     rng = np.random.default_rng(seed)
@@ -173,6 +178,13 @@ def camera_degraded_pair(
     xs = rng.uniform(-margin, W + margin, n)
     ys = rng.uniform(-margin, H + margin, n)
     inten = rng.uniform(100, 220, n)
+    if seeding_gradient:
+        if not 0.0 <= seeding_gradient < 1.0:
+            raise ValueError("seeding_gradient must be in [0, 1)")
+        p_keep = 1.0 - seeding_gradient * np.clip(xs / W, 0.0, 1.0)
+        sel = rng.random(n) < p_keep
+        xs, ys, inten = xs[sel], ys[sel], inten[sel]
+        n = xs.size
 
     if callable(displacement):
         u, v = displacement(xs, ys)
