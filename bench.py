@@ -377,6 +377,14 @@ def bench_pipeline(engine_pairs_per_sec: float = float("inf")) -> dict:
     # Pass 2, same instance (executables ready): the steady-state
     # pipeline a long campaign runs at — the achieved-vs-bound check
     # measures pipelining efficiency, not executable-readiness latency.
+    # Re-warm the page cache first: this dev VM's balloon driver drops it
+    # between passes (measured: the same 256 MB batch decodes in 0.34 s
+    # warm vs 9 s cold — the virtio disk reads at ~28 MB/s, SLOWER than
+    # the tunnel H2D, which would make the check measure this VM's disk
+    # instead of the pipeline's overlap; production storage feeds camera
+    # streams at GB/s).
+    if fastio.available():
+        fastio.read_batch_gray(files, fastio.probe_gray(files[0]), threads=8)
     piv.transfer_log = tlog = []
     t0 = time.perf_counter()
     done = sum(1 for _ in piv())

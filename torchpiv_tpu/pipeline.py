@@ -796,9 +796,25 @@ class OnlinePIV:
         self._source.stop()
 
     def _decode(self, name_a, name_b):
-        frame_a = imread_gray(name_a)
-        frame_b = imread_gray(name_b)
-        if frame_a is None or frame_b is None:
+        # A live camera writes files WHILE the watcher polls, so a frame
+        # can be listed before its bytes are complete; a one-shot read
+        # would then drop the pair permanently (observed: 1 lost frame in
+        # a 45-pair 12 Hz soak under host load).  Retry briefly — a
+        # mid-write file becomes readable milliseconds later; genuinely
+        # corrupt files still skip after ~0.3 s total.
+        frame_a = frame_b = None
+        for attempt in range(3):
+            if attempt:
+                time.sleep(0.05 * attempt)
+            if frame_a is None:
+                frame_a = imread_gray(name_a)
+            if frame_b is None:
+                frame_b = imread_gray(name_b)
+            if frame_a is not None and frame_b is not None:
+                break
+        else:
+            log.warning("online: skipping unreadable pair %s / %s",
+                        name_a, name_b)
             return None
         if self._preprocess is not None:
             frame_a = self._preprocess(frame_a)
