@@ -382,3 +382,50 @@ def test_config_rejects_unknown_infill():
     with pytest.raises(ValueError, match="unknown infill"):
         PIVConfig(frame_shape=(128, 128), wind_size=32, overlap=16,
                   infill="Fused")
+
+
+def test_decode_retries_mid_write_frame(tmp_path):
+    """A camera writes frame files WHILE the watcher polls, so a listed
+    file may still be mid-write; _decode must retry briefly instead of
+    dropping the pair permanently (pipeline.py OnlinePIV._decode)."""
+    fa, fb = particle_pair((64, 64), displacement=(1.0, 0.0), seed=7)
+    pa, pb = str(tmp_path / "m0_a.bmp"), str(tmp_path / "m0_b.bmp")
+    imwrite_gray(pa, fa)
+    # _b is listed but its bytes are not complete yet (garbage prefix)
+    with open(pb, "wb") as f:
+        f.write(b"\x00\x01not-a-bmp")
+
+    piv = OnlinePIV(str(tmp_path), device="cpu", file_fmt=".bmp",
+                    wind_size=32, overlap=16)
+
+    def finish_write():
+        time.sleep(0.06)  # lands between retry attempts 1 and 3
+        imwrite_gray(pb, fb)
+
+    t = threading.Thread(target=finish_write)
+    t.start()
+    out = piv._decode(pa, pb)
+    t.join()
+    assert out is not None
+    got_a, got_b = out
+    assert np.array_equal(np.asarray(got_a), fa)
+    assert np.array_equal(np.asarray(got_b), fb)
+
+
+def test_decode_skips_permanently_corrupt_frame(tmp_path, caplog):
+    """A genuinely corrupt file must still skip (with a warning) after the
+    short retry window — the stream keeps going, matching the offline
+    skip-unreadable-pair behavior."""
+    import logging
+
+    fa, _ = particle_pair((64, 64), displacement=(1.0, 0.0), seed=8)
+    pa, pb = str(tmp_path / "c0_a.bmp"), str(tmp_path / "c0_b.bmp")
+    imwrite_gray(pa, fa)
+    with open(pb, "wb") as f:
+        f.write(b"\x00\x01never-valid")
+
+    piv = OnlinePIV(str(tmp_path), device="cpu", file_fmt=".bmp",
+                    wind_size=32, overlap=16)
+    with caplog.at_level(logging.WARNING, logger="torchpiv_tpu"):
+        assert piv._decode(pa, pb) is None
+    assert any("skipping unreadable pair" in r.message for r in caplog.records)
