@@ -225,6 +225,64 @@ def test_correlate_matmul_matches_fft(rng):
         np.testing.assert_allclose(ours / scale, theirs / scale, atol=2e-5)
 
 
+def test_correlate_matmul_complex_mm_variants(rng):
+    """The explicit-real lowerings ("real", "gauss") of the matmul
+    correlator compute the same correlation maps as the direct complex
+    path, across the plain / dc_normalize / RPC branches (see
+    correlate_matmul's docstring; "gauss" reconstructs the imaginary
+    plane by cancellation, hence the slightly wider tolerance)."""
+    from torchpiv_tpu.ops.correlate import correlate_matmul, rpc_filter
+
+    for n in (16, 32, 64):
+        a = rng.normal(1.0, 0.2, (9, n, n)).astype(np.float32)
+        b = rng.normal(1.0, 0.2, (9, n, n)).astype(np.float32)
+        ja, jb = jnp.asarray(a), jnp.asarray(b)
+        pf = rpc_filter(n, 2.8)
+        for kwargs, atol in (
+            (dict(), 2e-5),
+            (dict(dc_normalize=True), 2e-5),
+            (dict(phase_filter=pf), 5e-5),
+        ):
+            base = np.asarray(correlate_matmul(
+                ja, jb, precision="highest", **kwargs))
+            scale = np.abs(base).max()
+            for variant in ("real", "gauss"):
+                ours = np.asarray(correlate_matmul(
+                    ja, jb, precision="highest", complex_mm=variant,
+                    **kwargs))
+                np.testing.assert_allclose(
+                    ours / scale, base / scale, rtol=0, atol=atol,
+                    err_msg=f"n={n} variant={variant} kwargs={kwargs}")
+
+
+def test_config_rejects_unknown_complex_mm():
+    from torchpiv_tpu.models import PIVConfig
+
+    with pytest.raises(ValueError, match="unknown complex_mm"):
+        PIVConfig(frame_shape=(128, 128), wind_size=32, overlap=16,
+                  complex_mm="karatsuba")
+
+
+def test_multipass_complex_mm_field_parity(rng):
+    """End-to-end engine fields at complex_mm="real"/"gauss" match the
+    direct lowering on a real particle pair (CPU, f32 matmuls)."""
+    from torchpiv_tpu.models import MultipassPIV, PIVConfig
+    from torchpiv_tpu.utils.synthetic import particle_pair
+
+    fa, fb = particle_pair((192, 192), displacement=(2.3, -1.4), seed=11)
+    fields = {}
+    for variant in ("direct", "real", "gauss"):
+        cfg = PIVConfig(frame_shape=(192, 192), wind_size=32, overlap=16,
+                        multipass=2, multipass_mode="CWS",
+                        correlator="matmul", complex_mm=variant)
+        out = MultipassPIV(cfg)(jnp.asarray(fa), jnp.asarray(fb))
+        fields[variant] = (np.asarray(out[0]), np.asarray(out[1]))
+    for variant in ("real", "gauss"):
+        for base_c, var_c in zip(fields["direct"], fields[variant]):
+            np.testing.assert_allclose(var_c, base_c, atol=1e-3,
+                                       err_msg=f"variant={variant}")
+
+
 def test_rpc_matches_golden_oracle(rng):
     """Robust phase correlation: both correlator backends vs the float64
     full-spectrum numpy oracle (golden.correlate_rpc) — pins the phase

@@ -47,10 +47,14 @@ KNOBS = tuple(os.environ.get(
     "AB_KNOBS", "default,high,highest").split(","))
 
 
-def engine_for(precision: str) -> MultipassPIV:
+def engine_for(knob: str) -> MultipassPIV:
+    """Knob = dft_precision, optionally ':complex_mm' appended
+    (e.g. "high:real") — the reference chain stays plain "highest"."""
+    precision, _, cmm = knob.partition(":")
     return MultipassPIV(PIVConfig(
         frame_shape=FRAME, wind_size=64, overlap=32, multipass=2,
-        multipass_mode="CWS", dft_precision=precision))
+        multipass_mode="CWS", dft_precision=precision,
+        complex_mm=cmm or "direct"))
 
 
 def main() -> None:

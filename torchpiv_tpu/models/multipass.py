@@ -107,6 +107,19 @@ class PIVConfig:
     # costing nearly as much as "high" (tools/precision_ab.py, Aug 19;
     # docs/ROADMAP.md ledger).
     dft_precision: str = "high"  # "default" | "high" | "highest"
+    # Lowering of the correlator's complex-operand matmul stages
+    # (ops.correlate.correlate_matmul): "real" (default) = explicit
+    # real-plane matmuls + real-part-only inverse tail — the correlation
+    # map is real, and XLA's complex expansion does NOT prune the dead
+    # imaginary half of the last complex product (measured: 12.7-12.8 vs
+    # direct's 13.1-13.3 ms/pair at the headline config in two fresh
+    # processes, identical products, |du| max 2.5e-5 px, zero mask
+    # flips).  "direct" = jnp.matmul on complex64 (XLA's own expansion).
+    # "gauss" = 3-multiplication complex products on the constant-operand
+    # stages — measured SLOWER than "real" (13.13 ms/pair) despite one
+    # fewer matmul: the extra elementwise adds/cancellations cost more
+    # than the saved MXU pass (docs/ROADMAP.md, Aug 19).
+    complex_mm: str = "real"  # "real" | "direct" | "gauss"
     # Pass-fusion strategy (experimental/fused_pass.py).  Both fusion modes are
     # measured reference points that LOSE to the XLA chain on v5e ("auto"
     # resolves to off; see docs/ROADMAP.md "pass fusion attempts"):
@@ -245,6 +258,8 @@ class PIVConfig:
                 raise ValueError("fallback_threshold must be positive")
         if self.dft_precision not in ("default", "high", "highest"):
             raise ValueError(f"unknown dft_precision {self.dft_precision!r}")
+        if self.complex_mm not in ("direct", "real", "gauss"):
+            raise ValueError(f"unknown complex_mm {self.complex_mm!r}")
         if self.subpixel not in ("gauss3", "gauss2d"):
             raise ValueError(f"unknown subpixel {self.subpixel!r}")
         if self.subpixel != "gauss3" and self.peakfit == "pallas":
@@ -371,7 +386,8 @@ class MultipassPIV:
         if c == "matmul" or (c == "auto" and jax.default_backend() == "tpu"):
             return correlate_matmul(aa, bb, dc_normalize,
                                     precision=cfg.dft_precision,
-                                    phase_filter=pf)
+                                    phase_filter=pf,
+                                    complex_mm=cfg.complex_mm)
         return correlate_fft(aa, bb, dc_normalize, phase_filter=pf)
 
     def _peakfit(self, corr, validate, want_second=False):

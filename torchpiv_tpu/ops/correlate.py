@@ -129,9 +129,25 @@ def _dft_matrices_half(n: int):
     return F[:, :h].copy(), Mh.astype(np.complex64)
 
 
+@lru_cache(maxsize=8)
+def _complex_parts(n: int):
+    """Real/imag planes of the complex DFT operators (f32 numpy), plus the
+    precomputed ``real+imag`` sums the Gauss 3-multiplication product needs
+    (one operand of every complex matmul in the chain is a constant, so its
+    operand sum costs nothing at trace time)."""
+    F, Fs = _dft_matrices(n)
+    _, Mh = _dft_matrices_half(n)
+    f32 = np.float32
+    Fr, Fi = np.real(F).astype(f32), np.imag(F).astype(f32)
+    Fsr, Fsi = np.real(Fs).astype(f32), np.imag(Fs).astype(f32)
+    Mhr, Mhi = np.real(Mh).astype(f32), np.imag(Mh).astype(f32)
+    return Fr, Fi, Fr + Fi, Fsr, Fsi, Fsr + Fsi, Mhr, Mhi
+
+
 def correlate_matmul(
     images_a: jnp.ndarray, images_b: jnp.ndarray, dc_normalize: bool = False,
     precision: str = "high", phase_filter: jnp.ndarray | None = None,
+    complex_mm: str = "real",
 ) -> jnp.ndarray:
     """Cross-correlation with the DFTs computed as dense matmuls on the MXU.
 
@@ -145,6 +161,30 @@ def correlate_matmul(
     spectrum product (see ``correlate_fft``) — the scalar multiply fuses
     into the conj-product elementwise op, so the reference's
     ``batchNormalize`` pass over the window tensor disappears entirely.
+
+    ``complex_mm`` selects how the three complex-operand matmul stages
+    lower:
+
+    * ``"real"`` (shipped default) — the products written as explicit
+      real matmuls, plus a real-part-only final stage (``Dr@Mhr -
+      Di@Mhi``): the correlation map is real, and XLA's complex
+      expansion does NOT prune the dead imaginary half of the last
+      complex product — measured 12.7-12.8 vs 13.1-13.3 ms/pair for
+      ``"direct"`` at the headline 4 MP config (two fresh-process
+      back-to-back A/Bs, Aug 19), identical products, |du| max
+      2.5e-5 px, zero validation-mask flips.
+    * ``"direct"`` — ``jnp.matmul`` on complex64 (XLA's own complex
+      expansion; the pre-round-5 lowering).
+    * ``"gauss"`` — Gauss/Karatsuba 3-multiplication complex products
+      (``m1=Br@tr, m2=Bi@ti, m3=(Br+Bi)@(tr+ti)``; real ``m1-m2``, imag
+      ``m3-m1-m2``) for the two constant-operand complex stages, plus
+      the real-part-only final stage: 10 real matmul-equivalents per
+      correlation vs direct's 12-14.  Measured SLOWER than ``"real"``
+      (13.13 ms/pair same protocol): the extra elementwise
+      adds/cancellations cost more than the one saved MXU pass, and the
+      ``m3 - m1 - m2`` imaginary reconstruction loses accuracy where
+      ``|imag| << |m1|+|m2|`` (still only 6.8e-5 px max vs direct at
+      ``precision="high"``).
     """
     n = images_a.shape[-1]
     F_np, Fs_np = _dft_matrices(n)
@@ -164,6 +204,10 @@ def correlate_matmul(
     # less MXU work (see PIVConfig.dft_precision).
     def mm(a, b):
         return jnp.matmul(a, b, precision=precision)
+
+    if complex_mm != "direct":
+        return _correlate_matmul_real(
+            images_a, images_b, mm, dc_normalize, phase_filter, complex_mm)
 
     def dft2_half(x):
         # Columns first, at half width (real input -> Hermitian spectrum;
@@ -190,6 +234,55 @@ def correlate_matmul(
     # transform recovers the (real) correlation map directly.
     D = mm(Fs, C)
     out = jnp.real(mm(D, Mh))
+    return out.reshape(images_a.shape)
+
+
+def _correlate_matmul_real(
+    images_a, images_b, mm, dc_normalize, phase_filter, complex_mm,
+):
+    """``correlate_matmul``'s explicit-real lowerings ("real" / "gauss").
+
+    Same transform chain as the direct path, with every complex matmul
+    hand-expanded over real planes so the matmul count is explicit rather
+    than left to XLA's complex expansion; see ``correlate_matmul``'s
+    docstring for the variant semantics and the Gauss accuracy caveat.
+    """
+    n = images_a.shape[-1]
+    Fh_np, _ = _dft_matrices_half(n)
+    Fhr = jnp.asarray(np.real(Fh_np).astype(np.float32))
+    Fhi = jnp.asarray(np.imag(Fh_np).astype(np.float32))
+    Fr_np, Fi_np, Fri_np, Fsr_np, Fsi_np, Fsri_np, Mhr_np, Mhi_np = \
+        _complex_parts(n)
+    Fr, Fi, Fri = map(jnp.asarray, (Fr_np, Fi_np, Fri_np))
+    Fsr, Fsi, Fsri = map(jnp.asarray, (Fsr_np, Fsi_np, Fsri_np))
+    Mhr, Mhi = jnp.asarray(Mhr_np), jnp.asarray(Mhi_np)
+
+    def cmm(br, bi, bri, xr, xi):
+        # (br + i*bi) @ (xr + i*xi) with a CONSTANT left operand.
+        if complex_mm == "gauss":
+            m1 = mm(br, xr)
+            m2 = mm(bi, xi)
+            return m1 - m2, mm(bri, xr + xi) - m1 - m2
+        return mm(br, xr) - mm(bi, xi), mm(br, xi) + mm(bi, xr)
+
+    def dft2_half(x):
+        tr, ti = mm(x, Fhr), mm(x, Fhi)
+        return cmm(Fr, Fi, Fri, tr, ti)
+
+    Ar, Ai = dft2_half(images_a.reshape(-1, n, n).astype(jnp.float32))
+    Br, Bi = dft2_half(images_b.reshape(-1, n, n).astype(jnp.float32))
+    # C = conj(A) * B, elementwise over the half spectrum.
+    Cr = Ar * Br + Ai * Bi
+    Ci = Ar * Bi - Ai * Br
+    if phase_filter is not None:
+        C = _phase_normalize(jax.lax.complex(Cr, Ci)) * phase_filter
+        Cr, Ci = jnp.real(C), jnp.imag(C)
+    elif dc_normalize:
+        scale = float(n * n) ** 2 / (Ar[..., :1, :1] * Br[..., :1, :1])
+        Cr, Ci = Cr * scale, Ci * scale
+    Dr, Di = cmm(Fsr, Fsi, Fsri, Cr, Ci)
+    # The correlation map is real: only the real plane of D @ Mh exists.
+    out = mm(Dr, Mhr) - mm(Di, Mhi)
     return out.reshape(images_a.shape)
 
 
