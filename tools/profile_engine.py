@@ -120,11 +120,20 @@ def main():
     # find TPU device-op track events (exclude host threads)
     events = tr["traceEvents"] if isinstance(tr, dict) else tr
     pid_names = {}
+    thread_names = {}
     for e in events:
         if e.get("ph") == "M" and e.get("name") == "process_name":
             pid_names[e["pid"]] = e["args"].get("name", "")
+        elif e.get("ph") == "M" and e.get("name") == "thread_name":
+            thread_names[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
     dev_pids = {p for p, n in pid_names.items()
                 if "TPU" in n or "/device" in n.lower()}
+    # The device track carries BOTH per-op events ("XLA Ops" threads) and
+    # enclosing module/step span events ("XLA Modules"/"Steps" threads —
+    # e.g. one jit_batched(...) span around every dispatch); counting both
+    # double-counts every op.  Aggregate the op threads only.
+    op_tids = {k for k, n in thread_names.items()
+               if k[0] in dev_pids and "XLA Ops" in n}
     print(f"processes: {pid_names}", file=sys.stderr)
 
     per_op = collections.Counter()
@@ -133,10 +142,16 @@ def main():
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
+        if op_tids and (e["pid"], e.get("tid")) not in op_tids:
+            continue
         name = e.get("name", "?")
         dur = e.get("dur", 0) / 1e3  # us -> ms
         # skip meta rows (run ids, steps)
         if name.startswith("pid") or "XLA Modules" in str(e.get("args", "")):
+            continue
+        # The scan's while op is a SPAN around its body: the body ops are
+        # traced individually, so counting the span double-counts them.
+        if name.split(".")[0] == "while":
             continue
         per_op[name] += dur
         per_group[classify(name)] += dur
