@@ -44,11 +44,12 @@ import numpy as np  # noqa: E402
 
 BASELINE_PAIRS_PER_SEC = 6.7  # reference README: 4000 pairs / <10 min
 FRAME = (2048, 2048)  # 4 MP
-# batch 32 amortises the per-dispatch tunnel/launch overhead (one-process
-# scan-batch sweep, Aug 19: 14.63/11.21/9.68/8.88 ms/pair at 4/8/16/32 —
-# tools/bench_sweep.py; r2 ran at 16).  Input residency: 32 pairs x 2
-# frames x 4 MB u8 = 256 MB per dispatch.
-BATCH = int(os.environ.get("BENCH_BATCH", 32))
+# batch 64 amortises the per-dispatch tunnel/launch overhead (one-process
+# scan-batch sweeps, Aug 19: 14.63/11.21/9.68/8.88 ms/pair at 4/8/16/32
+# at the round-2 default; 10.33/10.04/9.89 at 32/48/64 at the round-5
+# parity default — every rep ordered 64 < 48 < 32).  Input residency:
+# 64 pairs x 2 frames x 4 MB u8 = 512 MB per dispatch.
+BATCH = int(os.environ.get("BENCH_BATCH", 64))
 UNIQUE_PAIRS = int(os.environ.get("BENCH_UNIQUE", 4))
 BENCH_PAIRS = int(os.environ.get("BENCH_PAIRS", 96))
 # median-of-N steady state; 5 reps because the shared axon chip/tunnel
@@ -293,10 +294,10 @@ def bench_pipeline(engine_pairs_per_sec: float = float("inf")) -> dict:
     from torchpiv_tpu.io.decode import imwrite_gray
     from torchpiv_tpu.pipeline import OfflinePIV
 
-    # 68 = ramp(4) + 2 full batches of 32: zero padding waste, and the
-    # inherently-exposed edges (ramp H2D with nothing to overlap, last
-    # batch's compute+drain) amortise over two full-batch transfers
-    n_pairs = int(os.environ.get("BENCH_PIPELINE_PAIRS", 68))
+    # ramp(4) + 2 full batches: zero padding waste, and the inherently-
+    # exposed edges (ramp H2D with nothing to overlap, last batch's
+    # compute+drain) amortise over two full-batch transfers
+    n_pairs = int(os.environ.get("BENCH_PIPELINE_PAIRS", 4 + 2 * BATCH))
     folder = os.path.join(tempfile.gettempdir(), "tpiv_bench_pairs")
     if len(glob.glob(os.path.join(folder, "*_a.bmp"))) != n_pairs:
         shutil.rmtree(folder, ignore_errors=True)
