@@ -34,7 +34,9 @@ os.environ.setdefault(
 import numpy as np  # noqa: E402
 
 FRAME = (2048, 2048)
-BATCH = int(os.environ.get("SUSTAINED_BATCH", 16))
+# 64 matches bench.py's production scan batch (Aug 19 sweep: 9.89 vs
+# 10.33 ms/pair at 32) so the run reuses the repo cache's live executable.
+BATCH = int(os.environ.get("SUSTAINED_BATCH", 64))
 N_PAIRS = int(os.environ.get("SUSTAINED_PAIRS", 4000))
 STAGED_BATCHES = int(os.environ.get("SUSTAINED_STAGED", 6))
 # bound the device-side execution queue: dispatching thousands of async
@@ -64,16 +66,23 @@ def main():
     fn = build_packed_scan(engine)
     x, y = engine.final_coordinates
 
-    log(f"staging {STAGED_BATCHES} unique batches of {BATCH} pairs...")
+    # A small unique set tiled with a per-batch rotation (as bench.py
+    # does): the device sees distinct inputs batch to batch (no
+    # loop-invariant hoisting) without this 1-core host spending an hour
+    # synthesising STAGED_BATCHES*BATCH unique 4 MP pairs.
+    n_unique = int(os.environ.get("SUSTAINED_UNIQUE", 8))
+    log(f"generating {n_unique} unique pairs, staging "
+        f"{STAGED_BATCHES} batches of {BATCH}...")
+    t0 = time.perf_counter()
+    pairs = [particle_pair(FRAME, displacement=(3.3, -2.1), density=0.01,
+                           seed=i) for i in range(n_unique)]
+    log(f"generated in {time.perf_counter() - t0:.1f} s")
     t0 = time.perf_counter()
     dev_batches = []
     for b in range(STAGED_BATCHES):
-        fa = np.stack([
-            particle_pair(FRAME, displacement=(3.3, -2.1), density=0.01,
-                          seed=b * BATCH + i)[0] for i in range(BATCH)])
-        fb = np.stack([
-            particle_pair(FRAME, displacement=(3.3, -2.1), density=0.01,
-                          seed=b * BATCH + i)[1] for i in range(BATCH)])
+        idx = [(b + i) % n_unique for i in range(BATCH)]
+        fa = np.stack([pairs[i][0] for i in idx])
+        fb = np.stack([pairs[i][1] for i in idx])
         d = jax.device_put((fa, fb))
         d[0].block_until_ready()
         dev_batches.append(d)
