@@ -51,7 +51,15 @@ FRAME = (2048, 2048)  # 4 MP
 # 64 pairs x 2 frames x 4 MB u8 = 512 MB per dispatch.
 BATCH = int(os.environ.get("BENCH_BATCH", 64))
 UNIQUE_PAIRS = int(os.environ.get("BENCH_UNIQUE", 4))
-BENCH_PAIRS = int(os.environ.get("BENCH_PAIRS", 96))
+# 4 full batches per rep: each rep dispatches every staged batch then
+# drains them in order, so the LAST batch's host tail (finalize of BATCH
+# pairs, ~0.3 s on this 1-core host) is exposed — unhideable behind
+# device compute.  At 2 batches that tail is 1/2 of the drains and the
+# rep reads ~78 pairs/s while the 63-dispatch sustained run (which
+# amortises it fully) reads 104.9 at the same binary
+# (docs/campaign/sustained_r5_aug19_final.log); 4 batches cuts the
+# exposure to 1/4 for +1 staged GB.
+BENCH_PAIRS = int(os.environ.get("BENCH_PAIRS", 256))
 # median-of-N steady state; 5 reps because the shared axon chip/tunnel
 # drifts run to run (observed 62-91 pairs/s for the same binary across a
 # congested hour) — a wider median keeps the captured number representative
