@@ -21,6 +21,12 @@ import pytest
 
 REPO = Path(__file__).resolve().parents[1]
 
+# The torch reference's DataLoader always requests pin_memory; on this
+# CPU-only torch build that emits a UserWarning — the reference's noise,
+# not ours.
+pytestmark = pytest.mark.filterwarnings(
+    "ignore:'pin_memory' argument is set as true:UserWarning")
+
 
 @pytest.fixture(scope="module")
 def dc():

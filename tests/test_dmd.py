@@ -9,6 +9,10 @@ import pytest
 
 from torchpiv_tpu.stats.dmd import compute_dmd
 
+# The all-invalid-point mean is sum/count (never nanmean of an empty
+# slice) — pin it: any reintroduced empty-slice RuntimeWarning fails.
+pytestmark = pytest.mark.filterwarnings("error::RuntimeWarning")
+
 
 def _wave_stack(n=40, r=20, c=30, dt=0.01, f=12.0, sigma=0.0, mean=0.0):
     x = np.linspace(0, 2 * np.pi, c)

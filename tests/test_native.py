@@ -84,7 +84,7 @@ def test_native_tiff_8_and_16bit(tmp_path):
 
     img16 = rng.integers(0, 65535, (48, 64), dtype=np.uint16)
     p16 = str(tmp_path / "t16.tif")
-    Image.fromarray(img16, mode="I;16").save(p16)
+    Image.fromarray(img16).save(p16)  # uint16 -> I;16 (mode= kwarg is deprecated)
 
     assert native.probe_gray(p8) == (48, 64)
     assert native.probe_gray(p16) == (48, 64)
@@ -199,6 +199,10 @@ def test_native_corrupt_files_rejected(tmp_path):
     np.testing.assert_array_equal(frames[0], ok)
 
 
+@pytest.mark.filterwarnings(
+    # imageio's undecodable-bytes path probes its vendored tifffile, which
+    # self-deprecates on import — third-party noise, not our warning.
+    "ignore:ImageIO's vendored tifffile backend is deprecated:DeprecationWarning")
 def test_python_decoder_corrupt_bmp_fallback(tmp_path):
     """decode_bmp_gray8 returns None on malformed input (falls back), and
     imread_gray returns None for undecodable bytes."""

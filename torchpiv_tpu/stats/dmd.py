@@ -83,11 +83,14 @@ def compute_dmd(
     bad = ~np.isfinite(u) | ~np.isfinite(v)
     if mask is not None:
         bad |= np.broadcast_to(np.asarray(mask, dtype=bool), u.shape)
-    with np.errstate(invalid="ignore"):
-        mu = np.nanmean(np.where(bad, np.nan, u), axis=0)
-        mv = np.nanmean(np.where(bad, np.nan, v), axis=0)
-    mu = np.nan_to_num(mu)
-    mv = np.nan_to_num(mv)
+    # mean over the VALID snapshots at each point, computed as sum/count
+    # (no nanmean: a point invalid in EVERY snapshot would emit a
+    # mean-of-empty-slice RuntimeWarning; here its count is 0 and its
+    # mean is defined as 0 — same convention as stats/pod.py)
+    cnt = (~bad).sum(axis=0)
+    denom = np.maximum(cnt, 1)
+    mu = np.where(bad, 0.0, u).sum(axis=0) / denom
+    mv = np.where(bad, 0.0, v).sum(axis=0) / denom
     if not subtract_mean:
         mu = np.zeros_like(mu)
         mv = np.zeros_like(mv)
