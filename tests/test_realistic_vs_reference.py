@@ -23,6 +23,12 @@ import pytest
 
 from torchpiv_tpu.utils.synthetic import camera_degraded_pair
 
+# The torch reference's DataLoader always requests pin_memory; on this
+# CPU-only torch build that emits a UserWarning — the reference's noise,
+# not ours.
+pytestmark = pytest.mark.filterwarnings(
+    "ignore:'pin_memory' argument is set as true:UserWarning")
+
 
 @pytest.fixture(scope="module")
 def ref():
